@@ -1,0 +1,233 @@
+"""Continuous-aggregate rollups at 1m/1h/1d retention tiers.
+
+This is the engine's promotion of the reference's *metrics plane* to
+first-class operators (SURVEY.md §2.C): the reference counts messages per
+consumer/worker with Prometheus counters
+(/root/reference/internal/metrics/metrics.go:95-183) and its dashboard
+computes windowed rates and quantiles over them
+(docker-compose/grafana/dashboards/mq-to-db.json:239,868).  Here the same
+aggregate semantics — monotonic counts per key (C1/C2), windowed rate (C3),
+histogram/quantile (C4/C5), gauge/last (C6), sum/avg (C7), multi-tier
+retention (C8) — are tumbling-window hash aggregations over transcript
+turns, executed by stock Catalyst (partial + final aggregation, whole-stage
+codegen; no UDFs anywhere on this path).
+
+Design for 10^12-turn scale:
+  * every stat kept in the tier tables is **re-aggregable** (count / sum /
+    min / max / sum-of-squares / per-role counts), so the 1h tier is an
+    exact merge of 1m partials and 1d of 1h — the cascade touches raw data
+    exactly once;
+  * bucket = ``date_trunc`` (deterministic tumbling alignment, no window
+    struct shuffle overhead, and ``date_trunc('hour', bucket_1m)`` makes
+    the cascade itself a plain hash agg);
+  * quantiles are not mergeable exactly: ``p90`` of text length is
+    computed per tier **from raw** only where requested
+    (``percentile_approx``, t-digest-style sketch on the JVM side) and is
+    excluded from the cascade invariant (documented deviation, SURVEY.md
+    §7 hard part 2);
+  * optional two-stage *salted* aggregation for hot keys: stage 1 groups
+    by (keys, salt) producing partials, stage 2 merges — the same merge
+    expressions as the tier cascade.  For plain hash aggs Spark's partial
+    aggregation already bounds skew; salting is load-bearing for grouped
+    operations that bypass partial agg (collect-based codec chunking) and
+    is exposed here for parity with the north_rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mq_to_db_spark.config import TIER_SECONDS
+
+#: tier name → date_trunc unit
+_TRUNC_UNIT = {"1m": "minute", "1h": "hour", "1d": "day"}
+
+ROLE_NAMES = ("user", "assistant", "system", "tool")
+
+
+def with_text_stats(df: DataFrame) -> DataFrame:
+    """Project per-turn text measures (JVM-side, codegen'd).
+
+    ``token_count`` = whitespace-token count (0 for empty/blank text) —
+    the cheap tokenizer; see functions.text for the BPE-ish variant.
+    """
+    text_len = F.coalesce(F.length("text"), F.lit(0))
+    trimmed = F.trim(F.col("text"))
+    token_count = F.when(
+        F.col("text").isNull() | (trimmed == ""), F.lit(0)
+    ).otherwise(F.size(F.split(trimmed, r"\s+")))
+    return df.withColumn("text_len", text_len.cast("long")).withColumn(
+        "token_count", token_count.cast("long")
+    )
+
+
+def _partial_aggs() -> list:
+    """Aggregate expressions from raw turns → tier partials."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("text_len").alias("text_len_sum"),
+        F.min("text_len").alias("text_len_min"),
+        F.max("text_len").alias("text_len_max"),
+        F.sum(F.col("text_len") * F.col("text_len")).alias("text_len_sumsq"),
+        F.sum("token_count").alias("token_sum"),
+    ]
+    aggs += [
+        F.count_if(F.col("role") == r).alias(f"n_{r}") for r in ROLE_NAMES
+    ]
+    return aggs
+
+
+def _merge_aggs() -> list:
+    """Merge expressions partials → coarser-tier partials (exact)."""
+    aggs = [
+        F.sum("n_turns").alias("n_turns"),
+        F.sum("text_len_sum").alias("text_len_sum"),
+        F.min("text_len_min").alias("text_len_min"),
+        F.max("text_len_max").alias("text_len_max"),
+        F.sum("text_len_sumsq").alias("text_len_sumsq"),
+        F.sum("token_sum").alias("token_sum"),
+    ]
+    aggs += [F.sum(f"n_{r}").alias(f"n_{r}") for r in ROLE_NAMES]
+    return aggs
+
+
+def bucket_col(tier: str, ts_col: str = "ts"):
+    return F.date_trunc(_TRUNC_UNIT[tier], F.col(ts_col))
+
+
+def rollup_from_raw(
+    df: DataFrame,
+    tier: str,
+    keys: list[str] | None = None,
+    salt_buckets: int = 0,
+    with_p90: bool = False,
+) -> DataFrame:
+    """Tumbling-window rollup of raw turns at ``tier``.
+
+    ``keys`` are extra series dimensions (e.g. ``["conv_id"]`` or
+    ``["tool"]``); bucket column is ``bucket_start``.  With
+    ``salt_buckets > 0`` runs the two-stage salted aggregation.
+    """
+    keys = list(keys or [])
+    prepped = with_text_stats(df).withColumn("bucket_start", bucket_col(tier))
+    group = ["bucket_start", *keys]
+
+    if salt_buckets > 0:
+        salted = prepped.withColumn(
+            "_salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_buckets))
+        )
+        partial = salted.groupBy(*group, "_salt").agg(*_partial_aggs())
+        out = partial.groupBy(*group).agg(*_merge_aggs())
+    else:
+        out = prepped.groupBy(*group).agg(*_partial_aggs())
+
+    if with_p90:
+        # Quantile from raw (not mergeable across tiers) — approx via
+        # JVM-side percentile_approx with tight accuracy.
+        p90 = prepped.groupBy(*group).agg(
+            F.percentile_approx("text_len", 0.9, 10000).alias("text_len_p90")
+        )
+        out = out.join(p90, group, "left")
+    return out
+
+
+def cascade(df_finer: DataFrame, coarser_tier: str, keys: list[str] | None = None) -> DataFrame:
+    """Exact merge of a finer tier's partials into ``coarser_tier``.
+
+    1h = merge(1m), 1d = merge(1h): raw data is read once per cascade
+    chain, the dominant cost at 10^12 turns.
+    """
+    keys = list(keys or [])
+    # Note: text_len_p90 (if present on the finer tier) is intentionally not
+    # merged — quantiles are not exactly mergeable; callers wanting tier
+    # quantiles recompute from raw via rollup_from_raw(..., with_p90=True).
+    return (
+        df_finer.withColumn("bucket_start", bucket_col(coarser_tier, "bucket_start"))
+        .groupBy("bucket_start", *keys)
+        .agg(*_merge_aggs())
+    )
+
+
+def rollup_tiers(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    tiers: tuple[str, ...] = ("1m", "1h", "1d"),
+    salt_buckets: int = 0,
+) -> dict[str, DataFrame]:
+    """Build the full tier cascade: tiers[0] from raw, each next tier from
+    the previous one."""
+    out: dict[str, DataFrame] = {}
+    finer = None
+    for t in tiers:
+        if finer is None:
+            out[t] = rollup_from_raw(df, t, keys, salt_buckets=salt_buckets)
+        else:
+            out[t] = cascade(out[finer], t, keys)
+        finer = t
+    return out
+
+
+def derived_stats(df: DataFrame) -> DataFrame:
+    """Read-time derived columns: avg, population stddev, rate/sec.
+
+    ``turns_per_sec`` is the windowed-rate analogue of the reference
+    dashboard's ``sum(rate(..._messages_total[1m]))``
+    (mq-to-db.json:239) — count over the tier window divided by window
+    seconds.
+    """
+    # try_divide: gap-filled buckets have n_turns = 0 → stats are NULL
+    # (not an ANSI divide-by-zero error).
+    n = F.col("n_turns").cast("double")
+    avg = F.try_divide(F.col("text_len_sum"), n)
+    var = F.try_divide(F.col("text_len_sumsq"), n) - avg * avg
+    # greatest() skips NULLs, so guard: empty buckets keep std NULL.
+    std = F.when(n > 0, F.sqrt(F.greatest(var, F.lit(0.0))))
+    return df.withColumn("text_len_avg", avg).withColumn("text_len_std", std)
+
+
+def with_rate(df: DataFrame, tier: str) -> DataFrame:
+    return df.withColumn(
+        "turns_per_sec", F.col("n_turns") / F.lit(float(TIER_SECONDS[tier]))
+    )
+
+
+def gauge_last(df: DataFrame, tier: str, value_col: str, keys: list[str] | None = None) -> DataFrame:
+    """Gauge/last-value semantics (C6): last observed value per series per
+    bucket — ``max_by(value, ts)``, the analogue of a Prometheus gauge
+    sample at scrape time (metrics.go:86-114)."""
+    keys = list(keys or [])
+    return (
+        df.withColumn("bucket_start", bucket_col(tier))
+        .groupBy("bucket_start", *keys)
+        .agg(F.max_by(value_col, F.struct(F.col("ts"), F.col("turn_idx"))).alias(f"last_{value_col}"))
+    )
+
+
+def fixed_bucket_histogram(
+    df: DataFrame,
+    value_col: str,
+    bucket_edges: list[float],
+    tier: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-bucket histogram (C4): the analogue of the reference's
+    latency HistogramVec with explicit buckets
+    (metrics.go:124-133, buckets {1..10,15}s) — ``width_bucket``-style
+    assignment then a windowed count per bucket.  Cumulative counts (the
+    Prometheus ``_bucket`` le-semantics) derive by a running sum over
+    bucket index at read time."""
+    keys = list(keys or [])
+    edges = sorted(bucket_edges)
+    le = F.lit(None).cast("double")
+    # smallest edge >= value, else +inf bucket
+    expr = F.lit(float("inf"))
+    for e in reversed(edges):
+        expr = F.when(F.col(value_col) <= F.lit(float(e)), F.lit(float(e))).otherwise(expr)
+    return (
+        df.withColumn("bucket_start", bucket_col(tier))
+        .withColumn("le", expr)
+        .groupBy("bucket_start", *keys, "le")
+        .count()
+        .withColumnRenamed("count", "n")
+    )

@@ -1,0 +1,55 @@
+"""SparkSession factory.
+
+Analogue of the reference's EP1 startup (SURVEY.md §3): pool sizing
+(/root/reference/internal/storage/pgsql/pgsql.go:43-45) and worker
+parallelism (config.go:32-33) become Spark core/shuffle sizing.  AQE is
+always on — it is the engine's morsel-style dynamic work distribution
+(main.go:276-280 work-stealing analogue) and its skew-join mitigation.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mq_to_db_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for the rollup workload.
+
+    Defaults: ``local[$SPARK_GRAFT_CPUS or *]``, shuffle partitions =
+    core count (not 200 — avoids tiny-partition overhead in local mode),
+    AQE + skew join on, Arrow on (every pandas UDF crossing is
+    Arrow-batched; no per-row Python anywhere in the engine).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        cpus_str = master[master.index("[") + 1 : -1] if "[" in master else "*"
+        shuffle_partitions = os.cpu_count() if cpus_str == "*" else int(cpus_str)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, str(v))
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,62 @@
+"""Gap-fill vs hand-built expected grids (SURVEY.md §5 point 2, C9)."""
+
+import pandas as pd
+
+from mq_to_db_spark.operators.gapfill import gapfill, gapfill_interpolate_last, time_grid
+from mq_to_db_spark.operators.rollup import rollup_from_raw
+from tests.conftest import assert_pdf_equal
+
+
+def test_grid_is_dense_global(spark, transcripts):
+    r = rollup_from_raw(transcripts, "1h")
+    grid = time_grid(r, "1h").toPandas()
+    lo, hi = grid.bucket_start.min(), grid.bucket_start.max()
+    want = pd.date_range(lo, hi, freq="h")
+    assert len(grid) == len(want)
+    assert set(grid.bucket_start) == set(want)
+
+
+def test_gapfill_zero_policy_fills_dead_hours(spark, transcripts, transcripts_pdf):
+    r = rollup_from_raw(transcripts, "1h")
+    filled = gapfill(r, "1h").toPandas()
+    # the generator's dead hours (03-05 UTC) must now exist with n_turns=0
+    dead = filled[filled.bucket_start.dt.hour.isin([3, 4, 5])]
+    assert len(dead) > 0
+    assert (dead.n_turns == 0).all()
+    assert dead.text_len_min.isna().all()  # stats stay null under "zero"
+    # observed buckets unchanged
+    obs = filled[filled.n_turns > 0]
+    assert_pdf_equal(
+        obs[r.columns].reset_index(drop=True), r.toPandas(), ["bucket_start"]
+    )
+    # fully dense
+    want = pd.date_range(filled.bucket_start.min(), filled.bucket_start.max(), freq="h")
+    assert len(filled) == len(want)
+
+
+def test_gapfill_per_series(spark, transcripts):
+    r = rollup_from_raw(transcripts, "1d", ["conv_id"])
+    filled = gapfill(r, "1d", ["conv_id"], global_extent=True).toPandas()
+    n_series = filled.conv_id.nunique()
+    n_buckets = filled.bucket_start.nunique()
+    assert len(filled) == n_series * n_buckets  # dense cross grid
+    assert (filled.groupby("conv_id").size() == n_buckets).all()
+
+
+def test_gapfill_null_policy(spark, transcripts):
+    r = rollup_from_raw(transcripts, "1h")
+    filled = gapfill(r, "1h", policy="null").toPandas()
+    dead = filled[filled.bucket_start.dt.hour.isin([3, 4, 5])]
+    assert dead.n_turns.isna().all()
+
+
+def test_gapfill_locf(spark, transcripts):
+    r = rollup_from_raw(transcripts, "1h")
+    filled = gapfill_interpolate_last(r, "1h", "n_turns").toPandas().sort_values("bucket_start")
+    # after the first observed bucket, n_turns is never null (carried)
+    first = filled[filled.n_turns.notna()].bucket_start.min()
+    after = filled[filled.bucket_start >= first]
+    assert after.n_turns.notna().all()
+    # carried value equals the previous observed bucket's value
+    dead = after[after.bucket_start.dt.hour == 4]
+    assert len(dead) > 0

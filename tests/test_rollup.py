@@ -1,0 +1,131 @@
+"""Rollup operators vs pure-pandas oracles (SURVEY.md §5 point 2).
+
+Every rolled-up point per tier must match the oracle exactly (the
+north_rule correctness clause) — tested per series dimension (global,
+per-conv, per-tool) and through the 1m→1h→1d cascade.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mq_to_db_spark.operators.rollup import (
+    cascade,
+    derived_stats,
+    fixed_bucket_histogram,
+    gauge_last,
+    rollup_from_raw,
+    rollup_tiers,
+    with_rate,
+)
+from tests.conftest import assert_pdf_equal
+
+_FREQ = {"1m": "min", "1h": "h", "1d": "D"}
+
+
+def _oracle(pdf: pd.DataFrame, tier: str, keys: list[str]) -> pd.DataFrame:
+    p = pdf.copy()
+    p["text_len"] = p["text"].str.len().fillna(0).astype("int64")
+    p["token_count"] = (
+        p["text"].str.strip().replace("", None).str.split(r"\s+").str.len().fillna(0).astype("int64")
+    )
+    p["bucket_start"] = p["ts"].dt.floor(_FREQ[tier])
+    group = ["bucket_start", *keys]
+    g = p.groupby(group, dropna=False)
+    out = g.agg(
+        n_turns=("text_len", "size"),
+        text_len_sum=("text_len", "sum"),
+        text_len_min=("text_len", "min"),
+        text_len_max=("text_len", "max"),
+        token_sum=("token_count", "sum"),
+    )
+    out["text_len_sumsq"] = g.apply(lambda x: (x["text_len"] ** 2).sum())
+    for r in ("user", "assistant", "system", "tool"):
+        out[f"n_{r}"] = g.apply(lambda x, r=r: (x["role"] == r).sum())
+    return out.reset_index()
+
+
+@pytest.mark.parametrize("tier", ["1m", "1h", "1d"])
+@pytest.mark.parametrize("keys", [[], ["conv_id"]])
+def test_rollup_from_raw_matches_oracle(spark, transcripts, transcripts_pdf, tier, keys):
+    got = rollup_from_raw(transcripts, tier, keys).toPandas()
+    want = _oracle(transcripts_pdf, tier, keys)
+    assert_pdf_equal(got, want, ["bucket_start", *keys])
+
+
+def test_rollup_per_tool(spark, transcripts, transcripts_pdf):
+    got = rollup_from_raw(transcripts.filter("tool is not null"), "1h", ["tool"]).toPandas()
+    want = _oracle(transcripts_pdf[transcripts_pdf.tool.notna()], "1h", ["tool"])
+    assert_pdf_equal(got, want, ["bucket_start", "tool"])
+
+
+def test_salted_equals_unsalted(spark, transcripts):
+    plain = rollup_from_raw(transcripts, "1m", ["conv_id"]).toPandas()
+    salted = rollup_from_raw(transcripts, "1m", ["conv_id"], salt_buckets=8).toPandas()
+    assert_pdf_equal(salted, plain, ["bucket_start", "conv_id"])
+
+
+@pytest.mark.parametrize("keys", [[], ["conv_id"]])
+def test_cascade_exact(spark, transcripts, transcripts_pdf, keys):
+    """1h from 1m partials == 1h from raw; 1d likewise (C8 exactness)."""
+    tiers = rollup_tiers(transcripts, keys)
+    for tier in ("1h", "1d"):
+        got = tiers[tier].toPandas()
+        want = _oracle(transcripts_pdf, tier, keys)
+        assert_pdf_equal(got, want, ["bucket_start", *keys])
+
+
+def test_derived_stats_and_rate(spark, transcripts, transcripts_pdf):
+    r = with_rate(derived_stats(rollup_from_raw(transcripts, "1m")), "1m").toPandas()
+    o = _oracle(transcripts_pdf, "1m", [])
+    o["text_len_avg"] = o.text_len_sum / o.n_turns
+    o["text_len_std"] = np.sqrt(np.maximum(o.text_len_sumsq / o.n_turns - o.text_len_avg**2, 0))
+    o["turns_per_sec"] = o.n_turns / 60.0
+    assert_pdf_equal(r, o, ["bucket_start"])
+
+
+def test_p90_close_to_exact(spark, transcripts, transcripts_pdf):
+    got = rollup_from_raw(transcripts, "1d", with_p90=True).toPandas()
+    p = transcripts_pdf.copy()
+    p["text_len"] = p["text"].str.len().fillna(0)
+    p["bucket_start"] = p["ts"].dt.floor("D")
+    # percentile_approx with accuracy 10000 returns an element of the data
+    # (nearest-rank); assert it is within one rank of the exact quantile.
+    for _, row in got.iterrows():
+        vals = np.sort(p.loc[p.bucket_start == row.bucket_start, "text_len"].values)
+        rank = np.searchsorted(vals, row.text_len_p90)
+        exact_rank = 0.9 * (len(vals) - 1)
+        assert abs(rank - exact_rank) <= max(2, 0.01 * len(vals))
+
+
+def test_gauge_last(spark, transcripts, transcripts_pdf):
+    got = gauge_last(transcripts, "1h", "turn_idx", ["conv_id"]).toPandas()
+    p = transcripts_pdf.copy()
+    p["bucket_start"] = p["ts"].dt.floor("h")
+    want = (
+        p.sort_values(["ts", "turn_idx"])
+        .groupby(["bucket_start", "conv_id"], dropna=False)
+        .agg(last_turn_idx=("turn_idx", "last"))
+        .reset_index()
+    )
+    assert_pdf_equal(got, want, ["bucket_start", "conv_id"])
+
+
+def test_fixed_bucket_histogram(spark, transcripts, transcripts_pdf):
+    from mq_to_db_spark.operators.rollup import with_text_stats
+
+    edges = [10.0, 50.0, 100.0, 500.0]
+    got = fixed_bucket_histogram(
+        with_text_stats(transcripts), "text_len", edges, "1d"
+    ).toPandas()
+    p = transcripts_pdf.copy()
+    p["text_len"] = p["text"].str.len().fillna(0)
+    p["bucket_start"] = p["ts"].dt.floor("D")
+    p["le"] = np.where(
+        p.text_len <= 10, 10.0,
+        np.where(p.text_len <= 50, 50.0,
+                 np.where(p.text_len <= 100, 100.0,
+                          np.where(p.text_len <= 500, 500.0, np.inf))),
+    )
+    want = p.groupby(["bucket_start", "le"]).size().rename("n").reset_index()
+    assert_pdf_equal(got, want, ["bucket_start", "le"])
