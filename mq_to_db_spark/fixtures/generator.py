@@ -138,7 +138,9 @@ def inject_dirty_rows(pdf: pd.DataFrame, seed: int = 7) -> pd.DataFrame:
             "role": ["user", "assistant", "user", "user", "oracle", "user"],
             "text": pd.array(["x", "y", "z", "w", "v", "dup"], dtype="string"),
             "tool": pd.array([None] * 6, dtype="string"),
-            "ts": [base_ts, base_ts, base_ts, None, base_ts, base_ts],
+            # the duplicate-key row is a *later* redelivery (ts + 1s) so
+            # first-delivery-wins dedup is deterministic
+            "ts": [base_ts, base_ts, base_ts, None, base_ts, base_ts + pd.Timedelta(seconds=1)],
         }
     )
     out = pd.concat([pdf, bad], ignore_index=True)

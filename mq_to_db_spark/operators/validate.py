@@ -48,7 +48,11 @@ def with_reject_reason(df: DataFrame, check_duplicates: bool = True) -> DataFram
         # Redelivery dedup on the natural key: keep the first delivery
         # (ordered by ts, then arrival order), reject the rest.  Only
         # rows passing the cheap checks participate in the shuffle.
-        w = W.partitionBy("conv_id", "turn_idx").orderBy(F.col("ts").asc_nulls_last())
+        # tie-break on (text, role) so equal-ts redeliveries dedup
+        # deterministically (identical copies → either is correct).
+        w = W.partitionBy("conv_id", "turn_idx").orderBy(
+            F.col("ts").asc_nulls_last(), F.col("text").asc_nulls_last(), F.col("role")
+        )
         out = out.withColumn(
             "_rn", F.when(F.col("reason").isNull(), F.row_number().over(w))
         ).withColumn(

@@ -1,0 +1,300 @@
+"""RollupPipeline — the engine's end-to-end job (SURVEY.md §3 EP2 analogue).
+
+One batch run =
+    read input → validate/side-output rejects → per-unit rollup cascade
+    (1m→1h→1d; global / per-conv / per-tool dimensions) → partition-
+    overwrite commit of every tier table → dead-letter append → lineage
+    append → checkpoint markers.
+
+Delivery semantics (the reference's ack/reject loop re-expressed, SURVEY.md
+§1.3): the unit of work is a logical partition ``(conv_bucket, date)`` —
+``conv_bucket = pmod(xxhash64(conv_id), B)`` is the Iceberg
+``bucket(conv_id)`` analogue, ``date`` the ``days(ts)`` range partition.
+A unit's checkpoint marker is written only **after** all tier commits for
+the batch succeed (ack-after-durable-store, messages.go:131-148).  A rerun
+after a crash reprocesses exactly the unmarked units; because tier writes
+are partition overwrites keyed by the same unit, replays are idempotent —
+at-least-once reprocessing + idempotent sink = effectively-once, the same
+contract the reference gets from manual ack + DLX.
+
+Scale notes (10^12 turns):
+  * every tier table is *partitioned by (date, conv_bucket)* and stores
+    **partials within the unit**; dimensions whose grain crosses units
+    (global, per-tool) are finalized by a cheap re-aggregation at read
+    time over tier-sized (not raw-sized) data — the classic partial/final
+    split, so raw data is scanned exactly once per batch;
+  * the rollup shuffle is preceded by an explicit repartition on
+    (conv_bucket, date) so all dimensions of a unit aggregate from a
+    co-located partition, and AQE handles residual skew;
+  * filters on committed units are pushed into the scan
+    (conv_bucket/date derive from input columns via deterministic
+    expressions, so Catalyst prunes at the parquet level when the input
+    is physically partitioned the same way).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mq_to_db_spark.config import EngineConfig
+from mq_to_db_spark.operators.gapfill import gapfill
+from mq_to_db_spark.operators.rollup import (
+    ROLE_NAMES,
+    _merge_aggs,
+    _partial_aggs,
+    bucket_col,
+    with_text_stats,
+)
+from mq_to_db_spark.operators.validate import with_reject_reason
+from mq_to_db_spark.sources.tableio import TableIO
+
+#: rollup dimensions materialized by the pipeline: name → series key cols
+DIMENSIONS: dict[str, list[str]] = {
+    "global": [],
+    "conv": ["conv_id"],
+    "tool": ["tool"],
+}
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_id", T.StringType()),
+        T.StructField("partition_id", T.StringType()),
+        T.StructField("conv_bucket", T.IntegerType()),
+        T.StructField("date", T.DateType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("n_in", T.LongType()),
+        T.StructField("n_ok", T.LongType()),
+        T.StructField("n_rejected", T.LongType()),
+        T.StructField("committed_at", T.TimestampType()),
+    ]
+)
+
+
+@dataclass
+class BatchReport:
+    """Per-batch metrics — the analogue of the reference's Prometheus
+    counter families (messages_total / ack / rejected,
+    internal/metrics/metrics.go:136-183) plus wall-clock."""
+
+    batch_id: str
+    n_units_total: int = 0
+    n_units_skipped: int = 0
+    n_in: int = 0
+    n_ok: int = 0
+    n_rejected: int = 0
+    points_written: dict = field(default_factory=dict)
+    seconds: float = 0.0
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, default=str)
+
+
+def unit_cols(df: DataFrame, conv_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "conv_bucket",
+        F.pmod(F.xxhash64("conv_id"), F.lit(conv_buckets)).cast("int"),
+    ).withColumn("date", F.to_date("ts"))
+
+
+class RollupPipeline:
+    def __init__(self, work_dir: str, cfg: EngineConfig | None = None):
+        self.work_dir = work_dir
+        self.cfg = cfg or EngineConfig()
+        self.ckpt_dir = os.path.join(work_dir, "_checkpoints")
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        part = ["date", "conv_bucket"]
+        self.tables: dict[str, TableIO] = {}
+        for dim in DIMENSIONS:
+            for tier in self.cfg.tiers:
+                name = f"rollup_{dim}_{tier}"
+                self.tables[name] = TableIO(os.path.join(work_dir, name), part)
+        self.dead_letter = TableIO(os.path.join(work_dir, "dead_letter"))
+        self.lineage = TableIO(os.path.join(work_dir, "lineage"))
+
+    # -- checkpoint markers ---------------------------------------------------
+
+    def _marker_path(self, conv_bucket: int, date: str) -> str:
+        return os.path.join(self.ckpt_dir, f"{date}_b{conv_bucket:04d}.json")
+
+    def committed_units(self) -> set[tuple[int, str]]:
+        out = set()
+        for fn in os.listdir(self.ckpt_dir):
+            if fn.endswith(".json"):
+                date, b = fn[:-5].rsplit("_b", 1)
+                out.add((int(b), date))
+        return out
+
+    def _write_marker(self, conv_bucket: int, date: str, batch_id: str, stats: dict):
+        p = self._marker_path(conv_bucket, date)
+        tmp = p + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "committed_at": time.time(), **stats}, f)
+        os.replace(tmp, p)
+
+    # -- the batch job --------------------------------------------------------
+
+    def run(
+        self,
+        spark: SparkSession,
+        input_df: DataFrame,
+        batch_id: str | None = None,
+        fail_after_commit_of: str | None = None,
+    ) -> BatchReport:
+        """Process one delivery batch.  ``fail_after_commit_of`` is a test
+        hook: raise after committing the named tier table (simulates the
+        crash-between-commit-and-ack window the resume test needs)."""
+        t0 = time.time()
+        batch_id = batch_id or uuid.uuid4().hex[:12]
+        cfg = self.cfg
+        report = BatchReport(batch_id=batch_id)
+
+        tagged = unit_cols(with_reject_reason(input_df), cfg.conv_buckets)
+
+        # -- which units does this batch carry, and which are already done?
+        units_df = tagged.groupBy("conv_bucket", "date").agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.count_if(F.col("reason").isNotNull()).alias("n_rejected"),
+        )
+        units = {
+            (r.conv_bucket, str(r.date)): (r.n_in, r.n_rejected)
+            for r in units_df.collect()
+            if r.conv_bucket is not None and r.date is not None
+        }
+        # rows whose unit cols are null (invalid rows) still go to the
+        # dead letter; they belong to a synthetic unit.
+        committed = self.committed_units()
+        todo = {u for u in units if u not in committed}
+        report.n_units_total = len(units)
+        report.n_units_skipped = len(units) - len(todo)
+
+        if not todo:
+            report.seconds = time.time() - t0
+            return report
+
+        todo_df = spark.createDataFrame(
+            [(b, d) for b, d in sorted(todo)], schema="conv_bucket int, date string"
+        ).withColumn("date", F.to_date("date"))
+        # broadcast semi-join prunes committed units before any shuffle
+        pending = tagged.join(F.broadcast(todo_df), ["conv_bucket", "date"], "left_semi")
+
+        # Rows whose unit cols are null (null conv_id / null ts) never match
+        # the semi-join; they belong to no unit but must still reach the
+        # dead letter (at-least-once DLX — reruns may re-append them, as
+        # broker redelivery would).
+        unitless = tagged.filter(F.col("conv_bucket").isNull() | F.col("date").isNull())
+        rejected = pending.filter(F.col("reason").isNotNull()).unionByName(unitless)
+        valid = pending.filter(F.col("reason").isNull()).drop("reason")
+
+        # co-locate each unit once; every dimension's rollup then shuffles
+        # tier-sized data only.  Salt via turn_idx spreads a hot
+        # (bucket, date) across tasks; partial aggs re-merge below.
+        valid = valid.repartition(cfg.shuffle_partitions, "conv_bucket", "date").cache()
+        prepped = with_text_stats(valid)
+
+        points = {}
+        for dim, keys in DIMENSIONS.items():
+            base = prepped if dim != "tool" else prepped.filter(F.col("tool").isNotNull())
+            finer: DataFrame | None = None
+            for tier in cfg.tiers:
+                if finer is None:
+                    cur = (
+                        base.withColumn("bucket_start", bucket_col(tier))
+                        .groupBy("conv_bucket", "date", "bucket_start", *keys)
+                        .agg(*_partial_aggs())
+                    )
+                else:
+                    cur = (
+                        finer.withColumn("bucket_start", bucket_col(tier, "bucket_start"))
+                        .groupBy("conv_bucket", "date", "bucket_start", *keys)
+                        .agg(*_merge_aggs())
+                    )
+                name = f"rollup_{dim}_{tier}"
+                snap = self.tables[name].overwrite_partitions(
+                    cur, summary={"batch_id": batch_id}
+                )
+                points[name] = len(snap.added_files)  # files committed
+                finer = cur
+                if fail_after_commit_of == name:
+                    raise RuntimeError(f"injected failure after commit of {name}")
+
+        # dead letter (append — replays may duplicate rejects for units that
+        # never reached the marker; dedup at read on (conv_id, turn_idx,
+        # reason, batch) is the consumer's job, mirroring at-least-once DLX)
+        n_rej = rejected.count()
+        if n_rej:
+            self.dead_letter.append(
+                rejected.withColumn("batch_id", F.lit(batch_id)),
+                summary={"batch_id": batch_id},
+            )
+
+        # lineage + markers — ack happens only now, after every commit.
+        now = time.time()
+        committed_ts = dt.datetime.fromtimestamp(now, dt.timezone.utc).replace(tzinfo=None)
+        lineage_rows = [
+            (
+                batch_id,
+                f"{d}_b{b:04d}",
+                b,
+                dt.date.fromisoformat(d),
+                "committed",
+                int(units[(b, d)][0]),
+                int(units[(b, d)][0] - units[(b, d)][1]),
+                int(units[(b, d)][1]),
+                committed_ts,
+            )
+            for b, d in sorted(todo)
+        ]
+        self.lineage.append(
+            spark.createDataFrame(lineage_rows, schema=LINEAGE_SCHEMA),
+            summary={"batch_id": batch_id},
+        )
+        for b, d in sorted(todo):
+            n_in, n_r = units[(b, d)]
+            self._write_marker(b, d, batch_id, {"n_in": int(n_in), "n_rejected": int(n_r)})
+
+        report.n_in = int(sum(units[u][0] for u in todo))
+        report.n_rejected = int(sum(units[u][1] for u in todo))
+        report.n_ok = report.n_in - report.n_rejected
+        report.points_written = points
+        report.seconds = time.time() - t0
+        valid.unpersist()
+        return report
+
+    # -- read-side finalization ----------------------------------------------
+
+    def read_rollup(
+        self,
+        spark: SparkSession,
+        dim: str,
+        tier: str,
+        gap_filled: bool = False,
+    ) -> DataFrame:
+        """Final (cross-unit merged) rollup for a dimension/tier.
+
+        The stored table holds per-unit partials; the final merge groups
+        by (bucket_start, keys) over tier-sized data.  For dim="conv" the
+        merge is a near-no-op (a conversation lives in one conv_bucket,
+        but a 1h/1d bucket can span two dates only at day boundaries —
+        still merged here for exactness)."""
+        keys = DIMENSIONS[dim]
+        tbl = self.tables[f"rollup_{dim}_{tier}"]
+        df = tbl.read(spark)
+        final = df.groupBy("bucket_start", *keys).agg(*_merge_aggs())
+        if gap_filled:
+            final = gapfill(final, tier, keys, policy=self.cfg.gapfill_policy)
+        return final
+
+    def read_dead_letter(self, spark: SparkSession) -> DataFrame:
+        return self.dead_letter.read(spark)
+
+    def read_lineage(self, spark: SparkSession) -> DataFrame:
+        return self.lineage.read(spark, schema=LINEAGE_SCHEMA)

@@ -1,0 +1,208 @@
+"""TableIO — atomic-commit, snapshot-versioned Parquet tables.
+
+The runtime has no Iceberg jar (SURVEY.md §7), so this is a thin seam
+emulating the Iceberg semantics the engine's design depends on:
+
+  * **atomic snapshot commit** — a commit is the atomic replacement of the
+    ``_current`` version pointer (``os.replace``), after all data files are
+    fully written; readers never observe a half-written table.  This is
+    the engine's "broker ack": the reference acknowledges a message only
+    after the store succeeds
+    (/root/reference/internal/repository/messages.go:131-148); here a
+    snapshot exists only after its files do.
+  * **snapshot-range incremental reads** — each manifest records the files
+    *added* by that snapshot, so ``read_incremental(from, to)`` scans only
+    the delta (the AMQP prefetch-window / delivery-batch analogue,
+    rmq.go:120-124).
+  * **partition overwrite (MERGE-style idempotent upsert)** — a commit may
+    atomically replace all files of a set of logical partitions; replaying
+    the same batch yields byte-identical table state (effectively-once on
+    top of at-least-once reruns).
+
+On a real cluster this class is swapped for Iceberg's
+``df.writeTo(tbl).overwritePartitions()`` / snapshot-range reads; the
+pipeline only touches this interface.  File moves use ``os.replace``
+within one filesystem — on object storage the same scheme works with
+copy+manifest (the manifest, not the directory listing, defines the
+table, exactly as Iceberg does).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    version: int
+    snapshot_id: str
+    parent_id: str | None
+    committed_at: float
+    operation: str
+    added_files: list[str]
+    removed_files: list[str]
+    all_files: list[str]
+    summary: dict
+
+
+class TableIO:
+    """One versioned table rooted at ``path``."""
+
+    def __init__(self, path: str, partition_cols: list[str] | None = None):
+        self.path = path
+        self.partition_cols = list(partition_cols or [])
+        self.data_dir = os.path.join(path, "data")
+        self.manifest_dir = os.path.join(path, "_manifests")
+        self.current_ptr = os.path.join(path, "_current")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- snapshot bookkeeping -------------------------------------------------
+
+    def current_version(self) -> int:
+        if not os.path.exists(self.current_ptr):
+            return 0
+        with open(self.current_ptr) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, version: int | None = None) -> Snapshot | None:
+        v = self.current_version() if version is None else version
+        if v == 0:
+            return None
+        with open(os.path.join(self.manifest_dir, f"v{v:08d}.json")) as f:
+            return Snapshot(**json.load(f))
+
+    def exists(self) -> bool:
+        return self.current_version() > 0
+
+    # -- write paths ----------------------------------------------------------
+
+    def _stage(self, df: DataFrame) -> tuple[str, list[str]]:
+        """Write df to a staging dir; return (staging_root, relative files)."""
+        stage = os.path.join(self.path, "_staging", uuid.uuid4().hex)
+        writer = df.write.mode("overwrite")
+        if self.partition_cols:
+            writer = writer.partitionBy(*self.partition_cols)
+        writer.parquet(stage)
+        rels = []
+        for root, _dirs, files in os.walk(stage):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    rels.append(os.path.relpath(os.path.join(root, fn), stage))
+        return stage, rels
+
+    def _publish(self, stage: str, rels: list[str], prefix: str) -> list[str]:
+        """Move staged files into data/ under a unique prefix; return new
+        relative paths (relative to data/)."""
+        out = []
+        for rel in rels:
+            # keep partition dirs (they encode partition values), uniquify
+            # the leaf name so concurrent/replayed commits never collide.
+            d, leaf = os.path.split(rel)
+            new_rel = os.path.join(d, f"{prefix}-{leaf}")
+            dst = os.path.join(self.data_dir, new_rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(os.path.join(stage, rel), dst)
+            out.append(new_rel)
+        shutil.rmtree(stage, ignore_errors=True)
+        return out
+
+    def _commit(self, operation: str, added: list[str], removed: list[str], summary: dict) -> Snapshot:
+        parent = self.snapshot()
+        prev_files = parent.all_files if parent else []
+        removed_set = set(removed)
+        all_files = [f for f in prev_files if f not in removed_set] + added
+        v = (parent.version if parent else 0) + 1
+        snap = Snapshot(
+            version=v,
+            snapshot_id=uuid.uuid4().hex,
+            parent_id=parent.snapshot_id if parent else None,
+            committed_at=time.time(),
+            operation=operation,
+            added_files=added,
+            removed_files=removed,
+            all_files=all_files,
+            summary=summary,
+        )
+        manifest = os.path.join(self.manifest_dir, f"v{v:08d}.json")
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap.__dict__, f)
+        os.replace(tmp, manifest)
+        # the atomic commit point:
+        tmp_ptr = self.current_ptr + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp_ptr, "w") as f:
+            f.write(str(v))
+        os.replace(tmp_ptr, self.current_ptr)
+        return snap
+
+    def append(self, df: DataFrame, summary: dict | None = None) -> Snapshot:
+        stage, rels = self._stage(df)
+        added = self._publish(stage, rels, uuid.uuid4().hex[:8])
+        return self._commit("append", added, [], summary or {})
+
+    def overwrite_partitions(self, df: DataFrame, summary: dict | None = None) -> Snapshot:
+        """Dynamic partition overwrite: atomically replace every logical
+        partition present in ``df`` (Iceberg ``overwritePartitions``).
+        Requires ``partition_cols``."""
+        if not self.partition_cols:
+            raise ValueError("overwrite_partitions requires partition_cols")
+        stage, rels = self._stage(df)
+        touched = {os.path.dirname(r) for r in rels}
+        prev = self.snapshot()
+        removed = (
+            [f for f in prev.all_files if os.path.dirname(f) in touched] if prev else []
+        )
+        added = self._publish(stage, rels, uuid.uuid4().hex[:8])
+        return self._commit("overwrite_partitions", added, removed, summary or {})
+
+    def overwrite_all(self, df: DataFrame, summary: dict | None = None) -> Snapshot:
+        stage, rels = self._stage(df)
+        prev = self.snapshot()
+        removed = list(prev.all_files) if prev else []
+        added = self._publish(stage, rels, uuid.uuid4().hex[:8])
+        return self._commit("overwrite_all", added, removed, summary or {})
+
+    # -- read paths -----------------------------------------------------------
+
+    def _read_files(self, spark: SparkSession, files: list[str], schema=None) -> DataFrame:
+        if not files:
+            if schema is None:
+                raise ValueError("empty table and no schema given")
+            return spark.createDataFrame([], schema=schema)
+        paths = [os.path.join(self.data_dir, f) for f in files]
+        reader = spark.read.option("basePath", self.data_dir)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(*paths)
+
+    def read(self, spark: SparkSession, version: int | None = None, schema=None) -> DataFrame:
+        """Scan the table at a snapshot (default: current).  Partition
+        columns come back as real columns (hive-style dirs + basePath) so
+        partition pruning works on them."""
+        snap = self.snapshot(version)
+        return self._read_files(spark, snap.all_files if snap else [], schema=schema)
+
+    def read_incremental(
+        self, spark: SparkSession, from_version: int, to_version: int | None = None, schema=None
+    ) -> DataFrame:
+        """Files *added* in (from_version, to_version] — the delivery-batch
+        read.  Note: only valid across append snapshots (like Iceberg's
+        incremental scan)."""
+        to_v = self.current_version() if to_version is None else to_version
+        files: list[str] = []
+        for v in range(from_version + 1, to_v + 1):
+            snap = self.snapshot(v)
+            if snap.operation != "append":
+                raise ValueError(
+                    f"incremental read across non-append snapshot v{v} ({snap.operation})"
+                )
+            files.extend(snap.added_files)
+        return self._read_files(spark, files, schema=schema)
