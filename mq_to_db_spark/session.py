@@ -34,8 +34,17 @@ def get_spark(
         cpus_str = master[master.index("[") + 1 : -1] if "[" in master else "*"
         shuffle_partitions = os.cpu_count() if cpus_str == "*" else int(cpus_str)
 
+    # Ship the package to executor Python workers — the local-mode analogue
+    # of `spark-submit --py-files mq_to_db_spark.zip` (north_rule): without
+    # it, pandas-UDF workers can't unpickle functions defined in this
+    # package when the driver script lives elsewhere.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env_pp = os.environ.get("PYTHONPATH", "")
+    worker_pp = f"{pkg_root}:{env_pp}" if env_pp else pkg_root
+
     builder = (
         SparkSession.builder.master(master)
+        .config("spark.executorEnv.PYTHONPATH", worker_pp)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,128 @@
+"""Pure-numpy codec round-trip tests — property-based (hypothesis) plus the
+edge-case table the reference's golden tests model (SURVEY.md §5 point 1):
+constant series, single point, empty, NaN/Inf/-0.0, non-ASCII, nulls."""
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mq_to_db_spark.functions.codec import (
+    decode_dict,
+    decode_strings,
+    decode_ts,
+    decode_xor,
+    encode_dict,
+    encode_strings,
+    encode_ts,
+    encode_xor,
+)
+
+# -- timestamps ---------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "ts",
+    [
+        [],
+        [0],
+        [5, 5],
+        [0, 60, 120, 180],  # constant delta → dod 0
+        [0, 1, 100, 101, 10**15],
+        list(range(0, 10_000_000, 60)),
+    ],
+)
+def test_ts_roundtrip_cases(ts):
+    a = np.array(ts, dtype=np.int64)
+    assert np.array_equal(decode_ts(encode_ts(a)), a)
+
+
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_ts_roundtrip_property(xs):
+    a = np.array(xs, dtype=np.int64)
+    assert np.array_equal(decode_ts(encode_ts(a)), a)
+
+
+def test_ts_compression_ratio_regular_series():
+    # 1 Hz series with small jitter — the Gorilla sweet spot.
+    rng = np.random.default_rng(0)
+    ts = (np.arange(100_000) * 1_000_000 + rng.integers(-100, 100, 100_000)).astype(np.int64)
+    blob = encode_ts(ts)
+    ratio = (len(ts) * 8) / len(blob)
+    assert ratio > 3.0  # raw 8 B/point → ~2.1 B/point (ctrl+2-byte dod)
+
+
+# -- floats -------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "vals",
+    [
+        [],
+        [3.14],
+        [1.0, 1.0, 1.0],
+        [0.0, -0.0, float("nan"), float("inf"), -float("inf")],
+        [1e-300, 1e300, -1e-300],
+    ],
+)
+def test_xor_roundtrip_cases(vals):
+    a = np.array(vals, dtype=np.float64)
+    out = decode_xor(encode_xor(a))
+    assert a.view(np.uint64).tolist() == out.view(np.uint64).tolist()  # bit-exact
+
+
+@given(st.lists(st.floats(allow_nan=True, allow_infinity=True, width=64), max_size=300))
+@settings(max_examples=200, deadline=None)
+def test_xor_roundtrip_property(xs):
+    a = np.array(xs, dtype=np.float64)
+    out = decode_xor(encode_xor(a))
+    assert np.array_equal(a.view(np.uint64), out.view(np.uint64))
+
+
+def test_xor_compression_ratio():
+    # integer-valued doubles (text lengths, counts) — the engine's actual
+    # value series; XOR leaves few significant bytes.
+    rng = np.random.default_rng(1)
+    counts = rng.integers(0, 500, 50_000).astype(np.float64)
+    assert (len(counts) * 8) / len(encode_xor(counts)) > 1.8
+    # noisy continuous gauge: byte-aligned XOR still beats raw, modestly.
+    v = np.cumsum(rng.normal(0, 0.5, 50_000)) + 1000.0
+    assert (len(v) * 8) / len(encode_xor(v)) > 1.05
+
+
+# -- strings ------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "texts",
+    [
+        [],
+        [""],
+        [None],
+        ["hello", None, "", "日本語テキスト", "naïve 🚀", "a" * 10_000],
+    ],
+)
+def test_strings_roundtrip_cases(texts):
+    assert decode_strings(encode_strings(texts)) == texts
+
+
+@given(st.lists(st.one_of(st.none(), st.text(max_size=200)), max_size=100))
+@settings(max_examples=100, deadline=None)
+def test_strings_roundtrip_property(texts):
+    assert decode_strings(encode_strings(texts)) == texts
+
+
+# -- dictionary ---------------------------------------------------------------
+
+
+def test_dict_roundtrip():
+    vals = ["user", "assistant", None, "tool", "user", None, "assistant"] * 10
+    assert decode_dict(encode_dict(vals)) == vals
+
+
+def test_dict_overflow():
+    with pytest.raises(ValueError, match="<255"):
+        encode_dict([str(i) for i in range(300)])
