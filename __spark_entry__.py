@@ -1,38 +1,574 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises an implemented operator from
+SURVEY.md §2 (rollup tiers C1-C8, gap-fill C9, codec C10, validate/reject
+A6/A10, plus the training-data operators: dedup, text analysis,
+similarity search) against the driver's parquet tables, with a DuckDB
+oracle in ``oracle_sql()`` wherever the semantics are ANSI-SQL
+expressible.  Column names/aliases match pairwise (the driver hashes
+values under sorted column names).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+# documents normalization shared by dedup/text queries (must match the
+# DuckDB expression textually embedded in the oracles below)
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapter: the events table in the engine's transcript shape
+    (FIXTURES.md §3 mapping) + the float value series for the codec."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts"),
+        F.col("value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# rollup tier family (SURVEY §2 C1-C8) over events
+# --------------------------------------------------------------------------
+
+
+def q_rollup_1m_counts(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("minute", "ts").alias("bucket_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def q_rollup_1h_value_stats(spark, sf_dir):
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+            F.round(F.avg("value"), 6).alias("value_avg"),
+        )
+    )
+
+
+def q_rollup_1d_cascade(spark, sf_dir):
+    """1d tier computed by cascading 1h partials (the engine's exact
+    re-aggregable merge, rollup.cascade) — oracle computes 1d directly
+    from raw; equality proves cascade exactness."""
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+    )
+    return (
+        hourly.groupBy(F.date_trunc("day", "h").alias("bucket_start"), "event_type")
+        .agg(F.sum("n").alias("n_events"), F.round(F.sum("s"), 6).alias("value_sum"))
+    )
+
+
+def q_role_mix_1h(spark, sf_dir):
+    """Pivot counts per category — the role-mix analogue (C2)."""
+    aggs = [
+        F.count_if(F.col("event_type") == t).alias(f"n_{t}") for t in _EVENT_TYPES
+    ]
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"), *aggs)
+    )
+
+
+def q_rate_1m(spark, sf_dir):
+    """Windowed rate (C3): events/sec per 1m bucket — the dashboard's
+    sum(rate(...[1m])) analogue."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("minute", "ts").alias("bucket_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("events_per_sec", F.round(F.col("n_events") / 60.0, 6))
+    )
+
+
+def q_percentile_1h(spark, sf_dir):
+    """Exact interpolated quantiles per window (C5)."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket_start"))
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        )
+    )
+
+
+def q_gauge_last_1h(spark, sf_dir):
+    """Gauge/last-value per user per hour (C6)."""
+    from mq_to_db_spark.operators.rollup import gauge_last
+
+    out = gauge_last(
+        _events(spark, sf_dir), "1h", "value", keys=["user_id"], ts_col="ts",
+        order_cols=["ts", "event_id"],
+    )
+    return out.withColumnRenamed("last_value", "last_value")
+
+
+def q_histogram_1d(spark, sf_dir):
+    """Fixed-bucket histogram (C4) with string bucket labels (avoids
+    inf-literal formatting differences across engines)."""
+    c = F.col("value")
+    label = (
+        F.when(c <= 1.0, "le_1")
+        .when(c <= 5.0, "le_5")
+        .when(c <= 20.0, "le_20")
+        .when(c <= 100.0, "le_100")
+        .otherwise("gt_100")
+    )
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("day", "ts").alias("bucket_start"), label.alias("le"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_gapfill_1h(spark, sf_dir):
+    """Gap-fill (C9): dense (event_type × hour) grid over the global
+    extent, zero-filled counts — via the engine's grid/gapfill operator."""
+    from mq_to_db_spark.operators.gapfill import gapfill
+
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+    )
+    filled = gapfill(hourly, "1h", ["event_type"], policy="zero")
+    return filled.select("bucket_start", "event_type", F.col("n_turns").alias("n_events"))
+
+
+def q_validate_split(spark, sf_dir):
+    """Reject-routing truth table (A6/A10/B2): plant three invalid rows,
+    route by first-failing-reason, count per reason."""
+    ev = _events(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    bad = spark.createDataFrame(
+        [
+            (1000001, None, "click", 1.0),
+            (1000002, "2024-01-01 00:00:00", "bogus_type", 1.0),
+            (1000003, "2024-01-01 00:00:00", "view", -5.0),
+        ],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    allr = ev.unionByName(bad)
+    reason = (
+        F.when(F.col("ts").isNull(), "null_ts")
+        .when(~F.col("event_type").isin(*_EVENT_TYPES), "unknown_type")
+        .when(F.col("value") < 0, "negative_value")
+        .otherwise("(valid)")
+    )
+    return allr.groupBy(reason.alias("reason")).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_codec_roundtrip_agg(spark, sf_dir):
+    """Gorilla codec end-to-end (C10): events → chunk-encode (dod ts +
+    XOR values + string/dict payloads) → decode → re-aggregate.  The
+    oracle aggregates the raw table directly — equality proves the codec
+    is lossless through the full Spark path."""
+    from mq_to_db_spark.operators.compression import decode_chunks, encode_chunks
+
+    tr = _events_as_transcripts(spark, sf_dir)
+    chunks = encode_chunks(tr, value_col="value", chunk_interval="1 day")
+    back = decode_chunks(chunks)
+    return back.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+    )
+
+
+# --------------------------------------------------------------------------
+# dedup / text / similarity over documents + embeddings
+# --------------------------------------------------------------------------
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', ' ', 'g'), "
+    "'\\s+', ' ', 'g'))"
+)
+
+
+def q_dedup_exact(spark, sf_dir):
+    from mq_to_db_spark.functions.text import fingerprint_md5
+
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("fp", fingerprint_md5("text"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("rep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from mq_to_db_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", shingle_n=3, threshold=0.15,
+        max_doc_freq=100000,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_token_counts(spark, sf_dir):
+    from mq_to_db_spark.functions.text import token_count_ws
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        token_count_ws("text").alias("n_ws"),
+        F.coalesce(F.regexp_count("text", F.lit(r"[A-Za-z]+")), F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce(F.regexp_count("text", F.lit(r"[0-9]")), F.lit(0)).cast("long").alias("n_digits"),
+        F.coalesce(F.regexp_count("text", F.lit(r"[^\w\s]")), F.lit(0)).cast("long").alias("n_punct"),
+    )
+
+
+def q_lang_quality(spark, sf_dir):
+    from mq_to_db_spark.functions.text import lang_id, quality_features
+
+    d = _docs(spark, sf_dir)
+    f = quality_features("text")
+    return d.select(
+        "doc_id",
+        lang_id("text").alias("lang_pred"),
+        f["q_len"].cast("long").alias("q_len"),
+        F.round(f["q_punct_ratio"], 6).alias("q_punct_ratio"),
+        F.round(f["q_stopword_ratio"], 6).alias("q_stopword_ratio"),
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    from mq_to_db_spark.operators.similarity import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter("vec_id = 0").collect()[0].embedding
+    top = cosine_topk(emb, list(qv), k=10)
+    return top.select("vec_id", F.round("cosine", 5).alias("cosine_r"))
+
+
+def q_knn_join(spark, sf_dir):
+    from mq_to_db_spark.operators.similarity import knn_join_brute
+
+    emb = _emb(spark, sf_dir)
+    left = emb.filter("vec_id < 10").select(F.col("vec_id").alias("id_l"), "embedding")
+    right = emb.select(F.col("vec_id").alias("id_r"), "embedding")
+    knn = knn_join_brute(left, right, k=3)
+    return knn.select("lid", "rid", F.round("cosine", 5).alias("cosine_r"), "rank")
+
+
+# -- non-SQL-expressible (rows-only checks) ---------------------------------
+
+
+def q_minhash_pairs(spark, sf_dir):
+    from mq_to_db_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", verify_threshold=0.3
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from mq_to_db_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=3)
+
+
+def q_ann_lsh(spark, sf_dir):
+    from mq_to_db_spark.operators.similarity import ann_lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter("vec_id = 0").collect()[0].embedding
+    return ann_lsh_topk(emb, list(qv), k=10, n_planes=6, multiprobe=2).select(
+        "vec_id", F.round("cosine", 5).alias("cosine_r")
+    )
+
+
+def q_transcript_pipeline(spark, sf_dir):
+    """Full engine pipeline smoke on events-as-transcripts: tier cascade →
+    gap-filled 1h global rollup (rows-only check; the per-piece oracles
+    above cover the math)."""
+    from mq_to_db_spark.operators.rollup import rollup_tiers
+
+    from mq_to_db_spark.operators.gapfill import gapfill
+
+    tr = _events_as_transcripts(spark, sf_dir)
+    tiers = rollup_tiers(tr.drop("value"), keys=[])
+    return gapfill(tiers["1h"], "1h", policy="zero")
+
+
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the full rollup cascade +
+    gap-fill over the events table in transcript shape."""
+    return q_transcript_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rollup_1m_counts": q_rollup_1m_counts,
+        "rollup_1h_value_stats": q_rollup_1h_value_stats,
+        "rollup_1d_cascade": q_rollup_1d_cascade,
+        "role_mix_1h": q_role_mix_1h,
+        "rate_1m": q_rate_1m,
+        "percentile_1h": q_percentile_1h,
+        "gauge_last_1h": q_gauge_last_1h,
+        "histogram_1d": q_histogram_1d,
+        "gapfill_1h": q_gapfill_1h,
+        "validate_split": q_validate_split,
+        "codec_roundtrip_agg": q_codec_roundtrip_agg,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "token_counts": q_token_counts,
+        "lang_quality": q_lang_quality,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "knn_join": q_knn_join,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_lsh": q_ann_lsh,
+        "transcript_pipeline": q_transcript_pipeline,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    type_pivots = ",\n               ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES
+    )
+    return {
+        "rollup_1m_counts": """
+            SELECT date_trunc('minute', ts) AS bucket_start, event_type,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        """,
+        "rollup_1h_value_stats": """
+            SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS value_sum,
+                   min(value) AS value_min,
+                   max(value) AS value_max,
+                   round(avg(value), 6) AS value_avg
+            FROM events GROUP BY 1, 2
+        """,
+        "rollup_1d_cascade": """
+            SELECT date_trunc('day', ts) AS bucket_start, event_type,
+                   count(*) AS n_events, round(sum(value), 6) AS value_sum
+            FROM events GROUP BY 1, 2
+        """,
+        "role_mix_1h": f"""
+            SELECT date_trunc('hour', ts) AS bucket_start,
+                   count(*) AS n_events,
+               {type_pivots}
+            FROM events GROUP BY 1
+        """,
+        "rate_1m": """
+            SELECT date_trunc('minute', ts) AS bucket_start,
+                   count(*) AS n_events,
+                   round(count(*) / 60.0, 6) AS events_per_sec
+            FROM events GROUP BY 1
+        """,
+        "percentile_1h": """
+            SELECT date_trunc('hour', ts) AS bucket_start,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90
+            FROM events GROUP BY 1
+        """,
+        "gauge_last_1h": """
+            SELECT bucket_start, user_id, value AS last_value FROM (
+                SELECT date_trunc('hour', ts) AS bucket_start, user_id, value,
+                       row_number() OVER (
+                           PARTITION BY date_trunc('hour', ts), user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events)
+            WHERE rn = 1
+        """,
+        "histogram_1d": """
+            SELECT date_trunc('day', ts) AS bucket_start,
+                   CASE WHEN value <= 1 THEN 'le_1'
+                        WHEN value <= 5 THEN 'le_5'
+                        WHEN value <= 20 THEN 'le_20'
+                        WHEN value <= 100 THEN 'le_100'
+                        ELSE 'gt_100' END AS le,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "gapfill_1h": """
+            WITH hourly AS (
+                SELECT date_trunc('hour', ts) AS b, event_type, count(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            extent AS (SELECT min(b) AS lo, max(b) AS hi FROM hourly),
+            grid AS (
+                SELECT t.bucket_start, et.event_type
+                FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start
+                      FROM extent) t
+                CROSS JOIN (SELECT DISTINCT event_type FROM events) et
+            )
+            SELECT g.bucket_start, g.event_type,
+                   coalesce(h.n, 0) AS n_events
+            FROM grid g LEFT JOIN hourly h
+              ON g.bucket_start = h.b AND g.event_type = h.event_type
+        """,
+        "validate_split": """
+            WITH planted AS (
+                SELECT event_id, ts, event_type, value FROM events
+                UNION ALL
+                SELECT * FROM (VALUES
+                    (1000001, NULL::TIMESTAMP, 'click', 1.0),
+                    (1000002, TIMESTAMP '2024-01-01 00:00:00', 'bogus_type', 1.0),
+                    (1000003, TIMESTAMP '2024-01-01 00:00:00', 'view', -5.0))
+            )
+            SELECT CASE WHEN ts IS NULL THEN 'null_ts'
+                        WHEN event_type NOT IN ('click','error','purchase','signup','view')
+                             THEN 'unknown_type'
+                        WHEN value < 0 THEN 'negative_value'
+                        ELSE '(valid)' END AS reason,
+                   count(*) AS n
+            FROM planted GROUP BY 1
+        """,
+        "codec_roundtrip_agg": """
+            SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                   count(*) AS n_points,
+                   round(sum(value), 6) AS value_sum,
+                   min(ts) AS ts_min,
+                   max(ts) AS ts_max
+            FROM events GROUP BY 1
+        """,
+        "dedup_exact": f"""
+            SELECT md5({_NORM_SQL}) AS fp,
+                   min(doc_id) AS rep_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "ngram_jaccard": f"""
+            WITH norm AS (
+                SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                            ELSE list_distinct([array_to_string(words[i:i+2], ' ')
+                                  for i in range(1, len(words) - 1)])
+                       END AS shingles
+                FROM norm
+            ),
+            posting AS (
+                SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+                FROM sh
+            ),
+            shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+                FROM posting a JOIN posting b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4
+            )
+            SELECT id_a, id_b,
+                   round(inter / (na + nb - inter), 6) AS jaccard
+            FROM shared
+            WHERE inter / (na + nb - inter) >= 0.15
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws,
+                   len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+                   len(regexp_extract_all(text, '[0-9]')) AS n_digits,
+                   len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+            FROM documents
+        """,
+        "lang_quality": r"""
+            WITH f AS (
+                SELECT doc_id, text,
+                       coalesce(length(text), 0) AS q_len,
+                       CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                       len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+                       len(regexp_extract_all(lower(text),
+                           '\b(the|and|of|to|is|in|that|it|for|was)\b')) AS h_en,
+                       len(regexp_extract_all(lower(text),
+                           '\b(der|die|und|das|ist|nicht|ein|mit|für|auf)\b')) AS h_de,
+                       len(regexp_extract_all(lower(text),
+                           '\b(le|la|les|et|est|pas|pour|que|une|dans)\b')) AS h_fr,
+                       len(regexp_extract_all(lower(text),
+                           '\b(el|la|los|que|de|es|en|un|una|por)\b')) AS h_es
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN text IS NULL OR n_tokens = 0 THEN 'unknown'
+                        WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'unknown'
+                        WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                        WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+                        WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                        ELSE 'es' END AS lang_pred,
+                   q_len,
+                   round(n_punct / greatest(q_len, 1), 6) AS q_punct_ratio,
+                   round(h_en / greatest(n_tokens, 1), 6) AS q_stopword_ratio
+            FROM f
+        """,
+        "ann_cosine_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                       (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)), 5)
+                       AS cosine_r
+            FROM embeddings
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+                       (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0))
+                     DESC, vec_id
+            LIMIT 10
+        """,
+        "knn_join": """
+            WITH scored AS (
+                SELECT l.vec_id AS lid, r.vec_id AS rid,
+                       list_cosine_similarity(l.embedding::DOUBLE[],
+                                              r.embedding::DOUBLE[]) AS cos
+                FROM embeddings l CROSS JOIN embeddings r
+                WHERE l.vec_id < 10
+            ),
+            ranked AS (
+                SELECT lid, rid, cos,
+                       row_number() OVER (PARTITION BY lid
+                                          ORDER BY cos DESC, rid) AS rank
+                FROM scored
+            )
+            SELECT lid, rid, round(cos, 5) AS cosine_r, rank
+            FROM ranked WHERE rank <= 3
+        """,
+        # minhash_pairs / simhash_pairs / ann_lsh / transcript_pipeline:
+        # intentionally no oracle (hash-seeded LSH internals are not
+        # ANSI-SQL-reproducible) → driver records rows-only checks.
+    }

@@ -192,15 +192,29 @@ def with_rate(df: DataFrame, tier: str) -> DataFrame:
     )
 
 
-def gauge_last(df: DataFrame, tier: str, value_col: str, keys: list[str] | None = None) -> DataFrame:
+def gauge_last(
+    df: DataFrame,
+    tier: str,
+    value_col: str,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    order_cols: list[str] | None = None,
+) -> DataFrame:
     """Gauge/last-value semantics (C6): last observed value per series per
     bucket — ``max_by(value, ts)``, the analogue of a Prometheus gauge
-    sample at scrape time (metrics.go:86-114)."""
+    sample at scrape time (metrics.go:86-114).  ``order_cols`` breaks ts
+    ties deterministically (defaults to turn_idx when present)."""
     keys = list(keys or [])
+    if order_cols is None:
+        order_cols = [ts_col] + (["turn_idx"] if "turn_idx" in df.columns else [])
     return (
-        df.withColumn("bucket_start", bucket_col(tier))
+        df.withColumn("bucket_start", bucket_col(tier, ts_col))
         .groupBy("bucket_start", *keys)
-        .agg(F.max_by(value_col, F.struct(F.col("ts"), F.col("turn_idx"))).alias(f"last_{value_col}"))
+        .agg(
+            F.max_by(value_col, F.struct(*[F.col(c) for c in order_cols])).alias(
+                f"last_{value_col}"
+            )
+        )
     )
 
 

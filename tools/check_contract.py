@@ -1,0 +1,105 @@
+"""Local mirror of the driver's correctness gate: run every
+``__spark_entry__.queries()`` entry on Spark AND its ``oracle_sql()`` on
+DuckDB at sf=0.01, compare row-count + schema-width + order-insensitive
+values.  Usage: python tools/check_contract.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        col = df[c]
+        if pd.api.types.is_datetime64_any_dtype(col):
+            df[c] = pd.to_datetime(col).astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(col):
+            df[c] = col.astype("float64")
+        elif pd.api.types.is_integer_dtype(col):
+            df[c] = col.astype("int64")
+        elif col.dtype == object or str(col.dtype) == "string":
+            df[c] = col.astype(str).where(col.notna(), None)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
+    errs = []
+    if len(got) != len(want):
+        errs.append(f"rowcount {len(got)} != {len(want)}")
+    if sorted(got.columns) != sorted(want.columns):
+        errs.append(f"columns {sorted(got.columns)} != {sorted(want.columns)}")
+        return errs
+    g, w = normalize(got), normalize(want)
+    if len(g) == len(w):
+        for c in g.columns:
+            a, b = g[c], w[c]
+            if pd.api.types.is_float_dtype(a):
+                bad = ~(
+                    (a.isna() & b.isna())
+                    | (a == b)
+                    | ((a - b).abs() <= 1e-9 * (1 + b.abs()))
+                )
+            else:
+                bad = ~((a.isna() & b.isna()) | (a.astype(object) == b.astype(object)))
+            n_bad = int(bad.sum())
+            if n_bad:
+                i = bad.idxmax()
+                errs.append(f"col {c}: {n_bad} mismatches, first: {a[i]!r} != {b[i]!r}")
+    return errs
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+    import __spark_entry__ as entry
+    from mq_to_db_spark.session import get_spark
+
+    spark = get_spark(app_name="contract-check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    n_fail = 0
+    for name, fn in qs.items():
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            status = "ROWS-ONLY"
+            print(f"{status:>9}  {name}: rows={len(got)} cols={len(got.columns)}")
+            continue
+        try:
+            want = con.sql(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        errs = compare(name, got, want)
+        if errs:
+            n_fail += 1
+            print(f"FAIL  {name}: " + "; ".join(errs[:4]))
+        else:
+            print(f"   OK  {name}: rows={len(got)}")
+    # smoke: entry()
+    e = entry.entry(spark)
+    print(f"entry(): rows={e.count()} schema={[f.name for f in e.schema.fields]}")
+    return n_fail
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:]))
