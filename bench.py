@@ -1,0 +1,155 @@
+"""Bench harness (driver contract + north-rule metric).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "headline_queries_total_sec", "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": 0.1,
+     "rolled_up_points": N, "rolled_up_points_per_sec": X,
+     "turns_ingested": N, "turns_per_sec": X, "cpus": N}
+
+The north-rule metric (rolled-up points/sec — turns ingested → tier-matched
+aggregate points) is measured on the full engine pipeline over a
+deterministic synthetic transcript table sized to the SF (~600k turns at
+SF=0.1, seed 42), cached as parquet next to this file so every run (and
+both sides of the N-vs-4N scaling comparison) reads identical bytes.
+Results are materialized with the ``noop`` sink — executor-side full
+materialization, no driver collect.
+
+Scaling-efficiency evidence (two parallelism levels on the same input):
+``python tools/bench_scaling.py`` → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+#: turns in the synthetic transcript table per unit SF (FIXTURES.md: sf0.1
+#: ≈ 600k turns, matching the driver's sf0.1 sizing)
+TURNS_PER_SF = 6_000_000
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _transcripts_path(sf: float) -> str:
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    return os.path.join(bench_dir, f"transcripts_sf{sf}.parquet")
+
+
+def ensure_transcripts(sf: float) -> str:
+    """Deterministic synthetic transcript table at SF, cached as parquet."""
+    path = _transcripts_path(sf)
+    if not os.path.exists(path):
+        from mq_to_db_spark.fixtures.generator import write_transcripts_parquet
+
+        write_transcripts_parquet(path, n_turns=int(sf * TURNS_PER_SF), seed=42)
+    return path
+
+
+def _materialize(df) -> int:
+    """Force full execution executor-side; return output row count."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run(sf_dir: str = SF_DIR, cpus: int = CPUS, include_scaling_meta: bool = True) -> dict:
+    from pyspark.sql import functions as F
+
+    from mq_to_db_spark.operators.compression import decode_chunks, encode_chunks
+    from mq_to_db_spark.operators.gapfill import gapfill
+    from mq_to_db_spark.operators.rollup import rollup_tiers
+    from mq_to_db_spark.session import get_spark
+
+    sf = _sf_of(sf_dir)
+    tr_path = ensure_transcripts(sf)
+
+    spark = get_spark(
+        app_name=f"bench-local{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    import __spark_entry__ as entry
+
+    # warmup: JVM/codegen/Arrow spin-up outside timed sections
+    spark.range(1_000_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # -- north-rule pipeline: transcripts → validate → tier cascade --------
+    transcripts = spark.read.parquet(tr_path)
+    n_turns = transcripts.count()
+
+    def _rollup_all():
+        total = 0
+        for keys in ([], ["conv_id"], ["tool"]):
+            tiers = rollup_tiers(transcripts, keys=keys)
+            for t, df in tiers.items():
+                total += df.count()
+        return total
+
+    points = timed("rollup_cascade_3dim", _rollup_all)
+
+    tiers_global = rollup_tiers(transcripts, keys=[])
+    timed("gapfill_1h", lambda: _materialize(gapfill(tiers_global["1h"], "1h")))
+
+    def _codec():
+        chunks = encode_chunks(transcripts, value_col="text_len")
+        return _materialize(decode_chunks(chunks))
+
+    timed("codec_encode_decode", _codec)
+
+    # -- driver-table headline queries -------------------------------------
+    qs = entry.queries()
+    for name in (
+        "rollup_1h_value_stats",
+        "rollup_1d_cascade",
+        "gapfill_1h",
+        "percentile_1h",
+        "gauge_last_1h",
+        "codec_roundtrip_agg",
+        "dedup_exact",
+        "minhash_pairs",
+        "ann_cosine_topk",
+    ):
+        key = f"q_{name}"
+        timed(key, lambda n=name: _materialize(qs[n](spark, sf_dir)))
+
+    rollup_sec = timings["rollup_cascade_3dim"]
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "turns_ingested": int(n_turns),
+        "rolled_up_points": int(points),
+        "rolled_up_points_per_sec": round(points / rollup_sec, 1),
+        "turns_per_sec": round(n_turns / rollup_sec, 1),
+    }
+    spark.stop()
+    return result
+
+
+if __name__ == "__main__":
+    print(json.dumps(run()))

@@ -147,10 +147,35 @@ def inject_dirty_rows(pdf: pd.DataFrame, seed: int = 7) -> pd.DataFrame:
     return out.iloc[rng.permutation(len(out))].reset_index(drop=True)
 
 
-def write_transcripts_parquet(path: str, n_turns: int = 5000, seed: int = 42, dirty: bool = False) -> pd.DataFrame:
-    """Write the synthetic table to a parquet file/dir; returns the pdf."""
+def write_transcripts_parquet(
+    path: str,
+    n_turns: int = 5000,
+    seed: int = 42,
+    dirty: bool = False,
+    n_shards: int | None = None,
+) -> pd.DataFrame:
+    """Write the synthetic table to parquet; returns the pdf.
+
+    ``n_shards``: split into that many part files (a directory) so Spark's
+    scan has enough input splits to feed every core — a single
+    pandas-written file has ~1M-row row groups and caps scan parallelism
+    at a handful of splits regardless of cluster size.  Default: one file
+    under 100k turns, else ``n_turns // 50_000`` shards.
+    """
+    import os
+
     pdf = generate_transcripts_pdf(n_turns=n_turns, seed=seed)
     if dirty:
         pdf = inject_dirty_rows(pdf)
-    pdf.to_parquet(path, index=False)
+    if n_shards is None:
+        n_shards = 1 if n_turns <= 100_000 else max(2, n_turns // 50_000)
+    if n_shards <= 1:
+        pdf.to_parquet(path, index=False)
+    else:
+        os.makedirs(path, exist_ok=True)
+        bounds = np.linspace(0, len(pdf), n_shards + 1).astype(int)
+        for i in range(n_shards):
+            pdf.iloc[bounds[i] : bounds[i + 1]].to_parquet(
+                os.path.join(path, f"part-{i:05d}.parquet"), index=False
+            )
     return pdf

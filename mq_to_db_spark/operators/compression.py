@@ -56,15 +56,8 @@ CHUNK_SCHEMA = T.StructType(
 _TRUNC_UNIT = {"1 day": "day", "1 hour": "hour"}
 
 
-def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    pdf = pdf.sort_values("turn_idx", kind="stable")
-    ts = pdf["ts"].values.astype("datetime64[us]").view("int64")
-    turn = pdf["turn_idx"].values.astype("int64")
-    val = pdf["_value"].values.astype("float64")
-    texts = [None if t is None or t is pd.NA else str(t) for t in pdf["text"]]
-    roles = [None if r is None or r is pd.NA else str(r) for r in pdf["role"]]
-    tools = [None if x is None or x is pd.NA else str(x) for x in pdf["tool"]]
-
+def _encode_slice(conv_id, chunk_start, ts, turn, val, texts, roles, tools) -> dict:
+    """Encode one (conv_id, chunk) group already sliced into arrays."""
     blobs = {
         "ts_blob": codec.encode_ts(ts),
         "turn_blob": codec.encode_i64(turn),
@@ -79,20 +72,67 @@ def _encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
         + sum(len(r) if r else 0 for r in roles)
         + sum(len(x) if x else 0 for x in tools)
     )
-    enc = int(sum(len(b) for b in blobs.values()))
-    return pd.DataFrame(
-        [
-            {
-                "conv_id": pdf["conv_id"].iloc[0],
-                "chunk_start": pdf["_chunk_start"].iloc[0],
-                "codec": CODEC_NAME,
-                "n_points": len(pdf),
-                **blobs,
-                "raw_bytes": raw,
-                "enc_bytes": enc,
-            }
+    return {
+        "conv_id": conv_id,
+        "chunk_start": chunk_start,
+        "codec": CODEC_NAME,
+        "n_points": len(ts),
+        **blobs,
+        "raw_bytes": raw,
+        "enc_bytes": int(sum(len(b) for b in blobs.values())),
+    }
+
+
+def _encode_partition(batches):
+    """mapInPandas worker over a partition sorted by (conv_id,
+    _chunk_start, turn_idx): split each Arrow batch into contiguous groups
+    with numpy boundary detection, carrying the trailing (possibly
+    incomplete) group into the next batch.  This processes thousands of
+    groups per Python call — per-group cost is the codec math, not
+    applyInPandas bookkeeping (the optimization that matters when chunks
+    are small)."""
+    carry: pd.DataFrame | None = None
+
+    def _emit(pdf: pd.DataFrame) -> pd.DataFrame:
+        conv = pdf["conv_id"].to_numpy(dtype=object)
+        chunk = pdf["_chunk_start"].to_numpy()
+        ts = pdf["ts"].to_numpy().astype("datetime64[us]").view("int64")
+        turn = pdf["turn_idx"].to_numpy().astype("int64")
+        val = pdf["_value"].to_numpy(dtype="float64")
+        texts = [None if t is None or t is pd.NA else str(t) for t in pdf["text"]]
+        roles = [None if r is None or r is pd.NA else str(r) for r in pdf["role"]]
+        tools = [None if x is None or x is pd.NA else str(x) for x in pdf["tool"]]
+        bound = np.flatnonzero((conv[1:] != conv[:-1]) | (chunk[1:] != chunk[:-1])) + 1
+        starts = np.r_[0, bound]
+        ends = np.r_[bound, len(pdf)]
+        rows = [
+            _encode_slice(
+                conv[s], pdf["_chunk_start"].iloc[s], ts[s:e], turn[s:e], val[s:e],
+                texts[s:e], roles[s:e], tools[s:e],
+            )
+            for s, e in zip(starts, ends)
         ]
-    )
+        return pd.DataFrame(rows)
+
+    for pdf in batches:
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+            carry = None
+        if not len(pdf):
+            continue
+        # hold back the last group — it may continue in the next batch
+        conv = pdf["conv_id"].to_numpy(dtype=object)
+        chunk = pdf["_chunk_start"].to_numpy()
+        last_start = 0
+        bounds = np.flatnonzero((conv[1:] != conv[:-1]) | (chunk[1:] != chunk[:-1])) + 1
+        if len(bounds):
+            last_start = int(bounds[-1])
+        carry = pdf.iloc[last_start:]
+        head = pdf.iloc[:last_start]
+        if len(head):
+            yield _emit(head)
+    if carry is not None and len(carry):
+        yield _emit(carry)
 
 
 def encode_chunks(
@@ -105,6 +145,11 @@ def encode_chunks(
     ``value_col``: the float series for the XOR codec (defaults to
     text_len; any numeric column works).  Input needs the transcript
     schema; ``text_len`` is derived if absent.
+
+    Plan shape: one shuffle (repartition on the chunk key) + in-partition
+    sort + a single mapInPandas pass.  Groups are processed thousands per
+    Arrow batch — same result as a groupBy().applyInPandas but without
+    per-group scheduling overhead, which dominates when chunks are small.
     """
     from mq_to_db_spark.operators.rollup import with_text_stats
 
@@ -113,9 +158,10 @@ def encode_chunks(
     prepped = df.withColumn(
         "_chunk_start", F.date_trunc(_TRUNC_UNIT[chunk_interval], F.col("ts"))
     ).withColumn("_value", F.col(value_col).cast("double"))
-    return prepped.groupBy("conv_id", "_chunk_start").applyInPandas(
-        _encode_group, schema=CHUNK_SCHEMA
+    arranged = prepped.repartition("conv_id", "_chunk_start").sortWithinPartitions(
+        "conv_id", "_chunk_start", "turn_idx"
     )
+    return arranged.mapInPandas(_encode_partition, schema=CHUNK_SCHEMA)
 
 
 _DECODE_SCHEMA = T.StructType(
@@ -132,27 +178,33 @@ _DECODE_SCHEMA = T.StructType(
 
 
 def _decode_batches(batches):
+    from itertools import chain
+
     for pdf in batches:
-        frames = []
+        if not len(pdf):
+            continue
+        ts_l, turn_l, val_l, counts = [], [], [], []
+        texts_l, roles_l, tools_l = [], [], []
         for row in pdf.itertuples(index=False):
-            ts = codec.decode_ts(bytes(row.ts_blob)).view("datetime64[us]")
-            turn = codec.decode_i64(bytes(row.turn_blob)).astype("int32")
-            val = codec.decode_xor(bytes(row.val_blob))
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "conv_id": row.conv_id,
-                        "turn_idx": turn,
-                        "role": pd.array(codec.decode_dict(bytes(row.role_blob)), dtype=object),
-                        "text": pd.array(codec.decode_strings(bytes(row.text_blob)), dtype=object),
-                        "tool": pd.array(codec.decode_dict(bytes(row.tool_blob)), dtype=object),
-                        "ts": ts,
-                        "value": val,
-                    }
-                )
-            )
-        if frames:
-            yield pd.concat(frames, ignore_index=True)
+            ts = codec.decode_ts(bytes(row.ts_blob))
+            ts_l.append(ts)
+            counts.append(len(ts))
+            turn_l.append(codec.decode_i64(bytes(row.turn_blob)))
+            val_l.append(codec.decode_xor(bytes(row.val_blob)))
+            texts_l.append(codec.decode_strings(bytes(row.text_blob)))
+            roles_l.append(codec.decode_dict(bytes(row.role_blob)))
+            tools_l.append(codec.decode_dict(bytes(row.tool_blob)))
+        yield pd.DataFrame(
+            {
+                "conv_id": np.repeat(pdf["conv_id"].to_numpy(dtype=object), counts),
+                "turn_idx": np.concatenate(turn_l).astype("int32"),
+                "role": pd.array(list(chain.from_iterable(roles_l)), dtype=object),
+                "text": pd.array(list(chain.from_iterable(texts_l)), dtype=object),
+                "tool": pd.array(list(chain.from_iterable(tools_l)), dtype=object),
+                "ts": np.concatenate(ts_l).view("datetime64[us]"),
+                "value": np.concatenate(val_l),
+            }
+        )
 
 
 def decode_chunks(chunks: DataFrame) -> DataFrame:

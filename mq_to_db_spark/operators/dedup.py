@@ -53,7 +53,11 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def word_shingles(col, n: int = 3) -> Column:
     """Distinct word n-gram shingles of the normalized text (array<string>);
-    shorter docs yield their single full-text shingle."""
+    shorter docs yield their single full-text shingle.
+
+    NOTE: inlines the normalize+split chain into every lambda reference —
+    fine for one-off use, but on hot paths use :func:`with_shingles`,
+    which materializes the words array once per row first."""
     name = col if isinstance(col, str) else col._jc.toString()
     norm = (
         f"trim(regexp_replace(regexp_replace(lower({name}), '[^\\\\w\\\\s]', ' '), '\\\\s+', ' '))"
@@ -66,6 +70,28 @@ def word_shingles(col, n: int = 3) -> Column:
     )
 
 
+def with_shingles(df: DataFrame, text_col: str, n: int = 3, out: str = "shingles") -> DataFrame:
+    """Add a distinct word-n-gram shingle column, computing the normalized
+    word array exactly once per row (the regex chain is the expensive
+    part; re-inlining it per shingle index is O(len × shingles) regex
+    work)."""
+    from mq_to_db_spark.functions.text import normalize_text
+
+    return (
+        df.withColumn("_words", F.split(normalize_text(text_col), " "))
+        .withColumn(
+            out,
+            F.expr(
+                f"array_distinct(CASE WHEN size(_words) < {n} "
+                f"THEN array(array_join(_words, ' ')) ELSE "
+                f"transform(sequence(0, size(_words) - {n}), "
+                f"i -> array_join(slice(_words, i + 1, {n}), ' ')) END)"
+            ),
+        )
+        .drop("_words")
+    )
+
+
 def _md5_hash64(c: Column, seed: int) -> Column:
     """Deterministic 60-bit integer hash reproducible in DuckDB:
     first 15 hex chars of md5(seed || value)."""
@@ -73,12 +99,22 @@ def _md5_hash64(c: Column, seed: int) -> Column:
 
 
 def minhash_signature(shingle_col: Column, n_hashes: int = 32) -> Column:
-    """array<long> of per-seed min-hashes over the shingle set."""
-    mins = [
-        F.array_min(F.transform(shingle_col, lambda s, i=i: _md5_hash64(s, i)))
-        for i in range(n_hashes)
-    ]
-    return F.array(*mins)
+    """array<long> of per-seed min-hashes over the shingle set.
+
+    Seed-mixed ``xxhash64`` (JVM, ~ns/hash) — minhash needs only
+    self-consistency, not cross-engine reproducibility, so the md5 path
+    (kept for oracle-checked operators) is not used here."""
+    name = shingle_col._jc.toString()
+    # single fold expression (not n_hashes separate transforms): one pass
+    # over the shingle array updating a 64-wide min accumulator — keeps
+    # the generated code small (32 separate array_min(transform(...))
+    # trees cost ~25 s of Janino compilation on first use).
+    return F.expr(
+        f"aggregate({name}, "
+        f"array_repeat(9223372036854775807L, {n_hashes}), "
+        f"(acc, s) -> zip_with(acc, transform(sequence(0, {n_hashes - 1}), "
+        f"i -> xxhash64(i, s)), (a, b) -> least(a, b)))"
+    )
 
 
 def minhash_lsh_pairs(
@@ -98,40 +134,56 @@ def minhash_lsh_pairs(
     assert n_hashes % bands == 0
     r = n_hashes // bands
     base = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-        .withColumn("shingles", word_shingles("text", shingle_n))
+        with_shingles(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")),
+            "text",
+            shingle_n,
+        )
         .filter(F.size("shingles") > 0)
-        .withColumn("sig", minhash_signature(F.col("shingles"), n_hashes))
+        .select("id", "shingles", minhash_signature(F.col("shingles"), n_hashes).alias("sig"))
+        .persist()  # reused 3× (banding + both sides of verification)
     )
     banded = base.select(
         "id",
-        "shingles",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), "
                 f"b -> struct(b AS band, array_join(slice(sig, b * {r} + 1, {r}), ',') AS key))"
             )
         ).alias("bk"),
-    ).select("id", "shingles", "bk.band", "bk.key")
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cands = (
-        a.join(b, ["band", "key"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    ).select("id", "bk.band", "bk.key")
+    cands = _bucket_pairs(banded, ["band", "key"])
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        cands.withColumn("jaccard", F.try_divide(inter, union))
+        cands.join(base.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")), "id_b")
+        .withColumn("jaccard", F.try_divide(inter, union))
         .filter(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _bucket_pairs(banded: DataFrame, bucket_cols: list[str], max_bucket: int = 200) -> DataFrame:
+    """Distinct candidate (id_a < id_b) pairs from LSH buckets.
+
+    Collect ids per bucket and expand ordered pairs with an expression —
+    no self-join, so the (possibly expensive) upstream computes once and
+    the shuffle carries bare ids.  Buckets larger than ``max_bucket`` are
+    dropped (degenerate all-near-identical content; exact dedup catches
+    those far cheaper than O(b²) pair expansion — the skew guard)."""
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids) - i - 1), "
+        "y -> struct(least(x, y) AS id_a, greatest(x, y) AS id_b))))"
+    )
+    return (
+        banded.groupBy(*bucket_cols)
+        .agg(F.collect_list("id").alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
     )
 
 
@@ -164,11 +216,19 @@ def ngram_jaccard_pairs(
     the self-join — the skew guard: a ubiquitous shingle would otherwise
     produce O(N²) candidate rows."""
     docs = (
-        df.select(F.col(id_col).alias("id"), word_shingles(text_col, shingle_n).alias("sh"))
+        with_shingles(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")),
+            "text",
+            shingle_n,
+            out="sh",
+        )
+        .select("id", "sh")
         .filter(F.size("sh") > 0)
         .withColumn("n_sh", F.size("sh"))
     )
-    posting = docs.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    # materialize the posting list once — it feeds the frequency count and
+    # both sides of the self-join (3 consumers of an expensive subtree)
+    posting = docs.select("id", "n_sh", F.explode("sh").alias("shingle")).persist()
     freq = posting.groupBy("shingle").count().filter(F.col("count") <= max_doc_freq)
     posting = posting.join(F.broadcast(freq.select("shingle")), "shingle")
     a = posting.alias("a")
@@ -235,28 +295,23 @@ def simhash_pairs(
     pigeonhole trick: split 64 bits into 4 chunks of 16; any pair within
     distance 3 agrees exactly on ≥1 chunk → join per chunk, verify with
     bit_count(xor)."""
-    sigs = simhash(df, id_col, text_col)
+    # persist: the pandas-UDF signature feeds banding + both verify joins
+    sigs = simhash(df, id_col, text_col).persist()
     chunks = sigs.select(
         "id",
-        "simhash",
         F.explode(
             F.expr(
                 "transform(sequence(0, 3), c -> "
                 "struct(c AS chunk, shiftright(simhash, c * 16) & 65535 AS key))"
             )
         ).alias("ck"),
-    ).select("id", "simhash", "ck.chunk", "ck.key")
-    a, b = chunks.alias("a"), chunks.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ).select("id", "ck.chunk", "ck.key")
+    cands = _bucket_pairs(chunks, ["chunk", "key"])
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        a.join(b, ["chunk", "key"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            ham.alias("hamming"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+        cands.join(sigs.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b")), "id_b")
+        .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
 

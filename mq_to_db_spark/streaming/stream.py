@@ -1,0 +1,123 @@
+"""Structured Streaming variant of the rollup pipeline.
+
+The engine's primary mode is batch-incremental over snapshot ranges
+(SURVEY.md §7 — late rows land in the next batch and MERGE idempotently),
+but the reference is genuinely a *streaming* consumer
+(/root/reference/internal/consumer/rmq/rmq.go:170-217: unbounded AMQP
+delivery channel), so the stream-native expression of the same rollup is
+provided too:
+
+  * file-source ``readStream`` over a transcript directory = the queue
+    subscription (new files = new deliveries; ``maxFilesPerTrigger`` = the
+    prefetch window, rmq.go:120-124);
+  * watermarked tumbling-window aggregation = the 1m tier with bounded
+    state (late turns beyond the watermark are dropped — the streaming
+    trade-off the batch path avoids);
+  * ``foreachBatch`` sink writing through the same TableIO = ack-after-
+    durable-store (checkpointLocation gives exactly-once sink commits the
+    way the broker ack + idempotent store does for the reference);
+  * ``trigger(availableNow=True)`` = drain-the-queue-and-stop, which is
+    also how the tests run deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mq_to_db_spark.config import TIER_INTERVAL
+from mq_to_db_spark.fixtures.generator import TRANSCRIPT_SCHEMA
+from mq_to_db_spark.operators.rollup import ROLE_NAMES, with_text_stats
+
+
+def read_transcript_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream of transcript turns (schema fixed, never
+    inferred — the reference's declared-struct discipline)."""
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def streaming_rollup(
+    stream: DataFrame,
+    tier: str = "1m",
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup with the same aggregate set as
+    the batch tier tables (re-aggregable stats)."""
+    keys = list(keys or [])
+    prepped = with_text_stats(stream).withWatermark("ts", watermark)
+    aggs = [
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum("text_len").alias("text_len_sum"),
+        F.min("text_len").alias("text_len_min"),
+        F.max("text_len").alias("text_len_max"),
+        F.sum(F.col("text_len") * F.col("text_len")).alias("text_len_sumsq"),
+        F.sum("token_count").alias("token_sum"),
+        *[F.count_if(F.col("role") == r).alias(f"n_{r}") for r in ROLE_NAMES],
+    ]
+    win = F.window("ts", TIER_INTERVAL[tier])
+    return (
+        prepped.groupBy(win.alias("w"), *keys)
+        .agg(*aggs)
+        .withColumn("bucket_start", F.col("w.start"))
+        .drop("w")
+    )
+
+
+def run_stream_to_parquet(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    tier: str = "1m",
+    keys: list[str] | None = None,
+    available_now: bool = True,
+    watermark: str = "10 minutes",
+):
+    """Drain the input directory into a parquet rollup table with
+    exactly-once sink semantics (checkpointed).  Returns the query object
+    (caller awaits termination).
+
+    Append-mode caveat (inherent to watermarked streaming): windows whose
+    end exceeds the final watermark stay in state unemitted; the batch-
+    incremental path (plans.pipeline) has no such tail because late rows
+    MERGE into their bucket on the next batch."""
+    rollup = streaming_rollup(
+        read_transcript_stream(spark, input_path), tier, keys, watermark=watermark
+    )
+    writer = (
+        rollup.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_stream_foreach_batch(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_path: str,
+    batch_fn,
+    available_now: bool = True,
+):
+    """Micro-batch hook: each batch of raw turns is handed to ``batch_fn
+    (df, batch_id)`` — the seam where the full batch pipeline (validate →
+    tier cascade → TableIO commit) runs per micro-batch, reusing all the
+    batch operators verbatim."""
+    stream = read_transcript_stream(spark, input_path)
+    writer = stream.writeStream.foreachBatch(batch_fn).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
