@@ -96,6 +96,42 @@ def bucket_col(tier: str, ts_col: str = "ts"):
     return F.date_trunc(_TRUNC_UNIT[tier], F.col(ts_col))
 
 
+def rollup_distinct_sketch(
+    df: DataFrame,
+    tier: str,
+    keys: list[str] | None = None,
+    sketch_col: str = "conv_id",
+) -> DataFrame:
+    """Mergeable distinct-count rollup (HLL): ``n_distinct_sketch`` is a
+    binary HyperLogLog sketch per window — exactly re-aggregable across
+    the tier cascade via :func:`cascade_distinct_sketch` (unlike
+    count_distinct, which cannot be merged).  The estimate column is
+    derived at read time."""
+    keys = list(keys or [])
+    return (
+        df.withColumn("bucket_start", bucket_col(tier))
+        .groupBy("bucket_start", *keys)
+        .agg(F.hll_sketch_agg(sketch_col).alias("n_distinct_sketch"))
+    )
+
+
+def cascade_distinct_sketch(
+    df_finer: DataFrame, coarser_tier: str, keys: list[str] | None = None
+) -> DataFrame:
+    keys = list(keys or [])
+    return (
+        df_finer.withColumn("bucket_start", bucket_col(coarser_tier, "bucket_start"))
+        .groupBy("bucket_start", *keys)
+        .agg(F.hll_union_agg("n_distinct_sketch").alias("n_distinct_sketch"))
+    )
+
+
+def distinct_estimate(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "n_distinct_est", F.hll_sketch_estimate("n_distinct_sketch")
+    ).drop("n_distinct_sketch")
+
+
 def rollup_from_raw(
     df: DataFrame,
     tier: str,

@@ -129,3 +129,20 @@ def test_fixed_bucket_histogram(spark, transcripts, transcripts_pdf):
     )
     want = p.groupby(["bucket_start", "le"]).size().rename("n").reset_index()
     assert_pdf_equal(got, want, ["bucket_start", "le"])
+
+
+def test_distinct_sketch_cascade(spark, transcripts, transcripts_pdf):
+    from mq_to_db_spark.operators.rollup import (
+        cascade_distinct_sketch,
+        distinct_estimate,
+        rollup_distinct_sketch,
+    )
+
+    h = rollup_distinct_sketch(transcripts, "1h")
+    d = distinct_estimate(cascade_distinct_sketch(h, "1d")).toPandas()
+    p = transcripts_pdf.copy()
+    p["bucket_start"] = p["ts"].dt.floor("D")
+    want = p.groupby("bucket_start").conv_id.nunique()
+    for _, row in d.iterrows():
+        exact = want[row.bucket_start]
+        assert abs(row.n_distinct_est - exact) <= max(2, 0.05 * exact)  # HLL ~2% err
