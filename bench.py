@@ -99,11 +99,20 @@ def run(sf_dir: str = SF_DIR, cpus: int = CPUS, include_scaling_meta: bool = Tru
     n_turns = transcripts.count()
 
     def _rollup_all():
-        total = 0
-        for keys in ([], ["conv_id"], ["tool"]):
-            tiers = rollup_tiers(transcripts, keys=keys)
-            for t, df in tiers.items():
-                total += df.count()
+        # production shape: raw scanned once for all 3 dimensions
+        # (grouping-sets agg), coarser tiers cascaded from the persisted
+        # finest tier — see rollup.rollup_multidim.
+        from mq_to_db_spark.operators.rollup import rollup_multidim
+
+        tiers = rollup_multidim(
+            transcripts, {"global": [], "conv": ["conv_id"], "tool": ["tool"]}
+        )
+        m1 = tiers["1m"].persist()
+        total = m1.count()
+        total += tiers["1h"].persist().count()
+        total += tiers["1d"].count()
+        for t in ("1m", "1h"):
+            tiers[t].unpersist()
         return total
 
     points = timed("rollup_cascade_3dim", _rollup_all)

@@ -22,8 +22,11 @@ def token_count_ws(col) -> Column:
     """Whitespace token count; 0 for null/empty/blank."""
     c = F.col(col) if isinstance(col, str) else col
     t = F.trim(c)
+    # Equivalent to size(split(t, '\s+')) — split keeps trailing empty
+    # fields, so fields = separator_runs + 1 — without allocating a
+    # per-row string array (allocation-bound at high thread counts).
     return F.when(c.isNull() | (t == ""), F.lit(0)).otherwise(
-        F.size(F.split(t, r"\s+"))
+        F.regexp_count(t, F.lit(r"\s+")) + F.lit(1)
     ).cast("long")
 
 

@@ -146,3 +146,21 @@ def test_distinct_sketch_cascade(spark, transcripts, transcripts_pdf):
     for _, row in d.iterrows():
         exact = want[row.bucket_start]
         assert abs(row.n_distinct_est - exact) <= max(2, 0.05 * exact)  # HLL ~2% err
+
+
+def test_rollup_multidim_equals_per_dim(spark, transcripts):
+    """Single-pass grouping-sets cascade ≡ one rollup_tiers per dimension,
+    every tier — proves the 1-scan production plan computes identical
+    points (and that the grouping_id dim label correctly disambiguates
+    legitimately-NULL keys like tool)."""
+    from mq_to_db_spark.operators.rollup import dim_slice, rollup_multidim
+
+    dims = {"global": [], "conv": ["conv_id"], "tool": ["tool"]}
+    multi = rollup_multidim(transcripts, dims)
+    for tier in ("1m", "1h", "1d"):
+        for name, keys in dims.items():
+            a = dim_slice(multi[tier], dims, name)
+            b = rollup_tiers(transcripts, keys=keys)[tier]
+            assert a.exceptAll(b).count() == 0
+            assert b.exceptAll(a).count() == 0
+            assert a.count() == b.count()

@@ -1,6 +1,20 @@
 """Subprocess worker for the scaling benchmark: one JVM per parallelism
 level (Spark master is fixed at session creation).  Prints one JSON line.
 
+The measured job is the engine's production shape (rollup_multidim): raw
+scanned ONCE for all three series dimensions (grouping-sets agg → one
+shuffle), finest tier persisted, coarser tiers cascaded from it.
+
+Local-mode tuning mirrors what the defaults already do at cluster scale:
+  * ``maxPartitionBytes=1m`` — the ~105 MB input must yield >3× cores
+    input splits (a TB-scale table gets thousands of splits from the
+    default 128 MB binning; a 105 MB bench input gets 1 — which starves
+    every core but one);
+  * ``advisoryPartitionSizeInBytes=2m`` — AQE otherwise coalesces the
+    few-MB partial-agg shuffle into ~1 post-shuffle partition,
+    serializing the final aggregation (at production shuffle volumes the
+    64 MB default yields ample parallelism).
+
 Usage: python tools/_scale_worker.py <cpus> <n_turns>
 """
 
@@ -13,10 +27,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+DIMS = {"global": [], "conv": ["conv_id"], "tool": ["tool"]}
+
 
 def main(cpus: int, n_turns: int) -> dict:
     from bench import _transcripts_path
-    from mq_to_db_spark.operators.rollup import rollup_tiers
+    from mq_to_db_spark.operators.rollup import rollup_multidim
     from mq_to_db_spark.session import get_spark
 
     path = _transcripts_path(f"scale{n_turns}")
@@ -30,13 +46,9 @@ def main(cpus: int, n_turns: int) -> dict:
         master=f"local[{cpus}]",
         shuffle_partitions=max(cpus, 32),
         extra_conf={
-            # enough input splits to feed every core: without this the
-            # scan packs the ~8 MB shard files into 128 MB bins → ~2 map
-            # tasks regardless of cluster size (measured: flat 8→32
-            # scaling).  On a real cluster the input is TB-scale and the
-            # default binning already yields thousands of splits.
-            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.maxPartitionBytes": "1m",
             "spark.sql.files.openCostInBytes": "0",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2m",
         },
     )
     df = spark.read.parquet(path)
@@ -44,22 +56,27 @@ def main(cpus: int, n_turns: int) -> dict:
     def _noop(d):
         d.write.format("noop").mode("overwrite").save()
 
-    def pipeline() -> float:
+    def run_pipeline() -> float:
+        # cascade tiers reuse the persisted finest tier (plan-keyed cache)
+        # → raw read exactly once per pass.
         t0 = time.perf_counter()
-        for keys in ([], ["conv_id"], ["tool"]):
-            tiers = rollup_tiers(df, keys=keys)
-            for t in tiers.values():
-                _noop(t)
-        return time.perf_counter() - t0
+        tiers = rollup_multidim(df, DIMS)
+        m1 = tiers["1m"].persist()
+        _noop(m1)
+        h1 = tiers["1h"].persist()
+        _noop(h1)
+        _noop(tiers["1d"])
+        secs = time.perf_counter() - t0
+        m1.unpersist()
+        h1.unpersist()
+        return secs
 
     # points produced by one pipeline pass (counted once, outside timing)
-    points = 0
-    for keys in ([], ["conv_id"], ["tool"]):
-        for t in rollup_tiers(df, keys=keys).values():
-            points += t.count()
+    tiers = rollup_multidim(df, DIMS)
+    points = sum(t.count() for t in tiers.values())
 
-    pipeline()  # warmup: codegen compile + JIT
-    secs = min(pipeline(), pipeline())  # steady state, best of 2
+    run_pipeline()  # warmup: codegen compile + JIT
+    secs = min(run_pipeline(), run_pipeline())  # steady state, best of 2
     return {
         "cpus": cpus,
         "n_turns": n_turns,
