@@ -211,6 +211,7 @@ def rollup_multidim(
     df: DataFrame,
     dims: dict[str, list[str]],
     tiers: tuple[str, ...] = ("1m", "1h", "1d"),
+    extra_group_cols: list[str] | None = None,
 ) -> dict[str, DataFrame]:
     """Single-pass multi-dimension tier cascade.
 
@@ -229,15 +230,20 @@ def rollup_multidim(
     from ``grouping_id`` — this also disambiguates a *legitimately NULL*
     key, e.g. ``tool`` on non-tool turns, from a key aggregated away by
     another grouping set) plus the union of key columns.
+
+    ``extra_group_cols`` are columns present in EVERY grouping set (e.g.
+    the pipeline's ``(conv_bucket, date)`` partition-unit columns), so the
+    output stays partition-addressable for idempotent overwrites.
     """
+    extra = list(extra_group_cols or [])
     all_keys: list[str] = []
     for keys in dims.values():
         for k in keys:
             if k not in all_keys:
                 all_keys.append(k)
 
-    grouping_cols = ["bucket_start", *all_keys]
-    sets = [["bucket_start", *keys] for keys in dims.values()]
+    grouping_cols = [*extra, "bucket_start", *all_keys]
+    sets = [[*extra, "bucket_start", *keys] for keys in dims.values()]
 
     # grouping_id bit i (MSB-first over grouping_cols) = 1 when the column
     # is aggregated away in that set.
@@ -246,7 +252,7 @@ def rollup_multidim(
         name: sum(
             1 << (n - 1 - i)
             for i, c in enumerate(grouping_cols)
-            if c not in (["bucket_start", *keys])
+            if c not in ([*extra, "bucket_start", *keys])
         )
         for name, keys in dims.items()
     }
@@ -267,7 +273,7 @@ def rollup_multidim(
         out[t] = (
             out[finer]
             .withColumn("bucket_start", bucket_col(t, "bucket_start"))
-            .groupBy("bucket_start", "dim", *all_keys)
+            .groupBy(*extra, "bucket_start", "dim", *all_keys)
             .agg(*_merge_aggs())
         )
         finer = t

@@ -194,37 +194,46 @@ class RollupPipeline:
         rejected = pending.filter(F.col("reason").isNotNull()).unionByName(unitless)
         valid = pending.filter(F.col("reason").isNull()).drop("reason")
 
-        # co-locate each unit once; every dimension's rollup then shuffles
-        # tier-sized data only.  Salt via turn_idx spreads a hot
-        # (bucket, date) across tasks; partial aggs re-merge below.
-        valid = valid.repartition(cfg.shuffle_partitions, "conv_bucket", "date").cache()
-        prepped = with_text_stats(valid)
+        # Single-pass rollup: raw is scanned ONCE for every dimension
+        # (grouping-sets agg, rollup_multidim) — one shuffle of partial
+        # aggregates keyed by the full group, so hot (bucket, date) units
+        # are already defused by map-side partial aggregation.  Each tier
+        # is persisted (tier-sized, ≪ raw) and the next tier cascades from
+        # it; dimension tables are cheap filters over the persisted frame.
+        from mq_to_db_spark.operators.rollup import rollup_multidim
+
+        all_keys = [k for keys in DIMENSIONS.values() for k in keys]
+        tier_frames = rollup_multidim(
+            with_text_stats(valid),
+            DIMENSIONS,
+            tiers=tuple(cfg.tiers),
+            extra_group_cols=["conv_bucket", "date"],
+        )
 
         points = {}
-        for dim, keys in DIMENSIONS.items():
-            base = prepped if dim != "tool" else prepped.filter(F.col("tool").isNotNull())
-            finer: DataFrame | None = None
+        persisted = []
+        try:
             for tier in cfg.tiers:
-                if finer is None:
-                    cur = (
-                        base.withColumn("bucket_start", bucket_col(tier))
-                        .groupBy("conv_bucket", "date", "bucket_start", *keys)
-                        .agg(*_partial_aggs())
+                cur = tier_frames[tier].persist()
+                persisted.append(cur)
+                for dim, keys in DIMENSIONS.items():
+                    sliced = cur.filter(F.col("dim") == dim)
+                    if dim == "tool":
+                        # the tool dimension tracks tool *usage*: non-tool
+                        # turns (tool IS NULL) are not a series
+                        sliced = sliced.filter(F.col("tool").isNotNull())
+                    drop = ["dim", *[k for k in all_keys if k not in keys]]
+                    out_df = sliced.drop(*dict.fromkeys(drop))
+                    name = f"rollup_{dim}_{tier}"
+                    snap = self.tables[name].overwrite_partitions(
+                        out_df, summary={"batch_id": batch_id}
                     )
-                else:
-                    cur = (
-                        finer.withColumn("bucket_start", bucket_col(tier, "bucket_start"))
-                        .groupBy("conv_bucket", "date", "bucket_start", *keys)
-                        .agg(*_merge_aggs())
-                    )
-                name = f"rollup_{dim}_{tier}"
-                snap = self.tables[name].overwrite_partitions(
-                    cur, summary={"batch_id": batch_id}
-                )
-                points[name] = len(snap.added_files)  # files committed
-                finer = cur
-                if fail_after_commit_of == name:
-                    raise RuntimeError(f"injected failure after commit of {name}")
+                    points[name] = len(snap.added_files)  # files committed
+                    if fail_after_commit_of == name:
+                        raise RuntimeError(f"injected failure after commit of {name}")
+        finally:
+            for p in persisted:
+                p.unpersist()
 
         # dead letter (append — replays may duplicate rejects for units that
         # never reached the marker; dedup at read on (conv_id, turn_idx,
