@@ -568,7 +568,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT lid, rid, round(cos, 5) AS cosine_r, rank
             FROM ranked WHERE rank <= 3
         """,
-        # minhash_pairs / simhash_pairs / ann_lsh / transcript_pipeline:
+        "transcript_pipeline": r"""
+            WITH t AS (
+                SELECT ts,
+                       CAST(coalesce(length(props), 0) AS BIGINT) AS text_len,
+                       CASE WHEN props IS NULL OR trim(props) = '' THEN 0
+                            ELSE len(regexp_extract_all(trim(props), '\s+')) + 1
+                       END AS token_count,
+                       event_type AS role
+                FROM events
+            ),
+            hourly AS (
+                SELECT date_trunc('hour', ts) AS bucket_start,
+                       CAST(count(*) AS BIGINT) AS n_turns,
+                       CAST(sum(text_len) AS BIGINT) AS text_len_sum,
+                       CAST(min(text_len) AS BIGINT) AS text_len_min,
+                       CAST(max(text_len) AS BIGINT) AS text_len_max,
+                       CAST(sum(text_len * text_len) AS BIGINT) AS text_len_sumsq,
+                       CAST(sum(token_count) AS BIGINT) AS token_sum,
+                       CAST(count(*) FILTER (WHERE role = 'user') AS BIGINT) AS n_user,
+                       CAST(count(*) FILTER (WHERE role = 'assistant') AS BIGINT) AS n_assistant,
+                       CAST(count(*) FILTER (WHERE role = 'system') AS BIGINT) AS n_system,
+                       CAST(count(*) FILTER (WHERE role = 'tool') AS BIGINT) AS n_tool
+                FROM t GROUP BY 1
+            ),
+            extent AS (SELECT min(bucket_start) AS lo, max(bucket_start) AS hi FROM hourly),
+            grid AS (
+                SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start
+                FROM extent
+            )
+            SELECT g.bucket_start,
+                   coalesce(h.n_turns, 0) AS n_turns,
+                   coalesce(h.text_len_sum, 0) AS text_len_sum,
+                   h.text_len_min,
+                   h.text_len_max,
+                   h.text_len_sumsq,
+                   coalesce(h.token_sum, 0) AS token_sum,
+                   coalesce(h.n_user, 0) AS n_user,
+                   coalesce(h.n_assistant, 0) AS n_assistant,
+                   coalesce(h.n_system, 0) AS n_system,
+                   coalesce(h.n_tool, 0) AS n_tool
+            FROM grid g LEFT JOIN hourly h USING (bucket_start)
+        """,
+        # minhash_pairs / simhash_pairs / ann_lsh:
         # intentionally no oracle (hash-seeded LSH internals are not
         # ANSI-SQL-reproducible) → driver records rows-only checks.
     }
