@@ -158,6 +158,22 @@ def q_histogram_1d(spark, sf_dir):
     )
 
 
+def q_hist_quantile_1d(spark, sf_dir):
+    """C5: Prometheus histogram_quantile semantics — p90 reconstructed
+    from fixed-bucket counts by linear interpolation (not from raw)."""
+    from mq_to_db_spark.operators.rollup import (
+        fixed_bucket_histogram,
+        histogram_quantile,
+    )
+
+    ev = _events(spark, sf_dir).withColumnRenamed("value", "v")
+    hist = fixed_bucket_histogram(
+        ev.withColumn("ts", F.col("ts")), "v", [1.0, 5.0, 20.0, 100.0], "1d"
+    )
+    out = histogram_quantile(hist, 0.9)
+    return out.select("bucket_start", F.round("q90", 6).alias("q90"))
+
+
 def q_gapfill_1h(spark, sf_dir):
     """Gap-fill (C9): dense (event_type × hour) grid over the global
     extent, zero-filled counts — via the engine's grid/gapfill operator."""
@@ -348,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentile_1h": q_percentile_1h,
         "gauge_last_1h": q_gauge_last_1h,
         "histogram_1d": q_histogram_1d,
+        "hist_quantile_1d": q_hist_quantile_1d,
         "gapfill_1h": q_gapfill_1h,
         "validate_split": q_validate_split,
         "codec_roundtrip_agg": q_codec_roundtrip_agg,
@@ -424,6 +441,35 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'gt_100' END AS le,
                    count(*) AS n
             FROM events GROUP BY 1, 2
+        """,
+        "hist_quantile_1d": """
+            WITH h AS (
+                SELECT date_trunc('day', ts) AS bucket_start,
+                       CASE WHEN value <= 1 THEN 1.0
+                            WHEN value <= 5 THEN 5.0
+                            WHEN value <= 20 THEN 20.0
+                            WHEN value <= 100 THEN 100.0
+                            ELSE 'infinity'::DOUBLE END AS le,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            e AS (
+                SELECT bucket_start, le, n,
+                       sum(n) OVER (PARTITION BY bucket_start ORDER BY le) AS cum,
+                       coalesce(lag(le) OVER (PARTITION BY bucket_start ORDER BY le), 0.0) AS lo,
+                       sum(n) OVER (PARTITION BY bucket_start) AS tot,
+                       max(CASE WHEN le <> 'infinity'::DOUBLE THEN le END)
+                           OVER (PARTITION BY bucket_start) AS max_finite
+                FROM h
+            )
+            SELECT bucket_start,
+                   round(arg_min(
+                       CASE WHEN le = 'infinity'::DOUBLE THEN max_finite
+                            ELSE lo + (le - lo) * (0.9 * tot - (cum - n)) / n END,
+                       le), 6) AS q90
+            FROM e
+            WHERE cum >= 0.9 * tot AND tot > 0
+            GROUP BY 1
         """,
         "gapfill_1h": """
             WITH hourly AS (

@@ -1,0 +1,64 @@
+"""Canonical serialization of engine records (SURVEY.md §2 B3/B5).
+
+The reference serializes its message and result structs to JSON with a
+fixed field order and byte-exact golden outputs
+(/root/reference/internal/messages/sql.go:48-54 `ToJSON`,
+/root/reference/internal/repository/messages.go:34-41 `Results.ToJSON`,
+golden strings sql_test.go:110,147-159).  The engine inherits that
+discipline: ``to_json(struct(...))`` with an explicit column order and a
+fixed timestamp format, so the same row always serializes to the same
+bytes — the property the per-turn text-equality invariant and the golden
+tests lean on.  JVM-side (`to_json` is codegen'd); no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: canonical field order of a transcript turn (input_hint order)
+TURN_FIELDS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+#: microsecond-precision, timezone-free — matches the engine's UTC session
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+_OPTS = {"timestampFormat": _TS_FMT, "ignoreNullFields": "false"}
+
+
+def turn_json(cols: tuple[str, ...] = TURN_FIELDS) -> Column:
+    """Canonical JSON for one turn row (B3 analogue)."""
+    return F.to_json(F.struct(*[F.col(c) for c in cols]), _OPTS)
+
+
+def with_turn_json(df: DataFrame, out_col: str = "json") -> DataFrame:
+    return df.withColumn(out_col, turn_json())
+
+
+def result_json(
+    by: Column | str, rows: Column | str, reason: Column | str, error: Column | str
+) -> Column:
+    """Canonical JSON of a per-unit processing outcome — the ``Results``
+    record analogue (B5): ``{by, rows_affected, reason, error}``."""
+    c = lambda x: F.col(x) if isinstance(x, str) else x  # noqa: E731
+    return F.to_json(
+        F.struct(
+            c(by).alias("by"),
+            c(rows).cast("long").alias("rows_affected"),
+            c(reason).alias("reason"),
+            c(error).alias("error"),
+        ),
+        _OPTS,
+    )
+
+
+def parse_turn_json(col: Column | str) -> Column:
+    """Inverse of :func:`turn_json` (B1 analogue): strict declared-schema
+    parse — `from_json` yields NULL fields on type mismatch, and the
+    validate operator routes those rows to the dead letter, reproducing
+    the reference's strict-parse reject path (sql_test.go:45-50) without
+    exceptions."""
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    return F.from_json(col, schema, _OPTS)

@@ -286,6 +286,54 @@ def dim_slice(df: DataFrame, dims: dict[str, list[str]], name: str) -> DataFrame
     return df.filter(F.col("dim") == name).drop("dim", *dict.fromkeys(drop))
 
 
+def histogram_quantile(
+    hist: DataFrame,
+    q: float,
+    keys: list[str] | None = None,
+    le_col: str = "le",
+    n_col: str = "n",
+) -> DataFrame:
+    """Quantile from a fixed-bucket histogram — the engine's
+    ``histogram_quantile(q, rate(..._bucket[i]))`` analogue
+    (/root/reference/docker-compose/grafana/dashboards/mq-to-db.json:868:
+    the reference's p90 worker-duration panel; SURVEY.md §2 C5).
+
+    Input is :func:`fixed_bucket_histogram` output (per-window per-``le``
+    counts).  Prometheus semantics: linear interpolation inside the
+    bucket that contains rank ``q·total`` (lower edge of the first bucket
+    taken as 0), and the +inf bucket clamps to the highest finite edge.
+    All-Catalyst: one window cumsum + one hash agg over tier-sized data.
+    """
+    from pyspark.sql import Window as W
+
+    keys = ["bucket_start", *(keys or [])]
+    w = W.partitionBy(*keys).orderBy(le_col)
+    w_all = W.partitionBy(*keys)
+    le = F.col(le_col).cast("double")
+    enriched = (
+        hist.withColumn("_cum", F.sum(n_col).over(w))
+        .withColumn("_lo", F.lag(le, 1, 0.0).over(w))
+        .withColumn("_tot", F.sum(n_col).over(w_all))
+        .withColumn(
+            "_max_finite",
+            F.max(F.when(le != F.lit(float("inf")), le)).over(w_all),
+        )
+        .withColumn("_rank", F.lit(float(q)) * F.col("_tot"))
+    )
+    est = F.when(le == F.lit(float("inf")), F.col("_max_finite")).otherwise(
+        F.col("_lo")
+        + (le - F.col("_lo"))
+        * F.try_divide(F.col("_rank") - (F.col("_cum") - F.col(n_col)), F.col(n_col))
+    )
+    picked = (
+        enriched.filter((F.col("_cum") >= F.col("_rank")) & (F.col("_tot") > 0))
+        .withColumn("_est", est)
+        .groupBy(*keys)
+        .agg(F.min_by("_est", le_col).alias(f"q{int(q * 100)}"))
+    )
+    return picked
+
+
 def derived_stats(df: DataFrame) -> DataFrame:
     """Read-time derived columns: avg, population stddev, rate/sec.
 

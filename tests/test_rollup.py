@@ -164,3 +164,47 @@ def test_rollup_multidim_equals_per_dim(spark, transcripts):
             assert a.exceptAll(b).count() == 0
             assert b.exceptAll(a).count() == 0
             assert a.count() == b.count()
+
+
+def test_histogram_quantile_matches_numpy_oracle(spark, transcripts):
+    """C5: quantile-from-histogram (Prometheus histogram_quantile
+    semantics) vs a pure-numpy implementation of the same formula."""
+    import numpy as np
+    from mq_to_db_spark.operators.rollup import (
+        fixed_bucket_histogram,
+        histogram_quantile,
+        with_text_stats,
+    )
+
+    edges = [10.0, 25.0, 50.0, 100.0, 200.0]
+    df = with_text_stats(transcripts)
+    hist = fixed_bucket_histogram(df, "text_len", edges, "1d")
+    got = {
+        r.bucket_start: r.q90
+        for r in histogram_quantile(hist, 0.9).collect()
+    }
+
+    pdf = df.select("ts", "text_len").toPandas()
+    pdf["bucket_start"] = pdf["ts"].dt.floor("D")
+    for b, grp in pdf.groupby("bucket_start"):
+        vals = grp["text_len"].to_numpy()
+        # right-closed buckets (value <= le), matching fixed_bucket_histogram
+        bounds = [-np.inf, *edges, np.inf]
+        counts = np.array(
+            [
+                ((vals > bounds[i]) & (vals <= bounds[i + 1])).sum()
+                for i in range(len(bounds) - 1)
+            ]
+        )
+        cum = counts.cumsum()
+        rank = 0.9 * cum[-1]
+        i = int(np.searchsorted(cum, rank))
+        all_edges = [*edges, np.inf]
+        lo = 0.0 if i == 0 else all_edges[i - 1]
+        hi = all_edges[i]
+        if np.isinf(hi):
+            want = float(edges[-1])
+        else:
+            prev = 0 if i == 0 else cum[i - 1]
+            want = lo + (hi - lo) * (rank - prev) / counts[i]
+        assert abs(got[b] - want) < 1e-9, (b, got[b], want)

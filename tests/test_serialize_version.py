@@ -1,0 +1,83 @@
+"""Golden serialization + version/health tests (SURVEY.md §5 point 1 —
+mirrors the reference's byte-exact golden outputs,
+/root/reference/internal/messages/sql_test.go:110,147-159)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from pyspark.sql import functions as F
+
+from mq_to_db_spark.functions.serialize import (
+    parse_turn_json,
+    result_json,
+    with_turn_json,
+)
+from mq_to_db_spark.version import (
+    build_info_df,
+    get_version_info,
+    get_version_info_extended,
+    health_check,
+)
+
+
+def _one_turn_df(spark):
+    return spark.createDataFrame(
+        [
+            (
+                "conv-00000001",
+                3,
+                "assistant",
+                "naïve café 🚀",
+                None,
+                dt.datetime(2025, 1, 2, 3, 4, 5, 123456),
+            )
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+
+
+def test_turn_json_golden(spark):
+    """Byte-exact golden output — field order fixed, nulls kept, ts at
+    microsecond precision."""
+    got = with_turn_json(_one_turn_df(spark)).select("json").collect()[0][0]
+    want = (
+        '{"conv_id":"conv-00000001","turn_idx":3,"role":"assistant",'
+        '"text":"naïve café 🚀","tool":null,'
+        '"ts":"2025-01-02T03:04:05.123456"}'
+    )
+    assert got == want
+
+
+def test_turn_json_roundtrip(spark, transcripts):
+    """decode(encode(turn)) == turn for every field on real fixture rows
+    (the serialization analogue of the codec text-equality invariant)."""
+    j = with_turn_json(transcripts)
+    back = j.select(parse_turn_json(F.col("json")).alias("t")).select("t.*")
+    assert back.exceptAll(transcripts).count() == 0
+    assert transcripts.exceptAll(back).count() == 0
+
+
+def test_result_json_golden(spark):
+    df = spark.createDataFrame(
+        [("worker-1", 42, "ok", None)],
+        "by string, rows long, reason string, error string",
+    )
+    got = df.select(
+        result_json("by", "rows", "reason", "error").alias("j")
+    ).collect()[0][0]
+    assert got == '{"by":"worker-1","rows_affected":42,"reason":"ok","error":null}'
+
+
+def test_version_strings_and_build_info(spark):
+    assert get_version_info().startswith("mq_to_db_spark v")
+    ext = get_version_info_extended()
+    assert "pyspark" in ext and "python" in ext
+    row = build_info_df(spark).collect()[0]
+    assert row.name == "mq_to_db_spark"
+    assert json.loads(json.dumps(row.asDict()))  # serializable
+
+
+def test_health_check(spark):
+    assert health_check(spark) is True
