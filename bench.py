@@ -79,7 +79,18 @@ def run(sf_dir: str = SF_DIR, cpus: int = CPUS, include_scaling_meta: bool = Tru
     tr_path = ensure_transcripts(sf)
 
     spark = get_spark(
-        app_name=f"bench-local{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
+        app_name=f"bench-local{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={
+            # local-bench analogue of the cluster defaults: a ~10-100 MB
+            # input must still yield >cores splits (TB inputs get that from
+            # 128 MB binning for free), and AQE must not coalesce the
+            # few-MB partial-agg shuffle onto one core.
+            "spark.sql.files.maxPartitionBytes": "1m",
+            "spark.sql.files.openCostInBytes": "0",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2m",
+        },
     )
     import __spark_entry__ as entry
 

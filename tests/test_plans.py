@@ -105,3 +105,28 @@ def test_pipeline_semi_join_broadcasts_todo_units(spark, transcripts, tmp_path):
     )
     j = tagged.join(F.broadcast(todo), ["conv_bucket", "date"], "left_semi")
     assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_multidim_single_expand_single_scan(spark, transcripts):
+    """rollup_multidim must plan as ONE input scan + ONE Expand (grouping
+    sets) + partial/final hash agg — not one scan per dimension — and no
+    Python anywhere."""
+    from mq_to_db_spark.operators.rollup import rollup_multidim
+
+    dims = {"global": [], "conv": ["conv_id"], "tool": ["tool"]}
+    def n_scans(plan: str) -> int:
+        # max per kind: a cached input prints InMemoryTableScan plus its
+        # nested cached-child plan (one LocalTableScan) — one logical scan
+        return max(
+            plan.count(s)
+            for s in ("Scan ExistingRDD", "Scan parquet", "InMemoryTableScan", "LocalTableScan")
+        )
+
+    tiers = rollup_multidim(transcripts, dims)
+    plan = _plan(tiers["1m"])
+    assert plan.count("Expand") == 1
+    assert n_scans(plan) == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "BatchEvalPython" not in plan
+    # the full cascade still scans raw exactly once
+    assert n_scans(_plan(tiers["1d"])) == 1
