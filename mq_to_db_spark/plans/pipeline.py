@@ -275,7 +275,6 @@ class RollupPipeline:
         report.n_ok = report.n_in - report.n_rejected
         report.points_written = points
         report.seconds = time.time() - t0
-        valid.unpersist()
         return report
 
     # -- read-side finalization ----------------------------------------------
@@ -301,6 +300,42 @@ class RollupPipeline:
         if gap_filled:
             final = gapfill(final, tier, keys, policy=self.cfg.gapfill_policy)
         return final
+
+    # -- retention ------------------------------------------------------------
+
+    def apply_retention(
+        self,
+        retention_days: dict[str, int],
+        as_of: dt.date,
+        vacuum: bool = False,
+    ) -> dict[str, int]:
+        """Tiered retention (the downsample-then-expire contract of a
+        TSDB: raw/fine tiers age out first, coarse tiers live longest —
+        the Prometheus scrape-tier retention ladder of SURVEY.md §2 C8
+        made explicit).  ``retention_days`` maps tier → days kept; a tier
+        absent from the map is kept forever.
+
+        Expiry is a *metadata-only* partition drop per table
+        (TableIO.delete_partitions on the ``date`` partition column — no
+        data rewritten, O(partitions) driver work); pass ``vacuum=True``
+        to also reclaim the bytes.  Returns files expired per table.
+        """
+        out: dict[str, int] = {}
+        for tier, days in retention_days.items():
+            if tier not in self.cfg.tiers:
+                raise ValueError(f"unknown tier {tier!r}")
+            cutoff = (as_of - dt.timedelta(days=days)).isoformat()
+            for dim in DIMENSIONS:
+                name = f"rollup_{dim}_{tier}"
+                tbl = self.tables[name]
+                snap = tbl.delete_partitions(
+                    lambda pv, c=cutoff: pv.get("date", "") < c,
+                    summary={"retention_cutoff": cutoff},
+                )
+                out[name] = len(snap.removed_files)
+                if vacuum:
+                    tbl.vacuum()
+        return out
 
     def read_dead_letter(self, spark: SparkSession) -> DataFrame:
         return self.dead_letter.read(spark)

@@ -39,6 +39,18 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 
+def partition_values(rel_path: str) -> dict[str, str]:
+    """Hive partition values encoded in a file's directory path,
+    e.g. ``date=2025-01-03/conv_bucket=7/part-0.parquet`` →
+    ``{"date": "2025-01-03", "conv_bucket": "7"}``."""
+    out: dict[str, str] = {}
+    for part in rel_path.split(os.sep)[:-1]:
+        if "=" in part:
+            k, v = part.split("=", 1)
+            out[k] = v
+    return out
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -169,6 +181,45 @@ class TableIO:
         removed = list(prev.all_files) if prev else []
         added = self._publish(stage, rels, uuid.uuid4().hex[:8])
         return self._commit("overwrite_all", added, removed, summary or {})
+
+    def delete_partitions(self, predicate, summary: dict | None = None) -> Snapshot:
+        """Metadata-only partition drop (retention expiry — the Iceberg
+        ``DROP PARTITION`` / delete-where-on-partition-cols analogue):
+        files whose hive partition values match ``predicate`` (a callable
+        ``dict[str, str] -> bool``) leave the new snapshot; no data is
+        rewritten or touched.  Physical bytes are reclaimed later by
+        :meth:`vacuum` — the same two-phase shape as Iceberg
+        ``expire_snapshots`` + orphan-file cleanup, so a reader pinned to
+        an older snapshot keeps working until vacuum."""
+        prev = self.snapshot()
+        removed = (
+            [f for f in prev.all_files if predicate(partition_values(f))]
+            if prev
+            else []
+        )
+        return self._commit("delete_partitions", [], removed, summary or {})
+
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Physically delete data files unreferenced by the newest
+        ``keep_versions`` snapshots; returns their relative paths.
+        Time-travel to vacuumed snapshots is no longer valid (exactly
+        Iceberg's ``expire_snapshots`` contract)."""
+        cur = self.current_version()
+        keep: set[str] = set()
+        for v in range(max(1, cur - keep_versions + 1), cur + 1):
+            s = self.snapshot(v)
+            if s:
+                keep.update(s.all_files)
+        deleted = []
+        for root, _dirs, files in os.walk(self.data_dir, topdown=False):
+            for fn in files:
+                rel = os.path.relpath(os.path.join(root, fn), self.data_dir)
+                if fn.endswith(".parquet") and rel not in keep:
+                    os.remove(os.path.join(root, fn))
+                    deleted.append(rel)
+            if root != self.data_dir and not os.listdir(root):
+                os.rmdir(root)
+        return deleted
 
     # -- read paths -----------------------------------------------------------
 
