@@ -26,7 +26,12 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the sf* documents files are a single small parquet (1-2 input
+    # splits) — spread the regex/shingle-heavy doc pipelines across cores;
+    # at production scale the file count already provides this.
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -96,6 +96,7 @@ def run(sf_dir: str = SF_DIR, cpus: int = CPUS, include_scaling_meta: bool = Tru
 
     # warmup: JVM/codegen/Arrow spin-up outside timed sections
     spark.range(1_000_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
+    WARM_DIR = "/root/testdata/sf0.001"
 
     timings: dict[str, float] = {}
 
@@ -109,14 +110,17 @@ def run(sf_dir: str = SF_DIR, cpus: int = CPUS, include_scaling_meta: bool = Tru
     transcripts = spark.read.parquet(tr_path)
     n_turns = transcripts.count()
 
-    def _rollup_all():
+    # warm the pipeline plans on a tiny input (codegen compile only)
+    warm_tr = spark.read.parquet(ensure_transcripts(0.001))
+
+    def _rollup_all(src):
         # production shape: raw scanned once for all 3 dimensions
         # (grouping-sets agg), coarser tiers cascaded from the persisted
         # finest tier — see rollup.rollup_multidim.
         from mq_to_db_spark.operators.rollup import rollup_multidim
 
         tiers = rollup_multidim(
-            transcripts, {"global": [], "conv": ["conv_id"], "tool": ["tool"]}
+            src, {"global": [], "conv": ["conv_id"], "tool": ["tool"]}
         )
         m1 = tiers["1m"].persist()
         total = m1.count()
@@ -126,18 +130,25 @@ def run(sf_dir: str = SF_DIR, cpus: int = CPUS, include_scaling_meta: bool = Tru
             tiers[t].unpersist()
         return total
 
-    points = timed("rollup_cascade_3dim", _rollup_all)
+    _rollup_all(warm_tr)  # codegen compile outside the timed run
+    points = timed("rollup_cascade_3dim", lambda: _rollup_all(transcripts))
 
+    _materialize(gapfill(rollup_tiers(warm_tr, keys=[])["1h"], "1h"))  # warm
     tiers_global = rollup_tiers(transcripts, keys=[])
     timed("gapfill_1h", lambda: _materialize(gapfill(tiers_global["1h"], "1h")))
 
-    def _codec():
-        chunks = encode_chunks(transcripts, value_col="text_len")
+    def _codec(src):
+        chunks = encode_chunks(src, value_col="text_len")
         return _materialize(decode_chunks(chunks))
 
-    timed("codec_encode_decode", _codec)
+    _codec(warm_tr)  # warm (Arrow + pandas-UDF worker spin-up)
+    timed("codec_encode_decode", lambda: _codec(transcripts))
 
     # -- driver-table headline queries -------------------------------------
+    # Each query is warmed once at sf0.001 (same plan shape → Janino/
+    # codegen compile happens outside the timed run; the fold-based
+    # minhash signature alone costs ~8 s of one-time compilation), then
+    # timed steady-state at sf_dir — matching the scale bench methodology.
     qs = entry.queries()
     for name in (
         "rollup_1h_value_stats",
@@ -151,6 +162,7 @@ def run(sf_dir: str = SF_DIR, cpus: int = CPUS, include_scaling_meta: bool = Tru
         "ann_cosine_topk",
     ):
         key = f"q_{name}"
+        _materialize(qs[name](spark, WARM_DIR))
         timed(key, lambda n=name: _materialize(qs[n](spark, sf_dir)))
 
     rollup_sec = timings["rollup_cascade_3dim"]
