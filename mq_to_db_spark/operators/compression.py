@@ -4,9 +4,11 @@ Spark plumbing around the pure-numpy Gorilla-style codec
 (functions/codec.py): one compressed chunk per ``(conv_id, chunk_start)``
 where ``chunk_start = date_trunc(chunk_interval, first ts)``.  Encode is a
 grouped-map pandas UDF (``applyInPandas`` — Arrow batches in, one chunk
-row out); decode is ``mapInPandas`` (chunk rows in, turn rows out).  These
-are the engine's **only** two pandas-UDF families (input_hint: "no
-per-row Python") — everything inside them is vectorized numpy.
+row out); decode is ``mapInPandas`` (chunk rows in, turn rows out).
+Together with SimHash bit-packing and the minhash signature mixer
+(operators/dedup.py) these are the engine's only pandas-UDF families
+(input_hint: "no per-row Python") — everything inside them is vectorized
+numpy.
 
 Scale design:
   * chunk grain bounds group size: a conversation's day of turns, not the

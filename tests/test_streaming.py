@@ -96,3 +96,45 @@ def test_foreach_batch_runs_batch_pipeline(spark, transcripts_pdf, tmp_path):
     assert reports[0].n_ok == len(transcripts_pdf)
     got = pipe.read_rollup(spark, "global", "1h").agg(F.sum("n_turns")).collect()[0][0]
     assert got == len(transcripts_pdf)
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """A row arriving beyond the watermark after its window was emitted is
+    DROPPED by the streaming path (the documented trade-off; the
+    batch-incremental pipeline instead MERGEs it into its bucket on the
+    next batch — see stream.py docstring)."""
+    import pandas as pd
+
+    def turns(rows):
+        return pd.DataFrame(
+            {
+                "conv_id": pd.array([r[0] for r in rows], dtype="string"),
+                "turn_idx": pd.array([r[1] for r in rows], dtype="int32"),
+                "role": "user",
+                "text": "hello world",
+                "tool": pd.array([None] * len(rows), dtype="string"),
+                "ts": pd.to_datetime([r[2] for r in rows]).astype("datetime64[us]"),
+            }
+        )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    # on-time batch: two turns in the 00:02 window + one at 01:00 that
+    # advances the watermark past 00:02 (wm = 01:00 - 10 min = 00:50)
+    turns(
+        [("c1", 0, "2025-01-01 00:02:10"), ("c1", 1, "2025-01-01 00:02:40"),
+         ("c2", 0, "2025-01-01 01:00:00")]
+    ).to_parquet(inp / "f1.parquet", index=False)
+    q = run_stream_to_parquet(spark, str(inp), out, ckpt, tier="1m", watermark="10 minutes")
+    q.awaitTermination(120)
+    first = spark.read.parquet(out).toPandas().set_index("bucket_start")
+    assert first.loc[pd.Timestamp("2025-01-01 00:02:00")].n_turns == 2
+
+    # late delivery into the already-emitted 00:02 window
+    turns([("c3", 0, "2025-01-01 00:02:50")]).to_parquet(inp / "f2.parquet", index=False)
+    q2 = run_stream_to_parquet(spark, str(inp), out, ckpt, tier="1m", watermark="10 minutes")
+    q2.awaitTermination(120)
+    after = spark.read.parquet(out).toPandas()
+    b = after[after.bucket_start == pd.Timestamp("2025-01-01 00:02:00")]
+    assert len(b) == 1 and int(b.n_turns.iloc[0]) == 2  # late row dropped, no dup window
