@@ -193,6 +193,25 @@ def q_gapfill_1h(spark, sf_dir):
     return filled.select("bucket_start", "event_type", F.col("n_turns").alias("n_events"))
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (island detection, one window shuffle):
+    user activity sessions with a 30-minute inactivity gap."""
+    from mq_to_db_spark.operators.sessionize import sessionize
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts")
+    out = sessionize(
+        ev, gap="30 minutes", key="user_id", order_cols=["ts", "event_id"]
+    )
+    return out.select(
+        "user_id",
+        "session_id",
+        "session_start",
+        "session_end",
+        "n_turns",
+        F.round("duration_sec", 6).alias("duration_sec"),
+    )
+
+
 def q_validate_split(spark, sf_dir):
     """Reject-routing truth table (A6/A10/B2): plant three invalid rows,
     route by first-failing-reason, count per reason."""
@@ -371,6 +390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_1d": q_histogram_1d,
         "hist_quantile_1d": q_hist_quantile_1d,
         "gapfill_1h": q_gapfill_1h,
+        "sessionize": q_sessionize,
         "validate_split": q_validate_split,
         "codec_roundtrip_agg": q_codec_roundtrip_agg,
         "dedup_exact": q_dedup_exact,
@@ -492,6 +512,28 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n, 0) AS n_events
             FROM grid g LEFT JOIN hourly h
               ON g.bucket_start = h.b AND g.event_type = h.event_type
+        """,
+        "sessionize": """
+            WITH flagged AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                            THEN 0 ELSE 1 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            tagged AS (
+                SELECT user_id, ts,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_turns,
+                   round(CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE) / 1e6, 6)
+                       AS duration_sec
+            FROM tagged GROUP BY 1, 2
         """,
         "validate_split": """
             WITH planted AS (
