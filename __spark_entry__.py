@@ -193,6 +193,30 @@ def q_gapfill_1h(spark, sf_dir):
     return filled.select("bucket_start", "event_type", F.col("n_turns").alias("n_events"))
 
 
+def q_asof_join(spark, sf_dir):
+    """Point-in-time as-of join (backward): each click gets the user's
+    latest purchase value at-or-before it — one shuffle, no pair
+    explosion (operators/asof.py); DuckDB's native ASOF JOIN is the
+    oracle."""
+    from mq_to_db_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(ev.event_type == "click").select("event_id", "user_id", "ts")
+    right = (
+        ev.filter(ev.event_type == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = asof_join(left, right, on="ts", by=["user_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("pval_right", 6).alias("pval_right"),
+        "ts_right",
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (island detection, one window shuffle):
     user activity sessions with a 30-minute inactivity gap."""
@@ -390,6 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_1d": q_histogram_1d,
         "hist_quantile_1d": q_hist_quantile_1d,
         "gapfill_1h": q_gapfill_1h,
+        "asof_join": q_asof_join,
         "sessionize": q_sessionize,
         "validate_split": q_validate_split,
         "codec_roundtrip_agg": q_codec_roundtrip_agg,
@@ -512,6 +537,19 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n, 0) AS n_events
             FROM grid g LEFT JOIN hourly h
               ON g.bucket_start = h.b AND g.event_type = h.event_type
+        """,
+        "asof_join": """
+            WITH l AS (
+                SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ),
+            r AS (
+                SELECT user_id, ts, max(value) AS pval
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            )
+            SELECT l.event_id, l.user_id, l.ts,
+                   round(r.pval, 6) AS pval_right, r.ts AS ts_right
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "sessionize": """
             WITH flagged AS (

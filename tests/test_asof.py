@@ -1,0 +1,113 @@
+"""As-of join vs pandas.merge_asof (the reference implementation of
+backward as-of semantics)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mq_to_db_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def frames():
+    rng = np.random.default_rng(11)
+    keys = [f"k{i}" for i in range(6)]
+    n_l, n_r = 400, 150
+    base = pd.Timestamp("2025-03-01")
+    left = pd.DataFrame(
+        {
+            "key": rng.choice(keys, n_l),
+            "ts": base + pd.to_timedelta(rng.integers(0, 86400, n_l), unit="s"),
+            "lval": rng.integers(0, 1000, n_l),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "key": rng.choice(keys, n_r),
+            "ts": base + pd.to_timedelta(rng.integers(0, 86400, n_r), unit="s"),
+            "price": rng.random(n_r).round(6),
+        }
+    )
+    # make ts unique per (key) on the right so merge_asof ties are unambiguous
+    right = right.drop_duplicates(["key", "ts"])
+    left["ts"] = left["ts"].astype("datetime64[us]")
+    right["ts"] = right["ts"].astype("datetime64[us]")
+    return left, right
+
+
+def _expected(left, right, tolerance=None):
+    kw = {"tolerance": pd.Timedelta(tolerance)} if tolerance else {}
+    exp = pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        right.sort_values("ts", kind="stable").rename(columns={"ts": "ts_r"}),
+        left_on="ts",
+        right_on="ts_r",
+        by="key",
+        direction="backward",
+        **kw,
+    )
+    return exp.rename(columns={"price": "price_right", "ts_r": "ts_right"})
+
+
+def _got(spark, left, right, tolerance=None):
+    l_df = spark.createDataFrame(left)
+    r_df = spark.createDataFrame(right)
+    return asof_join(
+        l_df, r_df, on="ts", by=["key"], tolerance=tolerance
+    ).toPandas()
+
+
+def _cmp(got, want):
+    g = got.sort_values(["key", "ts", "lval"], ignore_index=True)
+    w = want.sort_values(["key", "ts", "lval"], ignore_index=True)[g.columns]
+    for c in g.columns:  # unify datetime resolution (ns vs us)
+        if pd.api.types.is_datetime64_any_dtype(g[c]):
+            g[c] = g[c].astype("datetime64[us]")
+            w[c] = w[c].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_asof_backward_matches_merge_asof(spark, frames):
+    left, right = frames
+    _cmp(_got(spark, left, right), _expected(left, right))
+
+
+def test_asof_with_tolerance(spark, frames):
+    left, right = frames
+    got = _got(spark, left, right, tolerance="1 hour")
+    want = _expected(left, right, tolerance="1 hour")
+    # pandas keeps ts_r even out of tolerance? no — it nulls the row's
+    # right columns entirely, same as ours
+    _cmp(got, want)
+
+
+def test_asof_tie_matches_equal_timestamp(spark):
+    left = pd.DataFrame(
+        {"key": ["a"], "ts": pd.to_datetime(["2025-01-01 00:10:00"]).astype("datetime64[us]"), "lval": [1]}
+    )
+    right = pd.DataFrame(
+        {"key": ["a"], "ts": pd.to_datetime(["2025-01-01 00:10:00"]).astype("datetime64[us]"), "price": [0.5]}
+    )
+    got = _got(spark, left, right)
+    assert got["price_right"].iloc[0] == 0.5  # <= semantics: tie matches
+
+
+def test_asof_null_right_value_does_not_mix_rows(spark):
+    """A right row with a NULL value field must not inherit the value of
+    an older right row (struct-carry atomicity)."""
+    left = pd.DataFrame(
+        {"key": ["a"], "ts": pd.to_datetime(["2025-01-01 02:00:00"]).astype("datetime64[us]"), "lval": [1]}
+    )
+    r = pd.DataFrame(
+        {
+            "key": ["a", "a"],
+            "ts": pd.to_datetime(["2025-01-01 00:00:00", "2025-01-01 01:00:00"]).astype("datetime64[us]"),
+            "price": [1.0, None],
+        }
+    )
+    got = _got(spark, left, r)
+    # latest right row (01:00) has NULL price — the match must carry that
+    # NULL, not the 00:00 price
+    assert pd.isna(got["price_right"].iloc[0])
+    assert got["ts_right"].iloc[0] == pd.Timestamp("2025-01-01 01:00:00")
