@@ -217,6 +217,24 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_range_join(spark, sf_dir):
+    """Point-in-interval range join via bucketized equi-join (no
+    BroadcastNestedLoop): clicks landing inside the 2-hour window after
+    each signup of the same user."""
+    from mq_to_db_spark.operators.rangejoin import range_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(ev.event_type == "click").select("event_id", "user_id", "ts")
+    right = ev.filter(ev.event_type == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end"),
+    )
+    out = range_join(left, right, by=["user_id"], bucket="1 hour")
+    return out.select("event_id", "user_id", "ts", "signup_id", "start", "end")
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (island detection, one window shuffle):
     user activity sessions with a 30-minute inactivity gap."""
@@ -415,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantile_1d": q_hist_quantile_1d,
         "gapfill_1h": q_gapfill_1h,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "sessionize": q_sessionize,
         "validate_split": q_validate_split,
         "codec_roundtrip_agg": q_codec_roundtrip_agg,
@@ -537,6 +556,19 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n, 0) AS n_events
             FROM grid g LEFT JOIN hourly h
               ON g.bucket_start = h.b AND g.event_type = h.event_type
+        """,
+        "range_join": """
+            WITH l AS (
+                SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ),
+            r AS (
+                SELECT event_id AS signup_id, user_id, ts AS "start",
+                       ts + INTERVAL 2 HOUR AS "end"
+                FROM events WHERE event_type = 'signup'
+            )
+            SELECT l.event_id, l.user_id, l.ts, r.signup_id, r."start", r."end"
+            FROM l JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r."start" AND l.ts < r."end"
         """,
         "asof_join": """
             WITH l AS (
