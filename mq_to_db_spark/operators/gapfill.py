@@ -87,6 +87,40 @@ def gapfill(
     return filled
 
 
+def gapfill_interpolate_linear(
+    df_rollup: DataFrame,
+    tier: str,
+    value_col: str,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Gap-fill with linear interpolation (C9 interpolation policy, the
+    TimescaleDB ``interpolate()`` analogue): a generated bucket between
+    two observed buckets gets the time-weighted blend of their values;
+    leading/trailing gaps (no neighbor on one side) stay NULL.  Two
+    window passes over tier-sized data (prev/next observation carry), no
+    raw data touched."""
+    from pyspark.sql import Window as W
+
+    filled = gapfill(df_rollup, tier, keys, policy="null")
+    part = list(keys or [])
+    base = W.partitionBy(*part) if part else W.partitionBy(F.lit(1))
+    w_prev = base.orderBy("bucket_start").rowsBetween(W.unboundedPreceding, 0)
+    w_next = base.orderBy("bucket_start").rowsBetween(0, W.unboundedFollowing)
+
+    t = F.unix_micros(F.col("bucket_start").cast("timestamp")).cast("double")
+    obs = F.when(
+        F.col(value_col).isNotNull(),
+        F.struct(F.col(value_col).cast("double").alias("v"), t.alias("t")),
+    )
+    prev = F.last(obs, ignorenulls=True).over(w_prev)
+    nxt = F.first(obs, ignorenulls=True).over(w_next)
+    frac = F.try_divide(t - prev["t"], nxt["t"] - prev["t"])
+    interp = F.when(
+        F.col(value_col).isNotNull(), F.col(value_col).cast("double")
+    ).otherwise(prev["v"] + (nxt["v"] - prev["v"]) * frac)
+    return filled.withColumn(value_col, interp)
+
+
 def gapfill_interpolate_last(
     df_rollup: DataFrame,
     tier: str,

@@ -60,3 +60,29 @@ def test_gapfill_locf(spark, transcripts):
     # carried value equals the previous observed bucket's value
     dead = after[after.bucket_start.dt.hour == 4]
     assert len(dead) > 0
+
+
+def test_gapfill_linear_interpolation(spark):
+    """Interior generated buckets get the time-weighted blend of their
+    neighbors; leading/trailing gaps stay NULL."""
+    import pandas as pd
+    from mq_to_db_spark.operators.gapfill import gapfill_interpolate_linear
+
+    rows = pd.DataFrame(
+        {
+            "bucket_start": pd.to_datetime(
+                ["2025-01-01 01:00", "2025-01-01 04:00", "2025-01-01 05:00"]
+            ).astype("datetime64[us]"),
+            "v": [10.0, 40.0, 10.0],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    out = (
+        gapfill_interpolate_linear(df, "1h", "v")
+        .orderBy("bucket_start")
+        .toPandas()
+    )
+    got = dict(zip(out.bucket_start.dt.strftime("%H"), out.v))
+    assert got["01"] == 10.0 and got["04"] == 40.0 and got["05"] == 10.0
+    assert got["02"] == 20.0  # 10 + (40-10) * 1/3
+    assert got["03"] == 30.0
