@@ -47,13 +47,7 @@ from pyspark.sql import types as T
 
 from mq_to_db_spark.config import EngineConfig
 from mq_to_db_spark.operators.gapfill import gapfill
-from mq_to_db_spark.operators.rollup import (
-    ROLE_NAMES,
-    _merge_aggs,
-    _partial_aggs,
-    bucket_col,
-    with_text_stats,
-)
+from mq_to_db_spark.operators.rollup import _merge_aggs, with_text_stats
 from mq_to_db_spark.operators.validate import with_reject_reason
 from mq_to_db_spark.sources.tableio import TableIO
 
