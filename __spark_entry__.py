@@ -388,6 +388,16 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_pairs(_docs(spark, sf_dir), "doc_id", "text", max_hamming=3)
 
 
+def q_ann_ivf(spark, sf_dir):
+    from mq_to_db_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter("vec_id = 0").collect()[0].embedding
+    return ivf_topk(emb, list(qv), k=10, n_centroids=8, nprobe=3).select(
+        "vec_id", F.round("cosine", 5).alias("cosine_r")
+    )
+
+
 def q_ann_lsh(spark, sf_dir):
     from mq_to_db_spark.operators.similarity import ann_lsh_topk
 
@@ -446,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "transcript_pipeline": q_transcript_pipeline,
     }
 
@@ -773,7 +784,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_tool, 0) AS n_tool
             FROM grid g LEFT JOIN hourly h USING (bucket_start)
         """,
-        # minhash_pairs / simhash_pairs / ann_lsh:
-        # intentionally no oracle (hash-seeded LSH internals are not
+        # minhash_pairs / simhash_pairs / ann_lsh / ann_ivf:
+        # intentionally no oracle (hash-seeded LSH/IVF internals are not
         # ANSI-SQL-reproducible) → driver records rows-only checks.
     }

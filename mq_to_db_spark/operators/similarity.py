@@ -141,3 +141,86 @@ def knn_join_brute(
         .filter(F.col("rank") <= k)
         .select("lid", "rid", "cosine", "rank")
     )
+
+
+def ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic coarse quantizer: the ``n_centroids`` corpus vectors
+    with the smallest ``xxhash64(id)`` (hash-reservoir sampling — stable
+    across partitionings and cluster sizes, no iterative k-means job).
+    At 100 TB this is one cheap top-k over ids; refining with a few Lloyd
+    iterations is an optional offline step that only changes the anchor
+    list, not the search path."""
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .withColumn("_h", F.xxhash64(F.col(id_col).cast("string")))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [list(r.v) for r in rows]
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "list_id",
+) -> DataFrame:
+    """Assign each vector to its nearest (max-cosine) centroid — the
+    inverted-list id.  Centroids are literal expressions (broadcast-free,
+    identical on every executor); at scale the assigned table is
+    partitioned by ``list_id`` so probes prune partitions."""
+    v = F.col(vec_col).cast("array<double>")
+    # greatest() over (cos, lid) structs = max-by-cosine with a
+    # deterministic lid tie-break (struct comparison is field-ordered)
+    scored = [
+        F.struct(
+            cosine_sim_cols(v, F.array(*[F.lit(float(x)) for x in c])).alias("cos"),
+            F.lit(i).alias("lid"),
+        )
+        for i, c in enumerate(centroids)
+    ]
+    return df.withColumn(out_col, F.greatest(*scored)["lid"] if len(scored) > 1 else scored[0]["lid"])
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` inverted lists whose
+    centroids are nearest the query; exact cosine within candidates.
+
+    Recall/latency knob is ``nprobe`` (= n_centroids ⇒ exact brute
+    force).  The centroid ranking for the query happens driver-side in
+    numpy (centroid count is tiny by construction)."""
+    import numpy as np
+
+    if centroids is None:
+        centroids = ivf_centroids(df, n_centroids, id_col, vec_col)
+    c = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    cos = (c @ q) / (np.linalg.norm(c, axis=1) * np.linalg.norm(q) + 1e-300)
+    probes = [int(i) for i in np.argsort(-cos)[:nprobe]]
+
+    assigned = ivf_assign(df, centroids, vec_col)
+    cand = assigned.filter(F.col("list_id").isin(probes))
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(
+            F.col(id_col),
+            cosine_sim_cols(F.col(vec_col).cast("array<double>"), qcol).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )

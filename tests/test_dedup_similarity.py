@@ -120,3 +120,33 @@ def test_knn_join(spark):
     # self is always the nearest neighbor
     top1 = knn[knn["rank"] == 1]
     assert (top1.lid == top1.rid).all()
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    from mq_to_db_spark.operators.similarity import (
+        cosine_topk,
+        ivf_centroids,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qv = list(emb.filter("vec_id = 3").collect()[0].embedding)
+
+    exact = [r.vec_id for r in cosine_topk(emb, qv, k=10).collect()]
+    # centroids are hash-deterministic: same list twice
+    c1 = ivf_centroids(emb, 8)
+    c2 = ivf_centroids(emb, 8)
+    assert c1 == c2
+
+    approx = [r.vec_id for r in ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=3).collect()]
+    recall3 = len(set(exact) & set(approx)) / 10
+    # synthetic embeddings are ~isotropic random vectors, the worst case
+    # for coarse quantization — assert usefulness + monotonicity, not
+    # clustered-data recall
+    assert recall3 >= 0.3, recall3
+    approx6 = [r.vec_id for r in ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=6).collect()]
+    recall6 = len(set(exact) & set(approx6)) / 10
+    assert recall6 >= recall3
+    # nprobe = n_centroids degenerates to exact brute force
+    full = [r.vec_id for r in ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=8).collect()]
+    assert full == exact
