@@ -235,6 +235,20 @@ def q_range_join(spark, sf_dir):
     return out.select("event_id", "user_id", "ts", "signup_id", "start", "end")
 
 
+def q_role_transitions(spark, sf_dir):
+    """Role-transition bigrams per day (conversation-flow analytics) on
+    events-as-transcripts: event_type handoffs within a user's stream."""
+    from mq_to_db_spark.operators.rollup import role_transitions
+
+    tr = _events(spark, sf_dir).select(
+        F.col("user_id").alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        "ts",
+    )
+    return role_transitions(tr, tier="1d")
+
+
 def q_sessionize(spark, sf_dir):
     """Gap-based sessionization (island detection, one window shuffle):
     user activity sessions with a 30-minute inactivity gap."""
@@ -445,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "sessionize": q_sessionize,
+        "role_transitions": q_role_transitions,
         "validate_split": q_validate_split,
         "codec_roundtrip_agg": q_codec_roundtrip_agg,
         "dedup_exact": q_dedup_exact,
@@ -567,6 +582,19 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n, 0) AS n_events
             FROM grid g LEFT JOIN hourly h
               ON g.bucket_start = h.b AND g.event_type = h.event_type
+        """,
+        "role_transitions": """
+            WITH tagged AS (
+                SELECT date_trunc('day', ts) AS bucket_start,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev_role,
+                       event_type AS next_role
+                FROM events
+            )
+            SELECT bucket_start, prev_role, next_role,
+                   count(*) AS n_transitions
+            FROM tagged WHERE prev_role IS NOT NULL
+            GROUP BY 1, 2, 3
         """,
         "range_join": """
             WITH l AS (

@@ -334,6 +334,29 @@ def histogram_quantile(
     return picked
 
 
+def role_transitions(
+    df: DataFrame,
+    tier: str | None = "1d",
+    key: str = "conv_id",
+    role_col: str = "role",
+) -> DataFrame:
+    """Role-transition (bigram) counts — conversation-flow analytics:
+    how often does role A hand off to role B within a conversation, per
+    tier bucket (of the *second* turn's timestamp).  One window pass per
+    conversation (lag over the stable (ts, turn_idx) order) + a hash agg;
+    first turns (no predecessor) are excluded."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(key).orderBy("ts", "turn_idx")
+    pairs = df.withColumn("prev_role", F.lag(role_col).over(w)).filter(
+        F.col("prev_role").isNotNull()
+    )
+    group = [F.col("prev_role"), F.col(role_col).alias("next_role")]
+    if tier is not None:
+        group = [bucket_col(tier).alias("bucket_start"), *group]
+    return pairs.groupBy(*group).agg(F.count(F.lit(1)).alias("n_transitions"))
+
+
 def derived_stats(df: DataFrame) -> DataFrame:
     """Read-time derived columns: avg, population stddev, rate/sec.
 

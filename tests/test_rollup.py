@@ -208,3 +208,19 @@ def test_histogram_quantile_matches_numpy_oracle(spark, transcripts):
             prev = 0 if i == 0 else cum[i - 1]
             want = lo + (hi - lo) * (rank - prev) / counts[i]
         assert abs(got[b] - want) < 1e-9, (b, got[b], want)
+
+
+def test_role_transitions_matches_pandas(spark, transcripts, transcripts_pdf):
+    from mq_to_db_spark.operators.rollup import role_transitions
+
+    got = role_transitions(transcripts, tier="1d").toPandas()
+    p = transcripts_pdf.sort_values(["conv_id", "ts", "turn_idx"])
+    p = p.assign(prev_role=p.groupby("conv_id")["role"].shift())
+    p = p[p.prev_role.notna()]
+    want = (
+        p.assign(bucket_start=p["ts"].dt.floor("D"))
+        .groupby(["bucket_start", "prev_role", "role"], as_index=False)
+        .size()
+        .rename(columns={"role": "next_role", "size": "n_transitions"})
+    )
+    assert_pdf_equal(got, want, ["bucket_start", "prev_role", "next_role"])
