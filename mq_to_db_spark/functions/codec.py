@@ -263,3 +263,134 @@ def decode_dict(blob: bytes) -> list:
     vocab = decode_strings(bytes(buf[8 : 8 + vlen]))
     codes = np.frombuffer(buf[8 + vlen : 8 + vlen + n], dtype=np.uint8)
     return [None if c == 255 else vocab[c] for c in codes]
+
+
+# -- multi-group (batch) encoders --------------------------------------------
+#
+# The chunk archive processes thousands of (conv, chunk) groups per Arrow
+# batch; calling the single-series encoders per group costs ~50 µs of
+# numpy setup each, which dominates when chunks are small (e.g. sparse
+# per-user event streams).  These variants run ONE vectorized pass over
+# the whole concatenated batch (boundary-safe slicing of diff/xor
+# streams) and then assemble each group's blob with O(1) slices —
+# byte-identical output to the per-group encoders (asserted in tests).
+
+
+def encode_ts_grouped(ts: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> list:
+    """Per-group ``encode_ts(ts[s:e])`` blobs from one vectorized pass.
+
+    ``dd = diff(ts, 2)`` is computed over the full array; group g's
+    delta-of-deltas are exactly ``dd[s : e-2]`` (every term uses only
+    in-group elements), so boundary-contaminated entries are simply never
+    sliced.  Packing runs once over the whole dd stream; per-group
+    payloads are byte-range slices via the cumulative significant-byte
+    counts."""
+    ts = np.ascontiguousarray(ts, dtype=np.int64)
+    n_all = len(ts)
+    if n_all == 0:
+        return [encode_ts(ts[0:0]) for _ in range(len(starts))]
+    d = np.diff(ts) if n_all > 1 else np.empty(0, dtype=np.int64)
+    dd = np.diff(d) if n_all > 2 else np.empty(0, dtype=np.int64)
+    z = _zigzag(dd)
+    nbytes = _sig_bytes(z)
+    packed = _pack_varbytes(z, np.zeros(len(z), dtype=np.int64), nbytes).tobytes()
+    bcum = np.r_[0, np.cumsum(nbytes)]
+    ctrl_all = nbytes.astype(np.uint8)
+    ts_raw = ts.astype(_I64)
+    d_raw = d.astype(_I64)
+
+    out = []
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        n = e - s
+        head = np.array([n], dtype=_U32).tobytes()
+        if n == 0:
+            out.append(head)
+            continue
+        if n == 1:
+            out.append(head + ts_raw[s : s + 1].tobytes())
+            continue
+        lo, hi = s, e - 2  # dod slice within dd
+        out.append(
+            head
+            + ts_raw[s : s + 1].tobytes()
+            + d_raw[s : s + 1].tobytes()
+            + ctrl_all[lo:hi].tobytes()
+            + packed[int(bcum[lo]) : int(bcum[hi])]
+        )
+    return out
+
+
+encode_i64_grouped = encode_ts_grouped
+
+
+def encode_xor_grouped(vals: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> list:
+    """Per-group ``encode_xor(vals[s:e])`` blobs from one vectorized pass
+    (group g's xor stream is exactly ``xor[s : e-1]``)."""
+    v = np.ascontiguousarray(vals, dtype=np.float64).view(_U64)
+    n_all = len(v)
+    if n_all == 0:
+        return [encode_xor(np.empty(0)) for _ in range(len(starts))]
+    xor = v[1:] ^ v[:-1] if n_all > 1 else np.empty(0, dtype=_U64)
+    m = len(xor)
+    if m:
+        mat = xor.view(np.uint8).reshape(m, 8)
+        nz = mat != 0
+        any_nz = nz.any(axis=1)
+        first_nz = np.where(any_nz, np.argmax(nz, axis=1), 0)
+        last_nz = np.where(any_nz, 7 - np.argmax(nz[:, ::-1], axis=1), -1)
+        sig = np.where(any_nz, last_nz - first_nz + 1, 0).astype(np.int64)
+        ctrl_all = (first_nz.astype(np.uint8) << np.uint8(4)) | sig.astype(np.uint8)
+        packed = _pack_varbytes(xor, first_nz.astype(np.int64), sig).tobytes()
+        bcum = np.r_[0, np.cumsum(sig)]
+    else:
+        ctrl_all = np.empty(0, dtype=np.uint8)
+        packed = b""
+        bcum = np.zeros(1, dtype=np.int64)
+
+    out = []
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        n = e - s
+        head = np.array([n], dtype=_U32).tobytes()
+        if n == 0:
+            out.append(head)
+            continue
+        if n == 1:
+            out.append(head + v[s : s + 1].tobytes())
+            continue
+        lo, hi = s, e - 1  # xor slice
+        out.append(
+            head
+            + v[s : s + 1].tobytes()
+            + ctrl_all[lo:hi].tobytes()
+            + packed[int(bcum[lo]) : int(bcum[hi])]
+        )
+    return out
+
+
+def encode_strings_grouped(texts: list, starts: np.ndarray, ends: np.ndarray):
+    """Per-group ``encode_strings(texts[s:e])`` blobs: every text is
+    UTF-8-encoded exactly once for the whole batch; per-group zlib runs
+    on a byte-range slice of the concatenated stream.  (zlib per group is
+    inherent — each blob must decompress independently.)
+
+    Returns ``(blobs, raw_bytes_per_group)`` — the second array is the
+    uncompressed UTF-8 byte count per group (free by-product of the
+    single encode pass; callers need it for compression-ratio metrics)."""
+    enc = [None if t is None else t.encode("utf-8") for t in texts]
+    lens = np.fromiter(
+        (-1 if b is None else len(b) for b in enc), dtype=np.int64, count=len(enc)
+    )
+    concat = b"".join(b for b in enc if b is not None)
+    sizes = np.where(lens < 0, 0, lens)
+    bcum = np.r_[0, np.cumsum(sizes)]
+    lens32 = lens.astype(_I32)
+
+    out = []
+    raw = np.empty(len(starts), dtype=np.int64)
+    for i, (s, e) in enumerate(zip(starts.tolist(), ends.tolist())):
+        n = e - s
+        head = np.array([n], dtype=_U32).tobytes()
+        comp = zlib.compress(concat[int(bcum[s]) : int(bcum[e])], 6)
+        out.append(head + lens32[s:e].tobytes() + comp)
+        raw[i] = int(bcum[e] - bcum[s])
+    return out, raw

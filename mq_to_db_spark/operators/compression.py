@@ -107,13 +107,50 @@ def _encode_partition(batches):
         bound = np.flatnonzero((conv[1:] != conv[:-1]) | (chunk[1:] != chunk[:-1])) + 1
         starts = np.r_[0, bound]
         ends = np.r_[bound, len(pdf)]
-        rows = [
-            _encode_slice(
-                conv[s], pdf["_chunk_start"].iloc[s], ts[s:e], turn[s:e], val[s:e],
-                texts[s:e], roles[s:e], tools[s:e],
+
+        # batch codecs: one vectorized pass over the whole Arrow batch,
+        # per-group blobs sliced out — per-group cost drops from ~6 numpy
+        # setups to a few byte-slices, which is what matters when chunks
+        # are small (sparse series); blob bytes identical to the
+        # per-group encoders (tests assert equality).
+        ts_blobs = codec.encode_ts_grouped(ts, starts, ends)
+        turn_blobs = codec.encode_i64_grouped(turn, starts, ends)
+        val_blobs = codec.encode_xor_grouped(val, starts, ends)
+        text_blobs, text_raw = codec.encode_strings_grouped(texts, starts, ends)
+        role_lens = np.fromiter(
+            (0 if r is None else len(r) for r in roles), dtype=np.int64, count=len(roles)
+        )
+        tool_lens = np.fromiter(
+            (0 if x is None else len(x) for x in tools), dtype=np.int64, count=len(tools)
+        )
+
+        rows = []
+        for i, (s, e) in enumerate(zip(starts.tolist(), ends.tolist())):
+            blobs = {
+                "ts_blob": ts_blobs[i],
+                "turn_blob": turn_blobs[i],
+                "val_blob": val_blobs[i],
+                "text_blob": text_blobs[i],
+                "role_blob": codec.encode_dict(roles[s:e]),
+                "tool_blob": codec.encode_dict(tools[s:e]),
+            }
+            raw = int(
+                (e - s) * 8 * 3
+                + text_raw[i]
+                + role_lens[s:e].sum()
+                + tool_lens[s:e].sum()
             )
-            for s, e in zip(starts, ends)
-        ]
+            rows.append(
+                {
+                    "conv_id": conv[s],
+                    "chunk_start": pdf["_chunk_start"].iloc[s],
+                    "codec": CODEC_NAME,
+                    "n_points": e - s,
+                    **blobs,
+                    "raw_bytes": raw,
+                    "enc_bytes": int(sum(len(b) for b in blobs.values())),
+                }
+            )
         return pd.DataFrame(rows)
 
     for pdf in batches:

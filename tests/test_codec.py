@@ -126,3 +126,43 @@ def test_dict_roundtrip():
 def test_dict_overflow():
     with pytest.raises(ValueError, match="<255"):
         encode_dict([str(i) for i in range(300)])
+
+
+def test_grouped_encoders_byte_identical():
+    """Batch (multi-group) encoders must produce byte-identical blobs to
+    the per-group encoders for every group — including length-1/2/3
+    groups where the dod/xor streams are empty or single-element."""
+    import numpy as np
+    from mq_to_db_spark.functions import codec
+
+    rng = np.random.default_rng(77)
+    lens = [1, 2, 3, 1, 50, 2, 17, 1, 4]
+    ends = np.cumsum(lens)
+    starts = ends - np.array(lens)
+    n = int(ends[-1])
+
+    ts = np.cumsum(rng.integers(1, 10_000_000, n)).astype(np.int64)
+    vals = np.where(rng.random(n) < 0.1, 0.0, rng.normal(0, 1e6, n))
+    texts = [
+        None if rng.random() < 0.1 else ("naïve 🚀 " * int(rng.integers(0, 5)) + str(i))
+        for i in range(n)
+    ]
+
+    for got, ref in zip(
+        codec.encode_ts_grouped(ts, starts, ends),
+        [codec.encode_ts(ts[s:e]) for s, e in zip(starts, ends)],
+    ):
+        assert got == ref
+    for got, ref in zip(
+        codec.encode_xor_grouped(vals, starts, ends),
+        [codec.encode_xor(vals[s:e]) for s, e in zip(starts, ends)],
+    ):
+        assert got == ref
+    blobs, raw = codec.encode_strings_grouped(texts, starts, ends)
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        assert blobs[i] == codec.encode_strings(texts[s:e])
+        assert raw[i] == sum(len(t.encode("utf-8")) for t in texts[s:e] if t is not None)
+    # decode round-trip through the grouped path
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        assert np.array_equal(codec.decode_ts(blobs_ts := codec.encode_ts_grouped(ts, starts, ends)[i]), ts[s:e])
+        assert codec.decode_strings(blobs[i]) == texts[s:e]
