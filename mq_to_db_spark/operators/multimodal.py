@@ -135,3 +135,91 @@ def synth_media(spark, n: int = 100, seed: int = 0) -> DataFrame:
         }
         rows.append((i, kind, f"{kind}/x-fake", payload, meta))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Image resize pass (mapInPandas, image rows only).
+
+    The pixel resample itself needs PIL (absent here) — the stand-in
+    re-derives a deterministic payload of the target dimensions from the
+    source bytes, so schema/batching/partition behavior are real and a
+    PIL-backed body is a drop-in."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for payload in pdf["payload"]:
+                arr = deterministic_fake_decode(
+                    bytes(payload) if payload is not None else b"", "image/*"
+                )
+                # deterministic "resampled" bytes sized to the target grid
+                reps = (width * height) // len(arr) + 1
+                outs.append(
+                    (np.tile(arr, reps)[: width * height] * 255).astype(np.uint8).tobytes()
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": np.full(len(pdf), width, dtype="int32"),
+                    "height": np.full(len(pdf), height, dtype="int32"),
+                    "payload": outs,
+                }
+            )
+
+    return df.filter(F.col("kind") == "image").mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ms", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling (one output row per sampled frame).
+
+    Frame *extraction* needs ffmpeg (absent) — the stand-in emits
+    deterministic per-frame payloads at the requested cadence using the
+    duration metadata, so the explode shape (1 video row → N frame rows,
+    payload bytes never shuffled before sampling) is real."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, mss, payloads = [], [], [], []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                dur = (meta or {}).get("duration_ms") or 0
+                n_frames = max(1, int(dur // every_ms))
+                base = deterministic_fake_decode(
+                    bytes(payload) if payload is not None else b"", "video/*"
+                )
+                for i in range(n_frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    mss.append(i * every_ms)
+                    payloads.append(
+                        (np.roll(base, i)[:64] * 255).astype(np.uint8).tobytes()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="int64"),
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_ms": pd.array(mss, dtype="int32"),
+                    "payload": payloads,
+                }
+            )
+
+    return df.filter(F.col("kind") == "video").mapInPandas(_sample, schema=FRAME_SCHEMA)

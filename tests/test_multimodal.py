@@ -34,3 +34,29 @@ def test_media_repartition_targets_bytes(spark):
     # ~90 rows × ~2.5 KB ≈ 230 KB → ~4 partitions
     assert 1 <= out.rdd.getNumPartitions() <= 10
     assert out.count() == 90
+
+
+def test_resize_images_shape_and_determinism(spark):
+    from mq_to_db_spark.operators.multimodal import resize_images, synth_media
+
+    media = synth_media(spark, n=30, seed=4)
+    out = resize_images(media, width=8, height=8).toPandas()
+    assert (out.width == 8).all() and (out.height == 8).all()
+    assert out.payload.map(len).eq(64).all()
+    out2 = resize_images(media, width=8, height=8).toPandas()
+    assert list(out.sort_values("media_id").payload) == list(
+        out2.sort_values("media_id").payload
+    )
+
+
+def test_sample_frames_cadence(spark):
+    from mq_to_db_spark.operators.multimodal import sample_frames, synth_media
+
+    media = synth_media(spark, n=30, seed=4)
+    frames = sample_frames(media, every_ms=500).toPandas()
+    assert (frames.frame_ms == frames.frame_idx * 500).all()
+    # one video with duration d produces max(1, d // 500) frames
+    vids = media.filter("kind = 'video'").select("media_id", "meta.duration_ms").toPandas()
+    per = frames.groupby("media_id").size()
+    for _, r in vids.iterrows():
+        assert per.get(r.media_id, 0) == max(1, int((r.duration_ms or 0) // 500))
