@@ -203,9 +203,13 @@ def minhash_lsh_pairs(
         .filter(F.size("shingles") > 0)
         # JVM hashes each shingle string once; the Arrow UDF derives all
         # n_hashes minima from the integer hashes (see
-        # minhash_signature_vectorized — ~5× over the interpreted fold)
-        .withColumn("_h", F.expr("transform(shingles, s -> xxhash64(s))"))
-        .select("id", "shingles", mix(F.col("_h")).alias("sig"))
+        # minhash_signature_vectorized — ~5× over the interpreted fold).
+        # Verification also runs on the hash sets: Jaccard over 64-bit
+        # shingle hashes equals Jaccard over the shingles themselves up
+        # to ~2^-64 collisions, and caching/shuffling array<long> is ~10×
+        # cheaper than the array<string> shingle payloads.
+        .withColumn("_h", F.array_distinct(F.expr("transform(shingles, s -> xxhash64(s))")))
+        .select("id", F.col("_h").alias("shingles"), mix(F.col("_h")).alias("sig"))
         .persist()  # reused 3× (banding + both sides of verification)
     )
     banded = base.select(
