@@ -51,6 +51,26 @@ def result_json(
     )
 
 
+def turn_yaml_rows(rows: list[dict]) -> str:
+    """Canonical YAML serialization of turn records (B4 analogue —
+    /root/reference/internal/messages/sql.go:57-63 `ToYAML`, golden
+    output sql_test.go:147-159).  The reference uses YAML only for
+    debug/config dumps, so this is a driver-side helper over collected
+    rows (never a per-row executor path); field order is the canonical
+    TURN_FIELDS order, byte-stable across runs."""
+    try:
+        import yaml
+    except ImportError as exc:  # pragma: no cover — yaml ships in this env
+        raise NotImplementedError("PyYAML not available") from exc
+
+    def _one(r: dict) -> dict:
+        return {k: r.get(k) for k in TURN_FIELDS}
+
+    return yaml.safe_dump(
+        [_one(r) for r in rows], sort_keys=False, allow_unicode=True
+    )
+
+
 def parse_turn_json(col: Column | str) -> Column:
     """Inverse of :func:`turn_json` (B1 analogue): strict declared-schema
     parse — `from_json` yields NULL fields on type mismatch, and the

@@ -81,3 +81,21 @@ def test_version_strings_and_build_info(spark):
 
 def test_health_check(spark):
     assert health_check(spark) is True
+
+
+def test_turn_yaml_golden(spark):
+    """B4 analogue: byte-exact YAML golden output (mirrors the
+    reference's ToYAML golden block, sql_test.go:147-159)."""
+    from mq_to_db_spark.functions.serialize import turn_yaml_rows
+
+    rows = [r.asDict() for r in _one_turn_df(spark).collect()]
+    got = turn_yaml_rows(rows)
+    want = (
+        "- conv_id: conv-00000001\n"
+        "  turn_idx: 3\n"
+        "  role: assistant\n"
+        "  text: naïve café 🚀\n"
+        "  tool: null\n"
+        "  ts: 2025-01-02 03:04:05.123456\n"
+    )
+    assert got == want
