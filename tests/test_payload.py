@@ -1,0 +1,140 @@
+"""Reference-parity tests on the reference's OWN test data: the golden
+JSON/YAML bytes and truth tables from
+/root/reference/internal/messages/sql_test.go, reproduced Spark-native.
+(Golden strings are the reference's published test *data*, not code.)"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mq_to_db_spark.functions.payload import (
+    parse_sql_payload,
+    sql_payload_to_json,
+    sql_payload_to_yaml,
+    strict_parse_reason,
+    valid_data_conn,
+)
+
+#: sql_test.go:22 — the reference's "valid" input message
+VALID_MSG = (
+    '{"TYPE":"SQL","CONTENT":{"SERVER":"localhost","DB":"postgresql",'
+    '"USER":"postgres","PASS":"mysecretpassword","SENTENCE":"SELECT pg_sleep(1);"},'
+    '"DATE":"2020-01-01 00:00:01.000000-1","APPID":"test","ADITIONAL":null,'
+    '"ACK": false,"RESPONSE":null}'
+)
+#: sql_test.go:46 — the "error" input (ACK is a string → hard parse error)
+BAD_ACK_MSG = VALID_MSG.replace('"ACK": false', '"ACK": "false"')
+
+
+def _parsed(spark, raw: str):
+    df = spark.createDataFrame([(raw,)], "raw string")
+    return df.select(
+        "raw", parse_sql_payload("raw").alias("p")
+    )
+
+
+def test_new_sql_valid_fields(spark):
+    """Mirror of TestNewSQL 'valid' (sql_test.go:19-43): every parsed
+    field equals the reference's expected struct."""
+    row = _parsed(spark, VALID_MSG).select("p.*").collect()[0]
+    assert row.TYPE == "SQL"
+    assert row.CONTENT.SERVER == "localhost"
+    assert row.CONTENT.DB == "postgresql"
+    assert row.CONTENT.USER == "postgres"
+    assert row.CONTENT.PASS == "mysecretpassword"
+    assert row.CONTENT.SENTENCE == "SELECT pg_sleep(1);"
+    assert row.DATE == "2020-01-01 00:00:01.000000-1"
+    assert row.APPID == "test"
+    assert row.ADITIONAL is None
+    assert row.ACK is False
+    assert row.RESPONSE is None
+
+
+def test_new_sql_strict_type_error_routes(spark):
+    """Mirror of TestNewSQL 'error' (sql_test.go:45-50): string-typed ACK
+    is rejected — as a routed reason, not an exception (SURVEY.md §7)."""
+    df = _parsed(spark, BAD_ACK_MSG).select(
+        strict_parse_reason(F.col("raw"), F.col("p")).alias("reason")
+    )
+    assert df.collect()[0].reason == "ack_not_boolean"
+    ok = _parsed(spark, VALID_MSG).select(
+        strict_parse_reason(F.col("raw"), F.col("p")).alias("reason")
+    )
+    assert ok.collect()[0].reason is None
+
+
+def test_to_json_golden(spark):
+    """Mirror of TestSQL_ToJSON (sql_test.go:110): byte-exact."""
+    filled = VALID_MSG.replace('"ADITIONAL":null', '"ADITIONAL":"null"').replace(
+        '"RESPONSE":null', '"RESPONSE":"null"'
+    )
+    got = _parsed(spark, filled).select(
+        sql_payload_to_json(F.col("p")).alias("j")
+    ).collect()[0].j
+    want = (
+        '{"TYPE":"SQL","CONTENT":{"SERVER":"localhost","DB":"postgresql",'
+        '"USER":"postgres","PASS":"mysecretpassword","SENTENCE":"SELECT pg_sleep(1);"},'
+        '"DATE":"2020-01-01 00:00:01.000000-1","APPID":"test","ADITIONAL":"null",'
+        '"ACK":false,"RESPONSE":"null"}'
+    )
+    assert got == want
+
+
+def test_to_yaml_golden(spark):
+    """Mirror of TestSQL_ToYAML (sql_test.go:147-159): byte-exact."""
+    filled = VALID_MSG.replace('"ADITIONAL":null', '"ADITIONAL":"null"').replace(
+        '"RESPONSE":null', '"RESPONSE":"null"'
+    )
+    row = _parsed(spark, filled).select("p.*").collect()[0].asDict(recursive=True)
+    want = (
+        "TYPE: SQL\n"
+        "CONTENT:\n"
+        "    SERVER: localhost\n"
+        "    DB: postgresql\n"
+        "    USER: postgres\n"
+        "    PASS: mysecretpassword\n"
+        "    SENTENCE: SELECT pg_sleep(1);\n"
+        "DATE: 2020-01-01 00:00:01.000000-1\n"
+        "APPID: test\n"
+        'ADITIONAL: "null"\n'
+        "ACK: false\n"
+        'RESPONSE: "null"\n'
+    )
+    assert sql_payload_to_yaml(row) == want
+
+
+@pytest.mark.parametrize(
+    "server,db,user,pw,want",
+    [
+        ("localhost", "postgresql", "postgres", "secret", True),
+        ("", "postgresql", "postgres", "secret", False),
+        ("localhost", "", "postgres", "secret", False),
+        ("localhost", "postgresql", "", "secret", False),
+        ("localhost", "postgresql", "postgres", "", False),
+        ("", "", "", "", False),
+    ],
+)
+def test_valid_data_conn_truth_table(spark, server, db, user, pw, want):
+    """Mirror of TestSQL_ValidDataConn (sql_test.go:240-387)."""
+    import json
+
+    msg = json.dumps(
+        {
+            "TYPE": "SQL",
+            "CONTENT": {
+                "SERVER": server,
+                "DB": db,
+                "USER": user,
+                "PASS": pw,
+                "SENTENCE": "SELECT 1;",
+            },
+            "DATE": "d",
+            "APPID": "a",
+            "ADITIONAL": None,
+            "ACK": False,
+            "RESPONSE": None,
+        }
+    )
+    got = _parsed(spark, msg).select(
+        valid_data_conn(F.col("p")).alias("v")
+    ).collect()[0].v
+    assert got is want
