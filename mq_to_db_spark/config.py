@@ -55,3 +55,33 @@ class EngineConfig:
     # Codec chunking: one compressed chunk per (series, chunk_interval).
     chunk_interval: str = "1 day"
     extra_spark_conf: dict = field(default_factory=dict)
+
+
+def amqp_uri(address: str, port: int, username: str = "", password: str = "") -> str:
+    """Source URI formatting with the reference's exact empty-field
+    fallbacks (/root/reference/internal/consumer/consumer.go:47-61,
+    matrix-tested at consumer_test.go:8-111): no username → anonymous
+    URI; empty password → ``user:@``; empty address/port → error."""
+    if not address or not port:
+        raise ValueError("address or port empty")
+    if not username:
+        return f"amqp://{address}:{port}/"
+    if not password:
+        return f"amqp://{username}:@{address}:{port}/"
+    return f"amqp://{username}:{password}@{address}:{port}/"
+
+
+def pg_dsn(
+    address: str,
+    port: int,
+    username: str,
+    password: str,
+    database: str,
+    sslmode: str = "disable",
+) -> str:
+    """Sink DSN formatting (storage.go:36-45 analogue) — same key order
+    and spacing as the reference's fmt.Sprintf."""
+    return (
+        f"host={address} port={port} user={username} "
+        f"password={password} dbname={database} sslmode={sslmode}"
+    )
