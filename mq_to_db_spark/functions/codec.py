@@ -394,3 +394,130 @@ def encode_strings_grouped(texts: list, starts: np.ndarray, ends: np.ndarray):
         out.append(head + lens32[s:e].tobytes() + comp)
         raw[i] = int(bcum[e] - bcum[s])
     return out, raw
+
+
+def _gather_regions(buf: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenate buf[starts[i] : starts[i]+lens[i]] for all i (vectorized
+    repeat/arange gather)."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.uint8)
+    within = np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+    pos = np.repeat(starts, lens) + within
+    return buf[pos]
+
+
+def decode_ts_grouped(blobs: list) -> tuple:
+    """Decode many ts/i64 blobs in one vectorized pass.
+
+    Returns ``(values, counts)`` — the concatenation of every blob's
+    decoded int64 array plus per-blob lengths.  Works because sequential
+    per-blob payload concatenation IS the packed stream of all words in
+    order, so one ``_unpack_varbytes`` call decodes everything; segmented
+    cumsums (global cumsum minus per-segment base) rebuild deltas and
+    values without a per-blob loop."""
+    k = len(blobs)
+    if k == 0:
+        return np.empty(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    blens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=k)
+    buf = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    off = np.r_[0, np.cumsum(blens)][:-1]
+
+    n = _gather_regions(buf, off, np.full(k, 4, dtype=np.int64)).view(_U32).astype(np.int64)
+    has1 = n >= 1
+    has2 = n >= 2
+    first = np.zeros(k, dtype=np.int64)
+    first[has1] = (
+        _gather_regions(buf, off[has1] + 4, np.full(int(has1.sum()), 8, dtype=np.int64))
+        .view(_I64)
+    )
+    first_delta = np.zeros(k, dtype=np.int64)
+    first_delta[has2] = (
+        _gather_regions(buf, off[has2] + 12, np.full(int(has2.sum()), 8, dtype=np.int64))
+        .view(_I64)
+    )
+    m = np.maximum(n - 2, 0)  # ctrl/dod count per blob
+    ctrl_all = _gather_regions(buf, off + 20, m).astype(np.int64)
+    pay_lens = np.where(has2, blens - 20 - m, 0)
+    payload_all = _gather_regions(buf, off + 20 + m, pay_lens)
+    z = _unpack_varbytes(payload_all, np.zeros(len(ctrl_all), dtype=np.int64), ctrl_all)
+    dod = _unzigzag(z).astype(np.int64)
+
+    # segmented reconstruction
+    counts = n
+    total = int(n.sum())
+    values = np.empty(total, dtype=np.int64)
+    # deltas per blob: length n-1 (first_delta then first_delta+cumsum(dod))
+    dstarts = np.r_[0, np.cumsum(m)][:-1]
+    g = np.cumsum(dod) if len(dod) else dod
+    seg_base = np.where(dstarts > 0, g[dstarts - 1] if len(g) else 0, 0)
+    # cum dod within segment, aligned to dod stream
+    cum_in_seg = (g - np.repeat(seg_base, m)) if len(dod) else dod
+    # build delta stream: per blob n-1 entries
+    dl = np.maximum(n - 1, 0)
+    delta_total = int(dl.sum())
+    deltas = np.empty(delta_total, dtype=np.int64)
+    dpos = np.r_[0, np.cumsum(dl)][:-1]
+    deltas[dpos[dl > 0]] = first_delta[dl > 0]
+    # positions after the first delta of each blob get first_delta + cum_in_seg
+    if len(dod):
+        tail_mask = np.ones(delta_total, dtype=bool)
+        tail_mask[dpos[dl > 0]] = False
+        deltas[tail_mask] = np.repeat(first_delta, m) + cum_in_seg
+    # values: first, then first + segmented cumsum of deltas
+    gd = np.cumsum(deltas) if delta_total else deltas
+    dseg_base = np.where(dpos > 0, gd[dpos - 1] if delta_total else 0, 0)
+    vpos = np.r_[0, np.cumsum(n)][:-1]
+    values[vpos[has1]] = first[has1]
+    if delta_total:
+        vmask = np.ones(total, dtype=bool)
+        vmask[vpos[has1]] = False
+        values[vmask] = np.repeat(first, dl) + (gd - np.repeat(dseg_base, dl))
+    return values, counts
+
+
+decode_i64_grouped = decode_ts_grouped
+
+
+def decode_xor_grouped(blobs: list) -> tuple:
+    """Decode many XOR-float blobs in one pass; returns (values, counts).
+    Segmented xor-accumulate: with ``acc`` the global running xor over
+    the word stream, the value at i within segment [s..] is
+    ``acc[i] ^ acc[s-1]`` (xor is its own inverse)."""
+    k = len(blobs)
+    if k == 0:
+        return np.empty(0, dtype=np.float64), np.zeros(0, dtype=np.int64)
+    blens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=k)
+    buf = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    off = np.r_[0, np.cumsum(blens)][:-1]
+
+    n = _gather_regions(buf, off, np.full(k, 4, dtype=np.int64)).view(_U32).astype(np.int64)
+    has1 = n >= 1
+    first = np.zeros(k, dtype=_U64)
+    first[has1] = (
+        _gather_regions(buf, off[has1] + 4, np.full(int(has1.sum()), 8, dtype=np.int64))
+        .view(_U64)
+    )
+    m = np.maximum(n - 1, 0)
+    ctrl_all = _gather_regions(buf, off + 12, np.where(n >= 2, m, 0))
+    pay_lens = np.where(n >= 2, blens - 12 - m, 0)
+    payload_all = _gather_regions(buf, off + 12 + m, pay_lens)
+    start = (ctrl_all >> 4).astype(np.int64)
+    sig = (ctrl_all & 0x0F).astype(np.int64)
+    xor = _unpack_varbytes(payload_all, start, sig)
+
+    # word stream per blob: [first, xor...]; segmented xor-accumulate
+    total = int(n.sum())
+    words = np.empty(total, dtype=_U64)
+    vpos = np.r_[0, np.cumsum(n)][:-1]
+    words[vpos[has1]] = first[has1]
+    if len(xor):
+        wmask = np.ones(total, dtype=bool)
+        wmask[vpos[has1]] = False
+        words[wmask] = xor
+    acc = np.bitwise_xor.accumulate(words) if total else words
+    seg_base = np.zeros(k, dtype=_U64)
+    nz = vpos > 0
+    seg_base[nz] = acc[vpos[nz] - 1]
+    out = acc ^ np.repeat(seg_base, n)
+    return out.view(np.float64), n

@@ -222,26 +222,26 @@ def _decode_batches(batches):
     for pdf in batches:
         if not len(pdf):
             continue
-        ts_l, turn_l, val_l, counts = [], [], [], []
+        # fixed-width codecs decode in ONE vectorized pass over all chunks
+        # of the batch (codec.decode_*_grouped); the string/dict columns
+        # stay per-chunk (zlib + utf-8 are per-blob by construction)
+        ts, counts = codec.decode_ts_grouped([bytes(b) for b in pdf["ts_blob"]])
+        turn, _ = codec.decode_i64_grouped([bytes(b) for b in pdf["turn_blob"]])
+        val, _ = codec.decode_xor_grouped([bytes(b) for b in pdf["val_blob"]])
         texts_l, roles_l, tools_l = [], [], []
         for row in pdf.itertuples(index=False):
-            ts = codec.decode_ts(bytes(row.ts_blob))
-            ts_l.append(ts)
-            counts.append(len(ts))
-            turn_l.append(codec.decode_i64(bytes(row.turn_blob)))
-            val_l.append(codec.decode_xor(bytes(row.val_blob)))
             texts_l.append(codec.decode_strings(bytes(row.text_blob)))
             roles_l.append(codec.decode_dict(bytes(row.role_blob)))
             tools_l.append(codec.decode_dict(bytes(row.tool_blob)))
         yield pd.DataFrame(
             {
                 "conv_id": np.repeat(pdf["conv_id"].to_numpy(dtype=object), counts),
-                "turn_idx": np.concatenate(turn_l).astype("int32"),
+                "turn_idx": turn.astype("int32"),
                 "role": pd.array(list(chain.from_iterable(roles_l)), dtype=object),
                 "text": pd.array(list(chain.from_iterable(texts_l)), dtype=object),
                 "tool": pd.array(list(chain.from_iterable(tools_l)), dtype=object),
-                "ts": np.concatenate(ts_l).view("datetime64[us]"),
-                "value": np.concatenate(val_l),
+                "ts": ts.view("datetime64[us]"),
+                "value": val,
             }
         )
 

@@ -166,3 +166,35 @@ def test_grouped_encoders_byte_identical():
     for i, (s, e) in enumerate(zip(starts, ends)):
         assert np.array_equal(codec.decode_ts(blobs_ts := codec.encode_ts_grouped(ts, starts, ends)[i]), ts[s:e])
         assert codec.decode_strings(blobs[i]) == texts[s:e]
+
+
+def test_grouped_decoders_match_single():
+    """Grouped ts/xor decode ≡ per-blob decode, across group lengths
+    1/2/3/long, including all-zero dods, NaN/Inf floats, and negative
+    deltas (out-of-order timestamps)."""
+    import numpy as np
+    from mq_to_db_spark.functions import codec
+
+    rng = np.random.default_rng(99)
+    lens = [1, 2, 3, 40, 1, 2, 25, 7, 1]
+    arrays_ts, arrays_v = [], []
+    for L in lens:
+        base = int(rng.integers(10**14, 10**15))
+        steps = rng.integers(-50, 10_000_000, L - 1) if L > 1 else np.empty(0, dtype=np.int64)
+        arrays_ts.append(np.r_[base, base + np.cumsum(steps)].astype(np.int64))
+        v = rng.normal(0, 1e9, L)
+        if L > 2:
+            v[1] = np.nan
+            v[2] = np.inf
+        arrays_v.append(v)
+    ts_blobs = [codec.encode_ts(a) for a in arrays_ts]
+    v_blobs = [codec.encode_xor(a) for a in arrays_v]
+
+    vals, counts = codec.decode_ts_grouped(ts_blobs)
+    assert list(counts) == lens
+    assert np.array_equal(vals, np.concatenate(arrays_ts))
+
+    fvals, fcounts = codec.decode_xor_grouped(v_blobs)
+    assert list(fcounts) == lens
+    want = np.concatenate(arrays_v)
+    assert np.array_equal(fvals.view(np.uint64), want.view(np.uint64))  # bit-exact incl NaN
