@@ -20,4 +20,31 @@ __version__ = "0.1.0"
 from mq_to_db_spark.config import EngineConfig
 from mq_to_db_spark.session import get_spark
 
-__all__ = ["EngineConfig", "get_spark", "__version__"]
+#: the stable operator surface, importable from the package root — heavy
+#: submodule imports stay lazy so `import mq_to_db_spark` is cheap
+_PUBLIC = {
+    "RollupPipeline": "mq_to_db_spark.plans.pipeline",
+    "TableIO": "mq_to_db_spark.sources.tableio",
+    "rollup_tiers": "mq_to_db_spark.operators.rollup",
+    "rollup_multidim": "mq_to_db_spark.operators.rollup",
+    "histogram_quantile": "mq_to_db_spark.operators.rollup",
+    "gapfill": "mq_to_db_spark.operators.gapfill",
+    "sessionize": "mq_to_db_spark.operators.sessionize",
+    "asof_join": "mq_to_db_spark.operators.asof",
+    "range_join": "mq_to_db_spark.operators.rangejoin",
+    "encode_chunks": "mq_to_db_spark.operators.compression",
+    "decode_chunks": "mq_to_db_spark.operators.compression",
+    "split_valid_rejected": "mq_to_db_spark.operators.validate",
+}
+
+
+def __getattr__(name: str):
+    mod = _PUBLIC.get(name)
+    if mod is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(mod), name)
+
+
+__all__ = ["EngineConfig", "get_spark", "__version__", *sorted(_PUBLIC)]
