@@ -73,6 +73,22 @@ LINEAGE_SCHEMA = T.StructType(
 )
 
 
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("batch_id", T.StringType()),
+        T.StructField("n_units_total", T.LongType()),
+        T.StructField("n_units_skipped", T.LongType()),
+        T.StructField("n_in", T.LongType()),
+        T.StructField("n_ok", T.LongType()),
+        T.StructField("n_rejected", T.LongType()),
+        T.StructField("points_written", T.MapType(T.StringType(), T.LongType())),
+        T.StructField("seconds", T.DoubleType()),
+        T.StructField("engine_version", T.StringType()),
+        T.StructField("committed_at", T.TimestampType()),
+    ]
+)
+
+
 @dataclass
 class BatchReport:
     """Per-batch metrics — the analogue of the reference's Prometheus
@@ -113,6 +129,7 @@ class RollupPipeline:
                 self.tables[name] = TableIO(os.path.join(work_dir, name), part)
         self.dead_letter = TableIO(os.path.join(work_dir, "dead_letter"))
         self.lineage = TableIO(os.path.join(work_dir, "lineage"))
+        self.metrics = TableIO(os.path.join(work_dir, "job_metrics"))
 
     # -- checkpoint markers ---------------------------------------------------
 
@@ -171,6 +188,11 @@ class RollupPipeline:
         report.n_units_skipped = len(units) - len(todo)
 
         if not todo:
+            # all units already committed: a fully-skipped redelivery.
+            # No data or lineage is written (nothing changed), and no
+            # metrics row either — mirroring the reference, where a
+            # redelivered-and-deduped message increments no storer
+            # counters.  The returned report still records the skip.
             report.seconds = time.time() - t0
             return report
 
@@ -269,6 +291,32 @@ class RollupPipeline:
         report.n_ok = report.n_in - report.n_rejected
         report.points_written = points
         report.seconds = time.time() - t0
+
+        # durable job metrics — the reference's Prometheus counter
+        # families as a table row per batch (metrics.go:136-183 analogue;
+        # EP3: the analytic read path over job health)
+        from mq_to_db_spark import __version__
+
+        self.metrics.append(
+            spark.createDataFrame(
+                [
+                    (
+                        batch_id,
+                        report.n_units_total,
+                        report.n_units_skipped,
+                        report.n_in,
+                        report.n_ok,
+                        report.n_rejected,
+                        {k: int(v) for k, v in points.items()},
+                        float(report.seconds),
+                        __version__,
+                        committed_ts,
+                    )
+                ],
+                schema=METRICS_SCHEMA,
+            ),
+            summary={"batch_id": batch_id},
+        )
         return report
 
     # -- read-side finalization ----------------------------------------------
@@ -333,6 +381,9 @@ class RollupPipeline:
 
     def read_dead_letter(self, spark: SparkSession) -> DataFrame:
         return self.dead_letter.read(spark)
+
+    def read_metrics(self, spark: SparkSession) -> DataFrame:
+        return self.metrics.read(spark, schema=METRICS_SCHEMA)
 
     def read_lineage(self, spark: SparkSession) -> DataFrame:
         return self.lineage.read(spark, schema=LINEAGE_SCHEMA)

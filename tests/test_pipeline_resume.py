@@ -97,3 +97,20 @@ def test_gapfilled_read(spark, transcripts, pipe):
     dead = filled[filled.bucket_start.dt.hour.isin([3, 4, 5])]
     assert len(dead) > 0
     assert (dead.n_turns == 0).all()
+
+
+def test_job_metrics_table(spark, dirty, transcripts, pipe):
+    """North-rule 'lineage + metrics': each batch appends one durable
+    metrics row (Prometheus counter-family analogue) consistent with the
+    returned BatchReport."""
+    r1 = pipe.run(spark, dirty, batch_id="m1")
+    m = pipe.read_metrics(spark).toPandas()
+    assert len(m) == 1
+    row = m.iloc[0]
+    assert row.batch_id == "m1"
+    assert row.n_in == r1.n_in and row.n_ok == r1.n_ok and row.n_rejected == r1.n_rejected
+    assert row.points_written["rollup_global_1m"] > 0
+    assert row.engine_version
+    # fully-skipped rerun writes no metrics row (no counters incremented)
+    pipe.run(spark, dirty, batch_id="m2")
+    assert pipe.read_metrics(spark).count() == 1
