@@ -366,6 +366,39 @@ def q_lang_quality(spark, sf_dir):
     )
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """Composite training-data curation: quality-filter → exact dedup →
+    per-language corpus stats — the operators composing the way a real
+    cleaning pipeline chains them (filter before dedup so the groupBy
+    shuffles only survivors)."""
+    from mq_to_db_spark.functions.text import (
+        fingerprint_md5,
+        lang_id,
+        quality_features,
+    )
+
+    d = _docs(spark, sf_dir)
+    f = quality_features("text")
+    kept = d.filter(
+        (f["q_len"] >= 30) & (f["q_punct_ratio"] <= 0.2)
+    )
+    deduped = (
+        kept.withColumn("fp", fingerprint_md5("text"))
+        .groupBy("fp")
+        # min_by: the representative's own text (first() would be
+        # nondeterministic — duplicates share *normalized* text only)
+        .agg(F.min("doc_id").alias("doc_id"), F.min_by("text", "doc_id").alias("text"))
+    )
+    return (
+        deduped.withColumn("lang", lang_id("text"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+    )
+
+
 def q_ann_cosine_topk(spark, sf_dir):
     from mq_to_db_spark.operators.similarity import cosine_topk
 
@@ -466,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "token_counts": q_token_counts,
         "lang_quality": q_lang_quality,
+        "curation_pipeline": q_curation_pipeline,
         "ann_cosine_topk": q_ann_cosine_topk,
         "knn_join": q_knn_join,
         "minhash_pairs": q_minhash_pairs,
@@ -741,6 +775,48 @@ def oracle_sql() -> dict[str, str]:
                    round(n_punct / greatest(q_len, 1), 6) AS q_punct_ratio,
                    round(h_en / greatest(n_tokens, 1), 6) AS q_stopword_ratio
             FROM f
+        """,
+        "curation_pipeline": f"""
+            WITH kept AS (
+                SELECT doc_id, text,
+                       coalesce(length(text), 0) AS q_len,
+                       len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct
+                FROM documents
+                WHERE coalesce(length(text), 0) >= 30
+                  AND len(regexp_extract_all(text, '[^\\w\\s]'))
+                      / greatest(coalesce(length(text), 0), 1) <= 0.2
+            ),
+            deduped AS (
+                SELECT md5({_NORM_SQL}) AS fp,
+                       min(doc_id) AS doc_id,
+                       arg_min(text, doc_id) AS text
+                FROM kept GROUP BY 1
+            ),
+            langed AS (
+                SELECT text,
+                       CASE WHEN text IS NULL OR (CASE WHEN trim(text) = '' THEN 0
+                                 ELSE len(string_split_regex(trim(text), '\\s+')) END) = 0
+                                 THEN 'unknown'
+                            WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'unknown'
+                            WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                            WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+                            WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                            ELSE 'es' END AS lang
+                FROM (
+                    SELECT text,
+                           len(regexp_extract_all(lower(text),
+                               '\\b(the|and|of|to|is|in|that|it|for|was)\\b')) AS h_en,
+                           len(regexp_extract_all(lower(text),
+                               '\\b(der|die|und|das|ist|nicht|ein|mit|für|auf)\\b')) AS h_de,
+                           len(regexp_extract_all(lower(text),
+                               '\\b(le|la|les|et|est|pas|pour|que|une|dans)\\b')) AS h_fr,
+                           len(regexp_extract_all(lower(text),
+                               '\\b(el|la|los|que|de|es|en|un|una|por)\\b')) AS h_es
+                    FROM deduped)
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars
+            FROM langed GROUP BY 1
         """,
         "ann_cosine_topk": """
             SELECT vec_id,
