@@ -13,6 +13,7 @@ bytes and truth tables, so a reference user's payloads behave identically.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -52,12 +53,13 @@ def parse_sql_payload(col: Column | str) -> Column:
 
 
 def strict_parse_reason(raw: Column | str, parsed: Column) -> Column:
-    """The reference's strict-typing semantics as a reject *reason*
-    (NULL = parse OK).  Go's json.Unmarshal hard-fails when ``ACK`` holds
-    a string (sql_test.go:45-50); Spark's ``from_json`` is permissive
-    (nulls the field), so strictness is re-established by a routing
-    predicate (SURVEY.md §7): ``ACK`` parses as a *string* but not as a
-    *boolean* ⇒ type mismatch; unparseable JSON ⇒ corrupt."""
+    """Cheap JVM-side strictness pre-filter as a reject *reason* (NULL =
+    passes this filter).  Catches unparseable JSON and the boolean-field
+    mismatch the reference's own test exercises (sql_test.go:45-50);
+    Spark's ``from_json`` silently *coerces* other scalar mismatches
+    (number→string etc.), which this expression cannot see — use
+    :func:`strict_parse_reason_exact` for the reference's full
+    json.Unmarshal strictness."""
     c = F.col(raw) if isinstance(raw, str) else raw
     ack_as_str = F.from_json(c, "ACK string")["ACK"]
     return (
@@ -70,6 +72,52 @@ def strict_parse_reason(raw: Column | str, parsed: Column) -> Column:
             F.lit("ack_not_boolean"),
         )
     )
+
+
+def strict_parse_reason_exact() -> Column:
+    """The reference's FULL json.Unmarshal strictness (every field) as an
+    Arrow-batched checker: ``strict_parse_reason_exact()(raw_col)`` →
+    reason string or NULL.
+
+    Go rejects any JSON value whose type differs from the struct field —
+    a number where a string is declared, a string where the CONTENT
+    object is declared, etc. — cases Spark's permissive reader silently
+    coerces.  Token-level typing needs a real JSON parse, so this is a
+    vectorized pandas UDF (validation/control-plane path, not the
+    transcript hot path; per-message ``json.loads``, no per-field
+    Python beyond isinstance checks)."""
+    import json
+
+    _str_fields = ("TYPE", "DATE", "APPID", "ADITIONAL", "RESPONSE")
+    _content_fields = ("SERVER", "DB", "USER", "PASS", "SENTENCE")
+
+    def _check(m: str):
+        try:
+            d = json.loads(m)
+        except Exception:
+            return "corrupt_json"
+        if not isinstance(d, dict):
+            return "not_an_object"
+        for f in _str_fields:
+            if f in d and d[f] is not None and not isinstance(d[f], str):
+                return f"{f.lower()}_not_string"
+        if "ACK" in d and d["ACK"] is not None and not isinstance(d["ACK"], bool):
+            return "ack_not_boolean"
+        content = d.get("CONTENT")
+        if content is not None:
+            if not isinstance(content, dict):
+                return "content_not_object"
+            for f in _content_fields:
+                v = content.get(f)
+                if v is not None and not isinstance(v, str):
+                    return f"content_{f.lower()}_not_string"
+        return None
+
+    @F.pandas_udf(T.StringType())
+    def _udf(raw: pd.Series) -> pd.Series:
+        return raw.map(lambda m: None if m is None else _check(m))
+
+    return _udf
 
 
 def valid_data_conn(parsed: Column) -> Column:
@@ -102,13 +150,26 @@ def sql_payload_to_yaml(row: dict) -> str:
     """
 
     def scalar(v) -> str:
+        import json as _json
+        import re as _re
+
         if isinstance(v, bool):
             return "true" if v else "false"
         if v is None:
             return "null"
         s = str(v)
-        if s.lower() in ("null", "~", "true", "false", "yes", "no", "") or s.isdigit():
-            return f'"{s}"'
+        needs_quote = (
+            s.lower() in ("null", "~", "true", "false", "yes", "no", "")
+            or _re.fullmatch(r"[-+]?\d+(\.\d+)?([eE][-+]?\d+)?", s) is not None
+            or ": " in s
+            or " #" in s
+            or "\n" in s
+            or s != s.strip()
+            or s[0] in "-?*&!|>%@`\"'{}[],#"
+        )
+        if needs_quote:
+            # YAML double-quoted style; json escaping is a compatible subset
+            return _json.dumps(s, ensure_ascii=False)
         return s
 
     content = row.get("CONTENT") or {}

@@ -58,33 +58,6 @@ CHUNK_SCHEMA = T.StructType(
 _TRUNC_UNIT = {"1 day": "day", "1 hour": "hour"}
 
 
-def _encode_slice(conv_id, chunk_start, ts, turn, val, texts, roles, tools) -> dict:
-    """Encode one (conv_id, chunk) group already sliced into arrays."""
-    blobs = {
-        "ts_blob": codec.encode_ts(ts),
-        "turn_blob": codec.encode_i64(turn),
-        "val_blob": codec.encode_xor(val),
-        "text_blob": codec.encode_strings(texts),
-        "role_blob": codec.encode_dict(roles),
-        "tool_blob": codec.encode_dict(tools),
-    }
-    raw = int(
-        len(ts) * 8 * 3
-        + sum(len(t.encode("utf-8")) if t else 0 for t in texts)
-        + sum(len(r) if r else 0 for r in roles)
-        + sum(len(x) if x else 0 for x in tools)
-    )
-    return {
-        "conv_id": conv_id,
-        "chunk_start": chunk_start,
-        "codec": CODEC_NAME,
-        "n_points": len(ts),
-        **blobs,
-        "raw_bytes": raw,
-        "enc_bytes": int(sum(len(b) for b in blobs.values())),
-    }
-
-
 def _encode_partition(batches):
     """mapInPandas worker over a partition sorted by (conv_id,
     _chunk_start, turn_idx): split each Arrow batch into contiguous groups

@@ -282,10 +282,6 @@ class RollupPipeline:
             spark.createDataFrame(lineage_rows, schema=LINEAGE_SCHEMA),
             summary={"batch_id": batch_id},
         )
-        for b, d in sorted(todo):
-            n_in, n_r = units[(b, d)]
-            self._write_marker(b, d, batch_id, {"n_in": int(n_in), "n_rejected": int(n_r)})
-
         report.n_in = int(sum(units[u][0] for u in todo))
         report.n_rejected = int(sum(units[u][1] for u in todo))
         report.n_ok = report.n_in - report.n_rejected
@@ -293,8 +289,11 @@ class RollupPipeline:
         report.seconds = time.time() - t0
 
         # durable job metrics — the reference's Prometheus counter
-        # families as a table row per batch (metrics.go:136-183 analogue;
-        # EP3: the analytic read path over job health)
+        # families as a table row per batch (metrics.go:136-183 analogue).
+        # Appended BEFORE the checkpoint markers, like lineage: the ack
+        # (marker) must be last, or a crash in between leaves a committed
+        # batch with no metrics row and the fully-skipped rerun would
+        # never write one.
         from mq_to_db_spark import __version__
 
         self.metrics.append(
@@ -317,6 +316,9 @@ class RollupPipeline:
             ),
             summary={"batch_id": batch_id},
         )
+        for b, d in sorted(todo):
+            n_in, n_r = units[(b, d)]
+            self._write_marker(b, d, batch_id, {"n_in": int(n_in), "n_rejected": int(n_r)})
         return report
 
     # -- read-side finalization ----------------------------------------------

@@ -105,9 +105,15 @@ def streaming_sessionize(
 ) -> DataFrame:
     """Unbounded-stream sessionization: one output row per CLOSED session
     (append-mode friendly), state bounded by active conversations."""
-    unit_sec = {"seconds": 1, "second": 1, "minutes": 60, "minute": 60, "hours": 3600, "hour": 3600}
-    qty, unit = gap.split()
-    gap_us = int(float(qty) * unit_sec[unit] * 1_000_000)
+    # pandas parses the same interval vocabulary Spark does ("30 minutes",
+    # "1 day", "90 seconds", ...) — keeps this operator's gap strings
+    # interchangeable with the batch sessionizer's
+    try:
+        gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+    except ValueError as exc:
+        raise ValueError(f"unparseable gap interval {gap!r}") from exc
+    if gap_us <= 0:
+        raise ValueError(f"gap must be positive, got {gap!r}")
 
     def fold(key_, pdfs, state):
         yield from _fold_sessions(key_, pdfs, state, gap_us, idle_timeout)

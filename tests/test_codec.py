@@ -163,8 +163,9 @@ def test_grouped_encoders_byte_identical():
         assert blobs[i] == codec.encode_strings(texts[s:e])
         assert raw[i] == sum(len(t.encode("utf-8")) for t in texts[s:e] if t is not None)
     # decode round-trip through the grouped path
+    ts_blobs_g = codec.encode_ts_grouped(ts, starts, ends)
     for i, (s, e) in enumerate(zip(starts, ends)):
-        assert np.array_equal(codec.decode_ts(blobs_ts := codec.encode_ts_grouped(ts, starts, ends)[i]), ts[s:e])
+        assert np.array_equal(codec.decode_ts(ts_blobs_g[i]), ts[s:e])
         assert codec.decode_strings(blobs[i]) == texts[s:e]
 
 

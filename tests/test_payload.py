@@ -170,3 +170,55 @@ def test_pg_dsn_format():
         pg_dsn("db.local", 5432, "u", "p", "mq", "require")
         == "host=db.local port=5432 user=u password=p dbname=mq sslmode=require"
     )
+
+
+def test_strict_parse_exact_catches_all_type_mismatches(spark):
+    """Full json.Unmarshal strictness (every field), which permissive
+    from_json coerces: numbers-as-strings, non-object CONTENT, etc."""
+    from mq_to_db_spark.functions.payload import strict_parse_reason_exact
+
+    cases = [
+        (VALID_MSG, None),
+        (BAD_ACK_MSG, "ack_not_boolean"),
+        (VALID_MSG.replace('"DATE":"2020-01-01 00:00:01.000000-1"', '"DATE":20200101'), "date_not_string"),
+        (VALID_MSG.replace('"CONTENT":{', '"CONTENT":"x", "IGNORED":{'), "content_not_object"),
+        (VALID_MSG.replace('"SENTENCE":"SELECT pg_sleep(1);"', '"SENTENCE":7'), "content_sentence_not_string"),
+        ("{broken", "corrupt_json"),
+        ("[1,2]", "not_an_object"),
+    ]
+    df = spark.createDataFrame([(m,) for m, _ in cases], "raw string")
+    checker = strict_parse_reason_exact()
+    got = [r.reason for r in df.select(checker("raw").alias("reason")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_yaml_quotes_metacharacters(spark):
+    """Strings with YAML metacharacters must stay loadable (and quoted):
+    ': ' inside a SQL sentence, '#', leading '-', numerics."""
+    import json as j
+
+    import yaml
+
+    from mq_to_db_spark.functions.payload import sql_payload_to_yaml
+
+    row = {
+        "TYPE": "SQL",
+        "CONTENT": {
+            "SERVER": "h",
+            "DB": "d",
+            "USER": "u",
+            "PASS": "-secret",
+            "SENTENCE": "SELECT 1; -- note: check #tag",
+        },
+        "DATE": "1.5",
+        "APPID": "a",
+        "ADITIONAL": None,
+        "ACK": True,
+        "RESPONSE": "line1\nline2",
+    }
+    out = sql_payload_to_yaml(row)
+    back = yaml.safe_load(out)
+    assert back["CONTENT"]["SENTENCE"] == row["CONTENT"]["SENTENCE"]
+    assert back["CONTENT"]["PASS"] == "-secret"
+    assert back["DATE"] == "1.5"  # quoted, not parsed as a float
+    assert back["RESPONSE"] == "line1\nline2"

@@ -105,3 +105,18 @@ def test_fold_timeout_branch_flushes_open_session():
     assert row.closed_by == "timeout" and row.n_turns == 5
     assert row.session_start == pd.Timestamp("1970-01-01 00:00:01")
     assert row.session_end == pd.Timestamp("1970-01-01 00:00:02")
+
+
+def test_gap_parsing_accepts_spark_interval_vocab(spark):
+    """Gap strings interchangeable with the batch sessionizer: '1 day'
+    parses; garbage raises a clear ValueError."""
+    import pytest
+
+    from mq_to_db_spark.streaming.stateful import streaming_sessionize
+
+    stream = spark.readStream.schema(
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).parquet("/root/testdata/sf0.001")  # never started; plan-build only
+    streaming_sessionize(stream, gap="1 day")  # no KeyError
+    with pytest.raises(ValueError, match="unparseable gap"):
+        streaming_sessionize(stream, gap="not-a-gap")
