@@ -8,10 +8,13 @@ Four strategies, fine → coarse, all shuffle-aware:
     Candidate generation is an explode+self-join *on band buckets* (never
     all-pairs); verification re-computes exact Jaccard on candidates only.
     Classic Broder/Leskovec-Rajaraman-Ullman (MMDS ch.3) construction.
-  * **SimHash** — 64-bit Charikar signature via one Arrow-vectorized
-    pandas UDF (numpy bit-unpacking, no per-row Python); near-dups share
-    signatures within small Hamming distance, found by pigeonhole band
-    match on 4×16-bit chunks.
+  * **SimHash** — 60-bit Charikar signature: per-word md5 hashes computed
+    JVM-side (codegen), bit voting in one Arrow-vectorized pandas UDF
+    (batch-flattened bit matrix + ``np.add.reduceat`` — no per-row
+    Python); near-dups share signatures within small Hamming distance,
+    found by pigeonhole band match on 4×15-bit chunks (exact recall for
+    hamming ≤ 3).  md5 (not xxhash64) so the DuckDB oracle reproduces
+    signatures bit-for-bit.
   * **n-gram Jaccard** — inverted-index pair generation (explode shingle →
     join on shingle → count shared) with document-frequency pruning so a
     stopword-shingle can't explode the join (the skew guard at 100 TB).
@@ -49,25 +52,6 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 # -- shingles + minhash -------------------------------------------------------
-
-
-def word_shingles(col, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized text (array<string>);
-    shorter docs yield their single full-text shingle.
-
-    NOTE: inlines the normalize+split chain into every lambda reference —
-    fine for one-off use, but on hot paths use :func:`with_shingles`,
-    which materializes the words array once per row first."""
-    name = col if isinstance(col, str) else col._jc.toString()
-    norm = (
-        f"trim(regexp_replace(regexp_replace(lower({name}), '[^\\\\w\\\\s]', ' '), '\\\\s+', ' '))"
-    )
-    words = f"split({norm}, ' ')"
-    return F.expr(
-        f"array_distinct(CASE WHEN size({words}) < {n} THEN array({norm}) ELSE "
-        f"transform(sequence(0, size({words}) - {n}), "
-        f"i -> array_join(slice({words}, i + 1, {n}), ' ')) END)"
-    )
 
 
 def with_shingles(df: DataFrame, text_col: str, n: int = 3, out: str = "shingles") -> DataFrame:
@@ -256,14 +240,80 @@ def _bucket_pairs(banded: DataFrame, bucket_cols: list[str], max_bucket: int = 2
     )
 
 
-def dedup_minhash(
-    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7, **kw
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 8,
 ) -> DataFrame:
-    """Drop near-duplicates: connected components approximated by
-    keep-lowest-id-neighbor (one pass — adequate for dedup where clusters
-    are small; exact CC would iterate)."""
+    """Exact connected components over an undirected pair list →
+    ``(id, component)`` with component = min id in the cluster.
+
+    Bounded label propagation: each round every node adopts the minimum
+    label among itself and its neighbors — converges in O(log(diameter))
+    rounds (duplicate clusters are near-cliques, so 2-3 in practice);
+    early-exits when a round changes nothing.  Each round is one shuffle
+    on the edge list; ``localCheckpoint`` truncates the growing lineage
+    (on a real cluster use ``spark.sparkContext.setCheckpointDir`` +
+    ``checkpoint()`` for fault-tolerant truncation)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.id)
+            .select(F.col("dst").alias("id"), "component")
+        )
+        new_labels = (
+            labels.union(nbr_min)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_minhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    exact_components: bool = True,
+    **kw,
+) -> DataFrame:
+    """Drop near-duplicates, keeping one representative (the minimum id)
+    per duplicate cluster.
+
+    ``exact_components=True`` (default) resolves chained duplicates
+    (A~B, B~C, A≁C ⇒ keep only A) via bounded label propagation —
+    deterministic drop-sets.  ``False`` falls back to the cheaper one-pass
+    keep-lowest-id-neighbor approximation (at most one extra survivor per
+    chain link — fine when clusters are cliques)."""
     pairs = minhash_lsh_pairs(df, id_col, text_col, verify_threshold=threshold, **kw)
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if exact_components:
+        comp = connected_components(pairs)
+        losers = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 
 
@@ -320,58 +370,78 @@ def ngram_jaccard_pairs(
 # -- simhash ------------------------------------------------------------------
 
 
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits a signed 64-bit long exactly
+
+
 @F.pandas_udf(T.LongType())
-def _simhash64(texts: pd.Series) -> pd.Series:
-    """Charikar simhash over word tokens — vectorized per Arrow batch:
-    token hashing via numpy polynomial rolling hash on codepoints, bit
-    voting via unpackbits matrix sum."""
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        if t is None or not isinstance(t, str) or not t.strip():
-            continue
-        words = pd.Series(t.lower().split())
-        # vectorized 64-bit FNV-ish hash per word
-        h = np.zeros(len(words), dtype=np.uint64)
-        codes = words.map(lambda w: np.frombuffer(w.encode("utf-8"), dtype=np.uint8))
-        maxlen = max(len(c) for c in codes)
-        mat = np.zeros((len(words), maxlen), dtype=np.uint64)
-        for j, c in enumerate(codes):
-            mat[j, : len(c)] = c
-        P = np.uint64(1099511628211)
-        h = np.zeros(len(words), dtype=np.uint64)
-        for col in range(maxlen):
-            h = h * P + mat[:, col] + np.uint64(0x9E3779B97F4A7C15)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-            np.int64
-        )
-        votes = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        sig = (np.where(votes >= 0, 1, 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
-            dtype=np.uint64
-        )
-        out[i] = np.int64(sig.astype(np.int64))
+def _simhash_votes(hashes: pd.Series) -> pd.Series:
+    """Bit-vote reduction: ``array<bigint>`` of per-word 60-bit hashes →
+    60-bit Charikar signature.  Fully batch-vectorized (mirrors the
+    minhash mixer): flatten all words of the Arrow batch into one array,
+    unpack to a (total_words × 60) sign matrix, ``np.add.reduceat`` per
+    row segment, re-pack the vote signs — no per-row Python loop.
+
+    Word *hashing* happens JVM-side (md5, codegen) so the signature is
+    reproducible by the DuckDB oracle; this UDF only reduces."""
+    n = len(hashes)
+    if not n:
+        return pd.Series([], dtype="int64")
+    lens = np.fromiter(
+        (0 if h is None else len(h) for h in hashes), dtype=np.int64, count=n
+    )
+    out = np.zeros(n, dtype=np.int64)
+    if lens.sum() == 0:
+        return pd.Series(out)
+    flat = np.concatenate(
+        [np.asarray(h, dtype=np.int64) for h in hashes if h is not None and len(h)]
+    ).astype(np.uint64)
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+    # ±1 vote per (word, bit); int32 caps batch segments at 2^31 words/doc
+    signed = 2 * ((flat[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int32) - 1
+    offsets = np.r_[0, np.cumsum(lens)[:-1]]
+    nonempty = lens > 0
+    votes = np.add.reduceat(signed, offsets[nonempty], axis=0)
+    sig = ((votes >= 0).astype(np.uint64) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    out[nonempty] = sig.view(np.int64)
     return pd.Series(out)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return df.select(F.col(id_col).alias("id"), _simhash64(F.col(text_col)).alias("simhash"))
+    """60-bit simhash per doc: normalize → split → md5 word hashes (JVM,
+    one codegen pass, term frequency = vote weight) → Arrow bit-vote UDF.
+    Empty/null docs are dropped (no signal to hash)."""
+    return (
+        df.select(F.col(id_col).alias("id"), normalize_text(text_col).alias("_norm"))
+        .filter(F.length("_norm") > 0)
+        .withColumn("_words", F.split("_norm", " "))
+        .withColumn(
+            "_h",
+            F.expr("transform(_words, w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))"),
+        )
+        .select("id", _simhash_votes(F.col("_h")).alias("simhash"))
+    )
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, n_chunks: int = 4
 ) -> DataFrame:
-    """Candidate pairs within Hamming distance ≤ max_hamming, via the
-    pigeonhole trick: split 64 bits into 4 chunks of 16; any pair within
-    distance 3 agrees exactly on ≥1 chunk → join per chunk, verify with
-    bit_count(xor)."""
+    """Pairs within Hamming distance ≤ ``max_hamming``, via the pigeonhole
+    trick: split 60 bits into ``n_chunks`` chunks of 15; any pair within
+    distance ``n_chunks - 1`` agrees exactly on ≥1 chunk → join per
+    chunk, verify with bit_count(xor).  For the default (4 chunks,
+    distance ≤ 3) recall is exactly 1.0 — the result is deterministic and
+    oracle-checkable (full O(n²) hamming join in DuckDB at test scale)."""
+    assert max_hamming < n_chunks, "pigeonhole exactness needs max_hamming < n_chunks"
+    width = SIMHASH_BITS // n_chunks
+    mask = (1 << width) - 1
     # persist: the pandas-UDF signature feeds banding + both verify joins
     sigs = simhash(df, id_col, text_col).persist()
     chunks = sigs.select(
         "id",
         F.explode(
             F.expr(
-                "transform(sequence(0, 3), c -> "
-                "struct(c AS chunk, shiftright(simhash, c * 16) & 65535 AS key))"
+                f"transform(sequence(0, {n_chunks - 1}), c -> "
+                f"struct(c AS chunk, shiftright(simhash, c * {width}) & {mask} AS key))"
             )
         ).alias("ck"),
     ).select("id", "ck.chunk", "ck.key")
@@ -380,7 +450,7 @@ def simhash_pairs(
     return (
         cands.join(sigs.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a")), "id_a")
         .join(sigs.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b")), "id_b")
-        .select("id_a", "id_b", ham.alias("hamming"))
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
 
@@ -389,21 +459,53 @@ def simhash_pairs(
 
 
 def embedding_neardup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95, n_planes: int = 16
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_bands: int = 8,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold; candidates
-    from random-hyperplane LSH buckets (see similarity.py), verified with
-    exact cosine."""
-    from mq_to_db_spark.operators.similarity import cosine_sim_cols, hyperplane_signature
+    from ``n_bands`` independent random-hyperplane LSH bands (a pair is a
+    candidate if it collides in *any* band — the OR-construction that
+    recovers recall the single-signature variant lacked), verified with
+    exact cosine.  P(candidate | cos=c) = 1-(1-p^n_planes)^n_bands with
+    p = 1-arccos(c)/π; at the 0.95 default: ≥0.98."""
+    from mq_to_db_spark.operators.similarity import (
+        cosine_sim_cols,
+        hyperplane_planes,
+        hyperplane_signature,
+    )
 
-    sigs = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).withColumn("sig", hyperplane_signature(F.col("vec"), n_planes))
-    a, b = sigs.alias("a"), sigs.alias("b")
-    cos = cosine_sim_cols(F.col("a.vec"), F.col("b.vec"))
+    dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if dim_row is None:
+        return df.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
+    dim = dim_row.d
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).persist()
+    banded = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        hyperplane_signature(
+                            F.col("vec"), hyperplane_planes(n_planes, dim, seed=1000 + b)
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+    cands = _bucket_pairs(banded, ["band", "key"])
+    cos = cosine_sim_cols(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))
     return (
-        a.join(b, "sig")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), cos.alias("cosine"))
+        cands.join(base.select(F.col("id").alias("id_a"), F.col("vec").alias("va")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")), "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -5,15 +5,23 @@ product, JVM-side) + ``ORDER BY LIMIT k`` which Spark executes as a
 per-partition top-k + driver merge (TakeOrderedAndProject), never a full
 sort.  Scale path: random-hyperplane LSH bucketing (Charikar) — probe
 only matching buckets, with multi-probe on query-side sign flips to
-recover recall.  An IVF-style variant partitions by nearest coarse
-centroid.
+recover recall; the corpus can be materialized as a table partitioned by
+``sig`` so probes become partition-pruned scans
+(:func:`build_lsh_index` / :func:`ann_lsh_topk_indexed`).  An IVF-style
+variant partitions by nearest coarse centroid.
 
-All vector math is expression-level (``zip_with`` + ``aggregate``) —
-vectorized by codegen, no Python in the hot path.
+Hyperplane weights and IVF centroid selection are deterministic,
+engine-independent constants (seeded numpy literals / md5-derived
+ranks), so a DuckDB oracle can replay the *entire* approximate
+algorithm — signature, probe set, candidate filter, exact re-rank —
+bit-for-bit.  All per-row vector math is expression-level (explicit
+literal-weight sums inside whole-stage codegen) — no Python in the hot
+path.
 """
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -51,29 +59,69 @@ def cosine_topk(
     return scored.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
 
-def hyperplane_signature(vec: Column, n_planes: int = 16, seed: int = 13) -> Column:
-    """LSH bucket id: sign pattern of dot products with ``n_planes``
-    deterministic pseudo-random hyperplanes.
+# -- hyperplane LSH -----------------------------------------------------------
 
-    The planes are generated *as an expression*: plane p, dim d weight =
-    hash-derived uniform in [-1, 1) via xxhash64(seed, p, d) — identical
-    on every executor, no broadcast needed, works for any vector length."""
-    w = lambda p: F.transform(
-        F.sequence(F.lit(0), F.size(vec) - 1),
-        lambda d: (
-            F.pmod(F.xxhash64(F.lit(seed), F.lit(p), d), F.lit(2_000_000)).cast("double")
-            / F.lit(1_000_000.0)
-            - F.lit(1.0)
-        ),
-    )
-    bits = [
-        F.when(dot(vec.cast("array<double>"), w(p)) >= 0, F.lit(1)).otherwise(F.lit(0))
-        for p in range(n_planes)
-    ]
+
+def hyperplane_planes(n_planes: int, dim: int, seed: int = 13) -> np.ndarray:
+    """The shared (n_planes × dim) weight matrix, uniform in [-1, 1).
+
+    Seeded numpy → a pure deterministic constant: the Spark expression,
+    the driver-side query-signature computation, and the DuckDB oracle
+    generator all embed the *same literals*, so every engine agrees on
+    every bucket id."""
+    rng = np.random.default_rng(seed)
+    return rng.uniform(-1.0, 1.0, size=(n_planes, dim))
+
+
+def hyperplane_signature(vec: Column, planes: np.ndarray) -> Column:
+    """LSH bucket id: sign pattern of dot products with the literal
+    hyperplanes; plane 0 is the most significant bit.
+
+    Each dot product is a strict left fold over ``zip_with(vec, plane,
+    *)`` — the fold keeps the expression tree compact (an explicit
+    n_planes × dim literal-sum tree blows the 64 KB codegen method limit
+    and falls back to interpreted for the whole stage), and its
+    left-to-right association is exactly what the DuckDB oracle's
+    ``v[1]*w1 + v[2]*w2 + …`` sum evaluates, so both engines agree on
+    every sign bit-for-bit (IEEE: ``0.0 + t0 == t0``)."""
+    n_planes, _dim = planes.shape
+    v = vec.cast("array<double>")
     sig = F.lit(0)
-    for b in bits:
-        sig = sig * 2 + b
+    for p in range(n_planes):
+        w = F.array(*[F.lit(float(x)) for x in planes[p]])
+        d = F.aggregate(
+            F.zip_with(v, w, lambda x, y: x * y), F.lit(0.0), lambda acc, t: acc + t
+        )
+        sig = sig * 2 + F.when(d >= 0, F.lit(1)).otherwise(F.lit(0))
     return sig.cast("long")
+
+
+def hyperplane_signature_py(vec: list[float], planes: np.ndarray) -> int:
+    """Driver-side signature of a query vector — same bit order as
+    :func:`hyperplane_signature`.  math.fsum-free plain left sum keeps
+    the association order identical to the Spark/DuckDB expressions."""
+    sig = 0
+    for p in range(planes.shape[0]):
+        d = 0.0
+        for x, w in zip(vec, planes[p]):
+            d += float(x) * float(w)
+        sig = sig * 2 + (1 if d >= 0 else 0)
+    return sig
+
+
+def lsh_probe_masks(n_planes: int, multiprobe: int) -> list[int]:
+    """XOR masks for multi-probe: the exact bucket, all 1-bit flips, and
+    (for multiprobe ≥ 2) all 2-bit flips — sorted for determinism."""
+    masks = {0}
+    if multiprobe >= 1:
+        masks |= {1 << b for b in range(n_planes)}
+    if multiprobe >= 2:
+        masks |= {
+            (1 << b1) | (1 << b2)
+            for b1 in range(n_planes)
+            for b2 in range(b1 + 1, n_planes)
+        }
+    return sorted(masks)
 
 
 def ann_lsh_topk(
@@ -84,29 +132,74 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     n_planes: int = 8,
     multiprobe: int = 1,
+    seed: int = 13,
 ) -> DataFrame:
-    """Approximate top-k: hash the corpus once into hyperplane buckets,
-    probe the query's bucket (± ``multiprobe`` single-bit flips), exact
+    """Approximate top-k: hash the corpus into hyperplane buckets, probe
+    the query's bucket (± 1/2-bit flips per ``multiprobe``), exact
     cosine within candidates only.
 
-    At scale the bucketed corpus is a materialized table partitioned by
-    ``sig``; the probe is then a partition-pruned scan."""
-    import math
-
-    hashed = df.withColumn("sig", hyperplane_signature(F.col(vec_col), n_planes))
-    # compute query signature driver-side with the same hash recipe is
-    # impossible without the JVM hash; instead compute it with a 1-row DF.
-    spark = df.sparkSession
-    qdf = spark.createDataFrame([(query_vec,)], schema=f"v array<double>")
-    qsig = qdf.select(hyperplane_signature(F.col("v"), n_planes).alias("s")).collect()[0].s
-    probes = {qsig} | {qsig ^ (1 << b) for b in range(n_planes) if multiprobe > 0}
-    if multiprobe > 1:
-        probes |= {
-            qsig ^ (1 << b1) ^ (1 << b2)
-            for b1 in range(n_planes)
-            for b2 in range(b1 + 1, n_planes)
-        }
+    For repeated queries over a static corpus use :func:`build_lsh_index`
+    + :func:`ann_lsh_topk_indexed` — the signatures are then computed
+    once and probes prune partitions instead of rescanning."""
+    planes = hyperplane_planes(n_planes, len(query_vec), seed)
+    qsig = hyperplane_signature_py(query_vec, planes)
+    probes = [qsig ^ m for m in lsh_probe_masks(n_planes, multiprobe)]
+    hashed = df.withColumn("sig", hyperplane_signature(F.col(vec_col), planes))
     cand = hashed.filter(F.col("sig").isin(*probes))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(
+            F.col(id_col),
+            cosine_sim_cols(F.col(vec_col).cast("array<double>"), q).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def build_lsh_index(
+    df: DataFrame,
+    path: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    seed: int = 13,
+) -> None:
+    """Materialize the LSH-bucketed corpus as a parquet table partitioned
+    by ``sig`` — each bucket is a partition directory, so a probe with a
+    ``sig IN (...)`` predicate is a partition-pruned scan that reads only
+    the matching directories (2^n_planes buckets ⇒ keep n_planes small
+    enough that directories stay chunky; at 100 TB ~10-12 planes →
+    1k-4k partitions)."""
+    planes = hyperplane_planes(n_planes, dim, seed)
+    (
+        df.select(id_col, vec_col)
+        .withColumn("sig", hyperplane_signature(F.col(vec_col), planes))
+        .write.mode("overwrite")
+        .partitionBy("sig")
+        .parquet(path)
+    )
+
+
+def ann_lsh_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    multiprobe: int = 1,
+    seed: int = 13,
+) -> DataFrame:
+    """Probe a :func:`build_lsh_index` table: the ``sig`` filter lands on
+    the partition column, so only matching bucket directories are read
+    (verifiable via ``df.inputFiles()`` — see tests)."""
+    planes = hyperplane_planes(n_planes, len(query_vec), seed)
+    qsig = hyperplane_signature_py(query_vec, planes)
+    probes = [qsig ^ m for m in lsh_probe_masks(n_planes, multiprobe)]
+    cand = spark.read.parquet(path).filter(F.col("sig").isin(*probes))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         cand.select(
@@ -143,6 +236,9 @@ def knn_join_brute(
     )
 
 
+# -- IVF ----------------------------------------------------------------------
+
+
 def ivf_centroids(
     df: DataFrame,
     n_centroids: int = 16,
@@ -150,15 +246,19 @@ def ivf_centroids(
     vec_col: str = "embedding",
 ) -> list[list[float]]:
     """Deterministic coarse quantizer: the ``n_centroids`` corpus vectors
-    with the smallest ``xxhash64(id)`` (hash-reservoir sampling — stable
-    across partitionings and cluster sizes, no iterative k-means job).
-    At 100 TB this is one cheap top-k over ids; refining with a few Lloyd
-    iterations is an optional offline step that only changes the anchor
-    list, not the search path."""
+    with the smallest md5-derived id hash (hash-reservoir sampling —
+    stable across partitionings and cluster sizes, no iterative k-means
+    job; md5 rather than xxhash64 so the DuckDB oracle derives the same
+    centroid set).  At 100 TB this is one cheap top-k over ids; refining
+    with a few Lloyd iterations is an optional offline step that only
+    changes the anchor list, not the search path."""
     rows = (
         df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-        .withColumn("_h", F.xxhash64(F.col(id_col).cast("string")))
-        .orderBy("_h")
+        .withColumn(
+            "_h",
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long"),
+        )
+        .orderBy("_h", id_col)
         .limit(n_centroids)
         .collect()
     )
@@ -174,7 +274,8 @@ def ivf_assign(
     """Assign each vector to its nearest (max-cosine) centroid — the
     inverted-list id.  Centroids are literal expressions (broadcast-free,
     identical on every executor); at scale the assigned table is
-    partitioned by ``list_id`` so probes prune partitions."""
+    partitioned by ``list_id`` so probes prune partitions
+    (:func:`build_ivf_index`)."""
     v = F.col(vec_col).cast("array<double>")
     # greatest() over (cos, lid) structs = max-by-cosine with a
     # deterministic lid tie-break (struct comparison is field-ordered)
@@ -186,6 +287,16 @@ def ivf_assign(
         for i, c in enumerate(centroids)
     ]
     return df.withColumn(out_col, F.greatest(*scored)["lid"] if len(scored) > 1 else scored[0]["lid"])
+
+
+def ivf_probe_lists(query_vec: list[float], centroids: list[list[float]], nprobe: int) -> list[int]:
+    """The ``nprobe`` inverted-list ids whose centroids are nearest the
+    query (driver-side numpy; stable sort ⇒ cosine ties break toward the
+    lower list id, matching the SQL oracle's ORDER BY cos DESC, lid)."""
+    c = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    cos = (c @ q) / (np.linalg.norm(c, axis=1) * np.linalg.norm(q) + 1e-300)
+    return [int(i) for i in np.argsort(-cos, kind="stable")[:nprobe]]
 
 
 def ivf_topk(
@@ -202,19 +313,57 @@ def ivf_topk(
     centroids are nearest the query; exact cosine within candidates.
 
     Recall/latency knob is ``nprobe`` (= n_centroids ⇒ exact brute
-    force).  The centroid ranking for the query happens driver-side in
-    numpy (centroid count is tiny by construction)."""
-    import numpy as np
-
+    force)."""
     if centroids is None:
         centroids = ivf_centroids(df, n_centroids, id_col, vec_col)
-    c = np.asarray(centroids, dtype=np.float64)
-    q = np.asarray(query_vec, dtype=np.float64)
-    cos = (c @ q) / (np.linalg.norm(c, axis=1) * np.linalg.norm(q) + 1e-300)
-    probes = [int(i) for i in np.argsort(-cos)[:nprobe]]
-
+    probes = ivf_probe_lists(query_vec, centroids, nprobe)
     assigned = ivf_assign(df, centroids, vec_col)
     cand = assigned.filter(F.col("list_id").isin(probes))
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cand.select(
+            F.col(id_col),
+            cosine_sim_cols(F.col(vec_col).cast("array<double>"), qcol).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Materialize the IVF-assigned corpus partitioned by ``list_id`` —
+    probes then read only the matching list directories.  Returns the
+    centroid list (persist it alongside the index in production)."""
+    centroids = ivf_centroids(df, n_centroids, id_col, vec_col)
+    (
+        ivf_assign(df.select(id_col, vec_col), centroids, vec_col)
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(path)
+    )
+    return centroids
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a :func:`build_ivf_index` table with partition pruning on
+    ``list_id``."""
+    probes = ivf_probe_lists(query_vec, centroids, nprobe)
+    cand = spark.read.parquet(path).filter(F.col("list_id").isin(probes))
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         cand.select(
