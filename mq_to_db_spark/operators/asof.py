@@ -16,6 +16,16 @@ sorts before left on the tie-break side column.  All carried right
 columns travel in ONE struct, so they always come from the same right
 row even when individual right values are NULL.
 
+The **keyless** form (``by=[]``) cannot use a global window (that would
+serialize |L|+|R| rows through one task).  Instead it range-partitions
+on the time column (``width_bucket`` over the [min, max] extent) and
+runs the same LOCF window *per range*, then patches each range's
+leading rows with a broadcast **boundary carry**: the last right
+observation of every earlier range, computed by a tiny per-range agg +
+prefix-LOCF over the (n_buckets)-row spine.  Two extra cheap jobs
+(min/max extent, per-range last) buy full parallelism on the big
+shuffle.
+
 ``tolerance`` (e.g. ``"1 hour"``) nulls matches older than the bound,
 matching ``pandas.merge_asof`` / DuckDB ``ASOF JOIN`` + filter
 semantics.
@@ -27,6 +37,52 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def _keyless_locf(unioned: DataFrame, on: str, n_buckets: int | None) -> DataFrame:
+    """Range-partitioned LOCF for the keyless as-of join: bucket rows by
+    ``width_bucket`` on the time extent, window per bucket, then patch
+    bucket-leading rows with the broadcast prefix-carry of per-bucket
+    last right observations."""
+    spark = unioned.sparkSession
+    if n_buckets is None:
+        n_buckets = max(spark.sparkContext.defaultParallelism, 1) * 4
+    on_d = F.col(on).cast("double")
+    ext = unioned.agg(F.min(on_d).alias("mn"), F.max(on_d).alias("mx")).first()
+    locf = F.last("_r", ignorenulls=True)
+    if ext.mn is None or ext.mn == ext.mx or n_buckets <= 1:
+        # degenerate extent (≤1 distinct instant): single partition is
+        # both unavoidable and harmless
+        w = (
+            W.partitionBy(F.lit(1))
+            .orderBy(on, "_side")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        return unioned.withColumn("_m", locf.over(w))
+    rb = F.width_bucket(on_d, F.lit(ext.mn), F.lit(ext.mx), F.lit(n_buckets)).cast("int")
+    tagged = unioned.withColumn("_rb", rb)
+    w_in = W.partitionBy("_rb").orderBy(on, "_side").rowsBetween(W.unboundedPreceding, 0)
+    filled = tagged.withColumn("_m", locf.over(w_in))
+    # last right observation per bucket (ties on `on` break arbitrarily,
+    # same as the window's tie behavior) → prefix-LOCF over the bucket
+    # spine (≤ n_buckets+1 rows: the one place a single partition is fine)
+    last_per_bucket = (
+        tagged.filter(F.col("_side") == 0)
+        .groupBy("_rb")
+        .agg(F.max_by("_r", on_d).alias("_lastr"))
+    )
+    spine = spark.range(1, n_buckets + 2).select(F.col("id").cast("int").alias("_rb"))
+    w_carry = W.orderBy("_rb").rowsBetween(W.unboundedPreceding, -1)
+    carry = (
+        spine.join(last_per_bucket, "_rb", "left")
+        .withColumn("_carry", F.last("_lastr", ignorenulls=True).over(w_carry))
+        .select("_rb", "_carry")
+    )
+    return (
+        filled.join(F.broadcast(carry), "_rb", "left")
+        .withColumn("_m", F.coalesce("_m", "_carry"))
+        .drop("_rb", "_carry")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -35,6 +91,7 @@ def asof_join(
     value_cols: list[str] | None = None,
     tolerance: str | None = None,
     suffix: str = "_right",
+    range_buckets: int | None = None,
 ) -> DataFrame:
     """For every left row, attach the latest right row with
     ``right.on <= left.on`` (per ``by`` group).
@@ -42,6 +99,8 @@ def asof_join(
     ``value_cols``: right columns to carry (default: all non-key,
     non-``on`` columns).  The matched right timestamp is exposed as
     ``{on}{suffix}``; unmatched (or out-of-tolerance) rows keep NULLs.
+    ``range_buckets``: parallelism of the keyless path (default
+    4 × defaultParallelism); ignored when ``by`` is given.
     """
     by = list(by or [])
     if value_cols is None:
@@ -58,7 +117,9 @@ def asof_join(
         F.lit(1).alias("_side"),
         F.lit(None).cast(struct_type).alias("_r"),
     )
-    r_tag = right.select(
+    r_tag = right.filter(F.col(on).isNotNull()).select(
+        # right rows with NULL `on` can never satisfy right.on <= left.on
+        # (and would otherwise sort nulls-first and be carried forward)
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in l_cols
@@ -70,13 +131,15 @@ def asof_join(
     ).select(*[c for c in l_cols], "_side", "_r")  # align column order
 
     unioned = l_tag.unionByName(r_tag)
-    order = [on, "_side"]
-    w = (
-        W.partitionBy(*by).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
-        if by
-        else W.partitionBy(F.lit(1)).orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
-    )
-    filled = unioned.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+    if by:
+        w = (
+            W.partitionBy(*by)
+            .orderBy(on, "_side")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        filled = unioned.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+    else:
+        filled = _keyless_locf(unioned, on, range_buckets)
     out = filled.filter(F.col("_side") == 1)
 
     matched = F.col("_m")

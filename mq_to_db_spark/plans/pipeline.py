@@ -175,13 +175,20 @@ class RollupPipeline:
             F.count(F.lit(1)).alias("n_in"),
             F.count_if(F.col("reason").isNotNull()).alias("n_rejected"),
         )
+        unit_rows = units_df.collect()
         units = {
             (r.conv_bucket, str(r.date)): (r.n_in, r.n_rejected)
-            for r in units_df.collect()
+            for r in unit_rows
             if r.conv_bucket is not None and r.date is not None
         }
         # rows whose unit cols are null (invalid rows) still go to the
-        # dead letter; they belong to a synthetic unit.
+        # dead letter; they belong to a synthetic unit (always rejected:
+        # a null unit col implies a null conv_id or ts reject reason).
+        n_unitless = sum(
+            int(r.n_in)
+            for r in unit_rows
+            if r.conv_bucket is None or r.date is None
+        )
         committed = self.committed_units()
         todo = {u for u in units if u not in committed}
         report.n_units_total = len(units)
@@ -253,8 +260,12 @@ class RollupPipeline:
 
         # dead letter (append — replays may duplicate rejects for units that
         # never reached the marker; dedup at read on (conv_id, turn_idx,
-        # reason, batch) is the consumer's job, mirroring at-least-once DLX)
-        n_rej = rejected.count()
+        # reason, batch) is the consumer's job, mirroring at-least-once DLX).
+        # The reject count is derived from the already-collected unit stats
+        # — a `rejected.count()` here would cost an extra full scan of the
+        # tagged input on top of the append's own (2 extra raw scans/batch
+        # at 10^12 turns).
+        n_rej = sum(units[u][1] for u in todo) + n_unitless
         if n_rej:
             self.dead_letter.append(
                 rejected.withColumn("batch_id", F.lit(batch_id)),
@@ -282,8 +293,12 @@ class RollupPipeline:
             spark.createDataFrame(lineage_rows, schema=LINEAGE_SCHEMA),
             summary={"batch_id": batch_id},
         )
-        report.n_in = int(sum(units[u][0] for u in todo))
-        report.n_rejected = int(sum(units[u][1] for u in todo))
+        # counter semantics mirror the reference's storer totals: every
+        # consumed message counts, including unitless rejects (which have
+        # no lineage row — they belong to no unit — but do reach the dead
+        # letter and therefore the rejected counter)
+        report.n_in = int(sum(units[u][0] for u in todo)) + n_unitless
+        report.n_rejected = int(n_rej)
         report.n_ok = report.n_in - report.n_rejected
         report.points_written = points
         report.seconds = time.time() - t0

@@ -111,3 +111,80 @@ def test_asof_null_right_value_does_not_mix_rows(spark):
     # NULL, not the 00:00 price
     assert pd.isna(got["price_right"].iloc[0])
     assert got["ts_right"].iloc[0] == pd.Timestamp("2025-01-01 01:00:00")
+
+
+def test_keyless_asof_matches_merge_asof(spark, frames):
+    """Global (no-by) as-of join: the range-partitioned LOCF + boundary
+    carry must equal a global pandas merge_asof."""
+    left, right = frames
+    # drop key: global as-of; dedup right ts so ties are unambiguous
+    l = left.drop(columns=["key"]).copy()
+    r = (
+        right.drop(columns=["key"])
+        .drop_duplicates(["ts"])
+        .sort_values("ts", kind="stable")
+    )
+    got = asof_join(
+        spark.createDataFrame(l), spark.createDataFrame(r), on="ts", range_buckets=8
+    ).toPandas()
+    want = pd.merge_asof(
+        l.sort_values("ts", kind="stable"),
+        r.rename(columns={"ts": "ts_r"}),
+        left_on="ts",
+        right_on="ts_r",
+        direction="backward",
+    ).rename(columns={"price": "price_right", "ts_r": "ts_right"})
+    g = got.sort_values(["ts", "lval"], ignore_index=True)
+    w = want.sort_values(["ts", "lval"], ignore_index=True)[g.columns]
+    for c in g.columns:
+        if pd.api.types.is_datetime64_any_dtype(g[c]):
+            g[c] = g[c].astype("datetime64[us]")
+            w[c] = w[c].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_keyless_asof_plan_is_range_partitioned(spark, frames):
+    """The keyless path must NOT serialize through one global window: the
+    main LOCF window's exchange hash-partitions on the range bucket."""
+    left, right = frames
+    l = left.drop(columns=["key"])
+    r = right.drop(columns=["key"]).drop_duplicates(["ts"])
+    out = asof_join(
+        spark.createDataFrame(l), spark.createDataFrame(r), on="ts", range_buckets=8
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the big LOCF window shuffles on the range bucket...
+    assert "hashpartitioning(_rb" in plan
+    # ...and the only SinglePartition exchange is the tiny carry spine
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_keyless_asof_null_on_rows(spark):
+    """Left rows with NULL `on` get no match; right rows with NULL `on`
+    are never carried."""
+    l = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2025-01-01 01:00:00", pd.NaT, "2025-01-01 03:00:00"]
+            ).astype("datetime64[us]"),
+            "lval": [1, 2, 3],
+        }
+    )
+    r = pd.DataFrame(
+        {
+            "ts": pd.to_datetime([pd.NaT, "2025-01-01 02:00:00"]).astype(
+                "datetime64[us]"
+            ),
+            "price": [99.0, 1.5],
+        }
+    )
+    got = (
+        asof_join(
+            spark.createDataFrame(l), spark.createDataFrame(r), on="ts", range_buckets=4
+        )
+        .toPandas()
+        .sort_values("lval", ignore_index=True)
+    )
+    assert pd.isna(got["price_right"].iloc[0])  # 01:00 predates all rights
+    assert pd.isna(got["price_right"].iloc[1])  # NULL ts: no match
+    assert got["price_right"].iloc[2] == 1.5  # 03:00 ← 02:00; 99.0 never used

@@ -24,13 +24,16 @@ def pipe(tmp_path):
 
 def test_end_to_end_counts_and_rollups(spark, dirty, transcripts, pipe):
     report = pipe.run(spark, dirty, batch_id="b1")
-    assert report.n_rejected == 5  # 6 dirty rows, 1 has null unit cols → unitless
+    # all 6 dirty rows count as rejected (5 unit-full + 1 with null unit
+    # cols — unitless rejects reach the dead letter and the counter, but
+    # have no lineage unit)
+    assert report.n_rejected == 6
     assert report.n_ok == transcripts.count()
     assert report.n_units_skipped == 0
 
-    # dead letter holds all 6 invalid rows (5 unit-full + 1 unitless)
+    # dead letter holds exactly the rejected rows
     dl = pipe.read_dead_letter(spark)
-    assert dl.count() == 6
+    assert dl.count() == report.n_rejected == 6
 
     # final per-dim rollups match direct single-pass rollups on clean data
     for dim, keys in (("global", []), ("conv", ["conv_id"])):
@@ -114,3 +117,20 @@ def test_job_metrics_table(spark, dirty, transcripts, pipe):
     # fully-skipped rerun writes no metrics row (no counters incremented)
     pipe.run(spark, dirty, batch_id="m2")
     assert pipe.read_metrics(spark).count() == 1
+
+
+def test_run_triggers_no_dataframe_count(spark, dirty, transcripts, pipe, monkeypatch):
+    """The batch derives every count (units, rejects, unitless) from the
+    single collected unit-stats aggregation — no `DataFrame.count()`
+    action anywhere in `run` (the dead-letter gate used to re-scan the
+    tagged input just to decide whether to append)."""
+    from pyspark.sql import DataFrame
+
+    calls = []
+    orig = DataFrame.count
+    monkeypatch.setattr(
+        DataFrame, "count", lambda self: (calls.append(1), orig(self))[1]
+    )
+    report = pipe.run(spark, dirty, batch_id="nocount")
+    assert report.n_rejected > 0  # the dirty fixture exercises the DLX path
+    assert not calls, f"run() issued {len(calls)} DataFrame.count() action(s)"
