@@ -96,7 +96,14 @@ def run(sf_dir: str = SF_DIR, cpus: int = CPUS, include_scaling_meta: bool = Tru
 
     # warmup: JVM/codegen/Arrow spin-up outside timed sections
     spark.range(1_000_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
-    WARM_DIR = "/root/testdata/sf0.001"
+    # warm queries against the smallest sibling fixture of the timed dir
+    # (not a hardcoded path — $SPARK_GRAFT_SF_DIR may live elsewhere);
+    # if none exists, warm against the timed dir itself (slower first
+    # pass, still correct).
+    WARM_DIR = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(WARM_DIR):
+        print(f"# no warmup fixture at {WARM_DIR}; warming on {sf_dir}", file=sys.stderr)
+        WARM_DIR = sf_dir
 
     timings: dict[str, float] = {}
 

@@ -59,7 +59,15 @@ def strict_parse_reason(raw: Column | str, parsed: Column) -> Column:
     Spark's ``from_json`` silently *coerces* other scalar mismatches
     (number→string etc.), which this expression cannot see — use
     :func:`strict_parse_reason_exact` for the reference's full
-    json.Unmarshal strictness."""
+    json.Unmarshal strictness.
+
+    Caveat on the *reason string*: a type mismatch on some other field
+    (e.g. CONTENT given as a string) makes the permissive parse null the
+    whole row, so parsed.ACK is NULL while the raw ACK re-parse
+    succeeds — such rows are correctly rejected but labeled
+    ``ack_not_boolean``.  The cheap pre-filter's reason is approximate;
+    only :func:`strict_parse_reason_exact` reports field-accurate
+    reasons."""
     c = F.col(raw) if isinstance(raw, str) else raw
     ack_as_str = F.from_json(c, "ACK string")["ACK"]
     return (
@@ -162,6 +170,7 @@ def sql_payload_to_yaml(row: dict) -> str:
             s.lower() in ("null", "~", "true", "false", "yes", "no", "")
             or _re.fullmatch(r"[-+]?\d+(\.\d+)?([eE][-+]?\d+)?", s) is not None
             or ": " in s
+            or s.endswith(":")  # a plain scalar ending in ':' parses as a map key
             or " #" in s
             or "\n" in s
             or s != s.strip()

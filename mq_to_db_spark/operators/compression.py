@@ -5,10 +5,11 @@ Spark plumbing around the pure-numpy Gorilla-style codec
 where ``chunk_start = date_trunc(chunk_interval, first ts)``.  Encode is a
 grouped-map pandas UDF (``applyInPandas`` — Arrow batches in, one chunk
 row out); decode is ``mapInPandas`` (chunk rows in, turn rows out).
-Together with SimHash bit-packing and the minhash signature mixer
-(operators/dedup.py) these are the engine's only pandas-UDF families
-(input_hint: "no per-row Python") — everything inside them is vectorized
-numpy.
+Together with the simhash bit-vote reducer and the minhash signature
+mixer (operators/dedup.py, both batch-flattened ``reduceat`` reductions)
+and the strict-parse checker (functions/payload.py, validation plane)
+these are the engine's only pandas-UDF families (input_hint: "no per-row
+Python") — everything inside them is vectorized numpy.
 
 Scale design:
   * chunk grain bounds group size: a conversation's day of turns, not the

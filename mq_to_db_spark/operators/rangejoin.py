@@ -48,6 +48,10 @@ def range_join(
     by = list(by or [])
 
     l_b = left.withColumn("_bucket", F.date_trunc(unit, F.col(ts_col)))
+    # degenerate intervals (end < start, or NULL bounds) match nothing;
+    # without this filter sequence() would throw on a negative range and
+    # fail the whole job for one malformed row
+    right = right.filter(F.col(end_col) >= F.col(start_col))
     r_b = right.withColumn(
         "_bucket",
         F.explode(

@@ -422,7 +422,6 @@ def fixed_bucket_histogram(
     bucket index at read time."""
     keys = list(keys or [])
     edges = sorted(bucket_edges)
-    le = F.lit(None).cast("double")
     # smallest edge >= value, else +inf bucket
     expr = F.lit(float("inf"))
     for e in reversed(edges):

@@ -222,3 +222,33 @@ def test_yaml_quotes_metacharacters(spark):
     assert back["CONTENT"]["PASS"] == "-secret"
     assert back["DATE"] == "1.5"  # quoted, not parsed as a float
     assert back["RESPONSE"] == "line1\nline2"
+
+
+def test_yaml_trailing_colon_and_edge_scalars(spark):
+    """A string value ending in ':' (e.g. 'ok:') is not a valid plain
+    YAML scalar — it must be quoted to stay loadable."""
+    import yaml
+
+    from mq_to_db_spark.functions.payload import sql_payload_to_yaml
+
+    row = {
+        "TYPE": "SQL",
+        "CONTENT": {
+            "SERVER": "h:",
+            "DB": "d",
+            "USER": "u",
+            "PASS": "p",
+            "SENTENCE": "SELECT label:",
+        },
+        "DATE": "x",
+        "APPID": "a",
+        "ADITIONAL": "tail: ",
+        "ACK": False,
+        "RESPONSE": "ok:",
+    }
+    out = sql_payload_to_yaml(row)
+    back = yaml.safe_load(out)
+    assert back["RESPONSE"] == "ok:"
+    assert back["CONTENT"]["SERVER"] == "h:"
+    assert back["CONTENT"]["SENTENCE"] == "SELECT label:"
+    assert back["ADITIONAL"] == "tail: "

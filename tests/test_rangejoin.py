@@ -79,3 +79,35 @@ def test_range_join_is_equi_join_not_bnlj(spark, frames):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_range_join_degenerate_interval_matches_nothing(spark):
+    """A malformed right interval (end < start) must match nothing —
+    not crash the job with a sequence() error."""
+    import pandas as pd
+
+    from mq_to_db_spark.operators.rangejoin import range_join
+
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime(["2025-01-01 01:00:00"]).astype("datetime64[us]"),
+                "lid": [1],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "rid": [10, 20],
+                "start": pd.to_datetime(
+                    ["2025-01-01 00:00:00", "2025-01-01 05:00:00"]
+                ).astype("datetime64[us]"),
+                "end": pd.to_datetime(
+                    ["2025-01-01 02:00:00", "2025-01-01 04:00:00"]  # rid=20: end<start
+                ).astype("datetime64[us]"),
+            }
+        )
+    )
+    out = range_join(left, right, bucket="1 hour").collect()
+    assert [r.rid for r in out] == [10]
