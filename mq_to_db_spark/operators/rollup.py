@@ -299,10 +299,13 @@ def histogram_quantile(
     the reference's p90 worker-duration panel; SURVEY.md §2 C5).
 
     Input is :func:`fixed_bucket_histogram` output (per-window per-``le``
-    counts).  Prometheus semantics: linear interpolation inside the
-    bucket that contains rank ``q·total`` (lower edge of the first bucket
-    taken as 0), and the +inf bucket clamps to the highest finite edge.
-    All-Catalyst: one window cumsum + one hash agg over tier-sized data.
+    counts).  Prometheus ``bucketQuantile`` semantics (promql/quantile.go,
+    fuzz-tested against a line-faithful port): linear interpolation
+    inside the bucket that contains rank ``q·total`` with the first
+    bucket's lower edge taken as 0 — *unless* that first bucket's upper
+    edge is ≤ 0, in which case the edge itself is returned — and the
+    +inf bucket clamps to the highest finite edge.  All-Catalyst: one
+    window cumsum + one hash agg over tier-sized data.
     """
     from pyspark.sql import Window as W
 
@@ -312,7 +315,7 @@ def histogram_quantile(
     le = F.col(le_col).cast("double")
     enriched = (
         hist.withColumn("_cum", F.sum(n_col).over(w))
-        .withColumn("_lo", F.lag(le, 1, 0.0).over(w))
+        .withColumn("_lo", F.lag(le, 1).over(w))  # NULL marks the first bucket
         .withColumn("_tot", F.sum(n_col).over(w_all))
         .withColumn(
             "_max_finite",
@@ -320,10 +323,17 @@ def histogram_quantile(
         )
         .withColumn("_rank", F.lit(float(q)) * F.col("_tot"))
     )
-    est = F.when(le == F.lit(float("inf")), F.col("_max_finite")).otherwise(
-        F.col("_lo")
-        + (le - F.col("_lo"))
-        * F.try_divide(F.col("_rank") - (F.col("_cum") - F.col(n_col)), F.col(n_col))
+    lo = F.coalesce(F.col("_lo"), F.lit(0.0))
+    est = (
+        F.when(le == F.lit(float("inf")), F.col("_max_finite"))
+        # Prometheus: rank in the first bucket with a non-positive upper
+        # edge → the edge itself (a 0 lower bound would be above it)
+        .when(F.col("_lo").isNull() & (le <= 0), le)
+        .otherwise(
+            lo
+            + (le - lo)
+            * F.try_divide(F.col("_rank") - (F.col("_cum") - F.col(n_col)), F.col(n_col))
+        )
     )
     picked = (
         enriched.filter((F.col("_cum") >= F.col("_rank")) & (F.col("_tot") > 0))
