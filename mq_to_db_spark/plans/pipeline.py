@@ -116,20 +116,34 @@ def unit_cols(df: DataFrame, conv_buckets: int) -> DataFrame:
 
 
 class RollupPipeline:
-    def __init__(self, work_dir: str, cfg: EngineConfig | None = None):
+    def __init__(
+        self,
+        work_dir: str,
+        cfg: EngineConfig | None = None,
+        table_factory=None,
+    ):
+        """``table_factory(name, partition_cols) -> TableIO-like`` selects
+        the storage backend: default is the parquet-emulated
+        ``sources.tableio.TableIO``; pass a closure over
+        ``sources.iceberg.IcebergTableIO`` (jar-gated) for a real Iceberg
+        catalog — the pipeline only touches the shared seam."""
         self.work_dir = work_dir
         self.cfg = cfg or EngineConfig()
         self.ckpt_dir = os.path.join(work_dir, "_checkpoints")
         os.makedirs(self.ckpt_dir, exist_ok=True)
+        if table_factory is None:
+            table_factory = lambda name, part=None: TableIO(  # noqa: E731
+                os.path.join(work_dir, name), part
+            )
         part = ["date", "conv_bucket"]
         self.tables: dict[str, TableIO] = {}
         for dim in DIMENSIONS:
             for tier in self.cfg.tiers:
                 name = f"rollup_{dim}_{tier}"
-                self.tables[name] = TableIO(os.path.join(work_dir, name), part)
-        self.dead_letter = TableIO(os.path.join(work_dir, "dead_letter"))
-        self.lineage = TableIO(os.path.join(work_dir, "lineage"))
-        self.metrics = TableIO(os.path.join(work_dir, "job_metrics"))
+                self.tables[name] = table_factory(name, part)
+        self.dead_letter = table_factory("dead_letter", None)
+        self.lineage = table_factory("lineage", None)
+        self.metrics = table_factory("job_metrics", None)
 
     # -- checkpoint markers ---------------------------------------------------
 

@@ -19,9 +19,11 @@ emulating the Iceberg semantics the engine's design depends on:
     the same batch yields byte-identical table state (effectively-once on
     top of at-least-once reruns).
 
-On a real cluster this class is swapped for Iceberg's
-``df.writeTo(tbl).overwritePartitions()`` / snapshot-range reads; the
-pipeline only touches this interface.  File moves use ``os.replace``
+On a real cluster this class is swapped for
+``sources.iceberg.IcebergTableIO`` (same interface, jar-gated —
+``df.writeTo(tbl).overwritePartitions()`` / snapshot-range reads) via
+``RollupPipeline(table_factory=...)``; the pipeline only touches this
+interface.  File moves use ``os.replace``
 within one filesystem — on object storage the same scheme works with
 copy+manifest (the manifest, not the directory listing, defines the
 table, exactly as Iceberg does).
