@@ -37,52 +37,6 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
-def _keyless_locf(unioned: DataFrame, on: str, n_buckets: int | None) -> DataFrame:
-    """Range-partitioned LOCF for the keyless as-of join: bucket rows by
-    ``width_bucket`` on the time extent, window per bucket, then patch
-    bucket-leading rows with the broadcast prefix-carry of per-bucket
-    last right observations."""
-    spark = unioned.sparkSession
-    if n_buckets is None:
-        n_buckets = max(spark.sparkContext.defaultParallelism, 1) * 4
-    on_d = F.col(on).cast("double")
-    ext = unioned.agg(F.min(on_d).alias("mn"), F.max(on_d).alias("mx")).first()
-    locf = F.last("_r", ignorenulls=True)
-    if ext.mn is None or ext.mn == ext.mx or n_buckets <= 1:
-        # degenerate extent (≤1 distinct instant): single partition is
-        # both unavoidable and harmless
-        w = (
-            W.partitionBy(F.lit(1))
-            .orderBy(on, "_side")
-            .rowsBetween(W.unboundedPreceding, 0)
-        )
-        return unioned.withColumn("_m", locf.over(w))
-    rb = F.width_bucket(on_d, F.lit(ext.mn), F.lit(ext.mx), F.lit(n_buckets)).cast("int")
-    tagged = unioned.withColumn("_rb", rb)
-    w_in = W.partitionBy("_rb").orderBy(on, "_side").rowsBetween(W.unboundedPreceding, 0)
-    filled = tagged.withColumn("_m", locf.over(w_in))
-    # last right observation per bucket (ties on `on` break arbitrarily,
-    # same as the window's tie behavior) → prefix-LOCF over the bucket
-    # spine (≤ n_buckets+1 rows: the one place a single partition is fine)
-    last_per_bucket = (
-        tagged.filter(F.col("_side") == 0)
-        .groupBy("_rb")
-        .agg(F.max_by("_r", on_d).alias("_lastr"))
-    )
-    spine = spark.range(1, n_buckets + 2).select(F.col("id").cast("int").alias("_rb"))
-    w_carry = W.orderBy("_rb").rowsBetween(W.unboundedPreceding, -1)
-    carry = (
-        spine.join(last_per_bucket, "_rb", "left")
-        .withColumn("_carry", F.last("_lastr", ignorenulls=True).over(w_carry))
-        .select("_rb", "_carry")
-    )
-    return (
-        filled.join(F.broadcast(carry), "_rb", "left")
-        .withColumn("_m", F.coalesce("_m", "_carry"))
-        .drop("_rb", "_carry")
-    )
-
-
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -139,7 +93,12 @@ def asof_join(
         )
         filled = unioned.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
     else:
-        filled = _keyless_locf(unioned, on, range_buckets)
+        from mq_to_db_spark.operators.rangewin import range_locf
+
+        filled = range_locf(
+            unioned, on, "_r", tiebreak=("_side",), out_col="_m",
+            n_buckets=range_buckets,
+        )
     out = filled.filter(F.col("_side") == 1)
 
     matched = F.col("_m")

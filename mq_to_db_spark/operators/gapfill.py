@@ -103,22 +103,34 @@ def gapfill_interpolate_linear(
 
     filled = gapfill(df_rollup, tier, keys, policy="null")
     part = list(keys or [])
-    base = W.partitionBy(*part) if part else W.partitionBy(F.lit(1))
-    w_prev = base.orderBy("bucket_start").rowsBetween(W.unboundedPreceding, 0)
-    w_next = base.orderBy("bucket_start").rowsBetween(0, W.unboundedFollowing)
-
     t = F.unix_micros(F.col("bucket_start").cast("timestamp")).cast("double")
     obs = F.when(
         F.col(value_col).isNotNull(),
         F.struct(F.col(value_col).cast("double").alias("v"), t.alias("t")),
     )
-    prev = F.last(obs, ignorenulls=True).over(w_prev)
-    nxt = F.first(obs, ignorenulls=True).over(w_next)
+    if part:
+        base = W.partitionBy(*part)
+        w_prev = base.orderBy("bucket_start").rowsBetween(W.unboundedPreceding, 0)
+        w_next = base.orderBy("bucket_start").rowsBetween(0, W.unboundedFollowing)
+        prev = F.last(obs, ignorenulls=True).over(w_prev)
+        nxt = F.first(obs, ignorenulls=True).over(w_next)
+    else:
+        # keyless: a global window would serialize the whole tier through
+        # one task — use the range-partitioned LOCF (forward for prev,
+        # reverse for next) with broadcast boundary carry instead
+        from mq_to_db_spark.operators.rangewin import range_locf
+
+        filled = filled.withColumn("_obs", obs)
+        filled = range_locf(filled, "bucket_start", "_obs", out_col="_prev")
+        filled = range_locf(
+            filled, "bucket_start", "_obs", out_col="_next", reverse=True
+        )
+        prev, nxt = F.col("_prev"), F.col("_next")
     frac = F.try_divide(t - prev["t"], nxt["t"] - prev["t"])
     interp = F.when(
         F.col(value_col).isNotNull(), F.col(value_col).cast("double")
     ).otherwise(prev["v"] + (nxt["v"] - prev["v"]) * frac)
-    return filled.withColumn(value_col, interp)
+    return filled.withColumn(value_col, interp).drop("_obs", "_prev", "_next")
 
 
 def gapfill_interpolate_last(
@@ -136,9 +148,16 @@ def gapfill_interpolate_last(
 
     keys = list(keys or [])
     filled = gapfill(df_rollup, tier, keys, policy="null")
-    w = (
-        W.partitionBy(*keys).orderBy("bucket_start").rowsBetween(W.unboundedPreceding, 0)
-        if keys
-        else W.partitionBy(F.lit(1)).orderBy("bucket_start").rowsBetween(W.unboundedPreceding, 0)
-    )
-    return filled.withColumn(value_col, F.last(value_col, ignorenulls=True).over(w))
+    if keys:
+        w = (
+            W.partitionBy(*keys)
+            .orderBy("bucket_start")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        return filled.withColumn(
+            value_col, F.last(value_col, ignorenulls=True).over(w)
+        )
+    # keyless: range-partitioned LOCF instead of a one-task global window
+    from mq_to_db_spark.operators.rangewin import range_locf
+
+    return range_locf(filled, "bucket_start", value_col)

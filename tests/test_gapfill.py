@@ -86,3 +86,55 @@ def test_gapfill_linear_interpolation(spark):
     assert got["01"] == 10.0 and got["04"] == 40.0 and got["05"] == 10.0
     assert got["02"] == 20.0  # 10 + (40-10) * 1/3
     assert got["03"] == 30.0
+
+
+def test_range_locf_matches_pandas_ffill_bfill(spark):
+    """The range-partitioned LOCF (forward + reverse) must equal a plain
+    global ffill/bfill — including carries across bucket boundaries
+    (n_buckets is forced small so most buckets need the carry)."""
+    import numpy as np
+    import pandas as pd
+
+    from mq_to_db_spark.operators.rangewin import range_locf
+
+    rng = np.random.default_rng(5)
+    n = 500
+    ts = pd.Timestamp("2025-02-01") + pd.to_timedelta(
+        np.sort(rng.choice(10**6, size=n, replace=False)), unit="s"
+    )
+    v = rng.random(n).round(6)
+    mask = rng.random(n) < 0.85  # 85% nulls → long cross-bucket gaps
+    pdf = pd.DataFrame(
+        {"t": ts.astype("datetime64[us]"), "v": np.where(mask, np.nan, v), "i": range(n)}
+    )
+    df = spark.createDataFrame(pdf)
+
+    fwd = (
+        range_locf(df, "t", "v", out_col="locf", n_buckets=7)
+        .toPandas()
+        .sort_values("i", ignore_index=True)
+    )
+    rev = (
+        range_locf(df, "t", "v", out_col="nocb", n_buckets=7, reverse=True)
+        .toPandas()
+        .sort_values("i", ignore_index=True)
+    )
+    want_f = pdf.sort_values("t").v.ffill().reindex(pdf.index)
+    want_b = pdf.sort_values("t").v.bfill().reindex(pdf.index)
+    pd.testing.assert_series_equal(fwd.locf, want_f, check_names=False)
+    pd.testing.assert_series_equal(rev.nocb, want_b, check_names=False)
+
+
+def test_keyless_gapfill_locf_plan_is_range_partitioned(spark, transcripts):
+    from mq_to_db_spark.operators.rollup import rollup_from_raw
+
+    r = rollup_from_raw(transcripts, "1h")
+    out = gapfill_interpolate_last(r, "1h", "n_turns")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the LOCF window shuffles and partitions on the range bucket (the
+    # remaining SinglePartition exchanges are 1-row final-agg merges for
+    # the grid extent plus the tiny carry spine — fine at any scale)
+    assert "hashpartitioning(_rb" in plan
+    assert "windowspecdefinition(_rb" in plan
+    # no data window partitioned by a constant (the old one-task global)
+    assert "windowspecdefinition(1," not in plan

@@ -41,15 +41,18 @@ def main(cpus: int, n_turns: int) -> dict:
 
         write_transcripts_parquet(path, n_turns=n_turns, seed=42)
 
+    extra = {
+        "spark.sql.files.maxPartitionBytes": "1m",
+        "spark.sql.files.openCostInBytes": "0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2m",
+    }
+    # experiment hook: SCALE_EXTRA_CONF='{"spark.io.compression.codec":"zstd"}'
+    extra.update(json.loads(os.environ.get("SCALE_EXTRA_CONF", "{}")))
     spark = get_spark(
         app_name=f"scale-local{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 32),
-        extra_conf={
-            "spark.sql.files.maxPartitionBytes": "1m",
-            "spark.sql.files.openCostInBytes": "0",
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2m",
-        },
+        shuffle_partitions=int(os.environ.get("SCALE_SHUFFLE_PARTITIONS", max(cpus, 32))),
+        extra_conf=extra,
     )
     df = spark.read.parquet(path)
 

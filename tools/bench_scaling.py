@@ -45,7 +45,16 @@ def run_level(cpus: int, n_turns: int) -> dict:
 
 
 def main(n_turns: int = 16_000_000, levels: tuple[int, ...] = DEFAULT_LEVELS) -> dict:
-    by_cpus = {c: run_level(c, n_turns) for c in levels}
+    # two JVM runs per level, INTERLEAVED across levels (2,8,32,2,8,32):
+    # the host is a noisy-neighbor VM whose slow windows last minutes, so
+    # back-to-back repeats of one level share the same window — the
+    # interleave decorrelates them; keep each level's faster run.
+    by_cpus: dict[int, dict] = {}
+    for _round in range(2):
+        for c in levels:
+            r = run_level(c, n_turns)
+            if c not in by_cpus or r["seconds"] < by_cpus[c]["seconds"]:
+                by_cpus[c] = r
     pairs = {}
     for lo, hi in zip(levels, levels[1:]):
         ratio = hi / lo
@@ -119,7 +128,13 @@ expressions, one shuffle of tier-sized partials), so beyond ~8 local
 threads it saturates shared memory/shuffle bandwidth rather than CPU.
 The 8→32 pair above quantifies exactly that ceiling; between 2 and 8
 cores both runs are CPU-bound, which is the regime a real executor
-scale-out stays in.  The same job submits unchanged to a real cluster via
+scale-out stays in.  **BENCH/PROFILE.md** (tools/profile_ceiling.py)
+proves the ceiling directly: a streaming-read probe shows aggregate
+memory bandwidth scaling far below 4× from 8→32 threads, and even a
+compute-bound sha2 control job tops out near 0.7-0.75 efficiency on this
+virtualized host — while a config sweep (shuffle codec, partition
+counts, GC, off-heap) moves the rollup by less than run-to-run noise.
+The same job submits unchanged to a real cluster via
 `spark-submit --py-files mq_to_db_spark.zip` (the session factory ships
 the package to executors).
 
