@@ -54,11 +54,15 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # -- shingles + minhash -------------------------------------------------------
 
 
-def with_shingles(df: DataFrame, text_col: str, n: int = 3, out: str = "shingles") -> DataFrame:
+def with_shingles(
+    df: DataFrame, text_col: str, n: int = 3, out: str = "shingles", distinct: bool = True
+) -> DataFrame:
     """Add a distinct word-n-gram shingle column, computing the normalized
     word array exactly once per row (the regex chain is the expensive
     part; re-inlining it per shingle index is O(len × shingles) regex
-    work)."""
+    work).  ``distinct=False`` skips the string-level ``array_distinct``
+    — for consumers that hash the shingles and dedup on the (much
+    cheaper to compare) int64 hashes instead (minhash)."""
     from mq_to_db_spark.functions.text import normalize_text
 
     # Single branch-free shingle expression: `slice` clamps at the array
@@ -67,6 +71,12 @@ def with_shingles(df: DataFrame, text_col: str, n: int = 3, out: str = "shingles
     # slower end-to-end: conditional branches defeat codegen subexpression
     # elimination, so the (inlined-by-CollapseProject) normalize+split
     # chain re-evaluates per branch.  NULL text stays NULL (guard below).
+    inner = (
+        f"transform(sequence(1, greatest(size(_words) - {n - 1}, 1)), "
+        f"i -> array_join(slice(_words, i, {n}), ' '))"
+    )
+    if distinct:
+        inner = f"array_distinct({inner})"
     return (
         df.withColumn("_words", F.split(normalize_text(text_col), " "))
         .withColumn(
@@ -76,10 +86,7 @@ def with_shingles(df: DataFrame, text_col: str, n: int = 3, out: str = "shingles
             # the regex chain into a second conditional branch.
             F.when(
                 (F.col(text_col) if isinstance(text_col, str) else text_col).isNotNull(),
-                F.expr(
-                    f"array_distinct(transform(sequence(1, greatest(size(_words) - {n - 1}, 1)), "
-                    f"i -> array_join(slice(_words, i, {n}), ' ')))"
-                ),
+                F.expr(inner),
             ),
         )
         .drop("_words")
@@ -183,15 +190,17 @@ def minhash_lsh_pairs(
             df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")),
             "text",
             shingle_n,
+            distinct=False,  # dedup happens on the int64 hashes below
         )
         .filter(F.size("shingles") > 0)
         # JVM hashes each shingle string once; the Arrow UDF derives all
         # n_hashes minima from the integer hashes (see
         # minhash_signature_vectorized — ~5× over the interpreted fold).
-        # Verification also runs on the hash sets: Jaccard over 64-bit
-        # shingle hashes equals Jaccard over the shingles themselves up
-        # to ~2^-64 collisions, and caching/shuffling array<long> is ~10×
-        # cheaper than the array<string> shingle payloads.
+        # Dedup + verification both run on the hash sets: Jaccard over
+        # 64-bit shingle hashes equals Jaccard over the shingles
+        # themselves up to ~2^-64 collisions, array_distinct on int64s
+        # skips the O(k²) string comparisons, and caching/shuffling
+        # array<long> is ~10× cheaper than the array<string> payloads.
         .withColumn("_h", F.array_distinct(F.expr("transform(shingles, s -> xxhash64(s))")))
         .select("id", F.col("_h").alias("shingles"), mix(F.col("_h")).alias("sig"))
         .persist()  # reused 3× (banding + both sides of verification)
