@@ -60,3 +60,86 @@ def test_sample_frames_cadence(spark):
     per = frames.groupby("media_id").size()
     for _, r in vids.iterrows():
         assert per.get(r.media_id, 0) == max(1, int((r.duration_ms or 0) // 500))
+
+
+def test_wav_codec_roundtrip_exact():
+    import numpy as np
+
+    from mq_to_db_spark.operators.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(3)
+    samples = (rng.random(4410) * 2 - 1).round(4)
+    back, rate = decode_wav(encode_wav(samples, 44100))
+    assert rate == 44100
+    # PCM16 quantization: within 1/32767
+    assert np.abs(back - samples).max() <= 1.0 / 32767 + 1e-12
+
+
+def test_ppm_codec_and_real_resize():
+    import numpy as np
+
+    from mq_to_db_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    small = resize_nearest(img, 15, 10)
+    assert small.shape == (10, 15, 3)
+    # nearest-neighbor by exact 2:1 decimation == strided slice
+    assert (small == img[::2, ::2]).all()
+
+
+def test_real_media_pipeline_end_to_end(spark):
+    """synth_media_real drives the REAL branches: PPM resize, WAV
+    resample, ppmseq frame extraction, real-decode features."""
+    import numpy as np
+
+    from mq_to_db_spark.operators.multimodal import (
+        decode_ppm,
+        decode_wav,
+        resample_audio,
+        resize_images,
+        sample_frames,
+        synth_media_real,
+    )
+
+    media = synth_media_real(spark, n=18, seed=9).cache()
+
+    resized = resize_images(media, width=12, height=12).toPandas()
+    assert len(resized) == 6
+    for p in resized.payload:
+        assert decode_ppm(bytes(p)).shape == (12, 12, 3)
+
+    res = resample_audio(media, target_rate=16000).toPandas()
+    assert len(res) == 6
+    for p, n in zip(res.payload, res.n_samples):
+        samples, rate = decode_wav(bytes(p))
+        assert rate == 16000 and len(samples) == n
+
+    frames = sample_frames(media, every_ms=1000).toPandas()
+    metas = {r.media_id: r.meta for r in media.filter("kind='video'").collect()}
+    per = frames.groupby("media_id").size().to_dict()
+    for mid, meta in metas.items():
+        assert per[mid] == max(1, meta["duration_ms"] // 1000)
+    for p in frames.payload:
+        assert bytes(p)[:2] == b"P6"  # real frames, not synthetic bytes
+
+    feats = extract_features(media).toPandas()
+    assert len(feats) == 18
+    assert all(np.isfinite(f).all() for f in feats.feature)
+
+
+def test_real_decode_rejects_compressed_only():
+    """Compressed codecs stay stubbed; numpy-only formats decode."""
+    import numpy as np
+
+    from mq_to_db_spark.operators.multimodal import encode_wav, real_decode
+
+    wav = encode_wav(np.zeros(100), 8000)
+    assert len(real_decode(wav, "audio/wav")) == 100
+    with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
+        real_decode(b"\xff\xd8\xff", "image/jpeg")
