@@ -452,7 +452,34 @@ def q_simhash_pairs(spark, sf_dir):
 
 ANN_LSH_PARAMS = dict(n_planes=6, multiprobe=2, seed=13, k=10, query_id=1)
 ANN_IVF_PARAMS = dict(n_centroids=8, nprobe=3, k=10, query_id=2)
+NEARDUP_PARAMS = dict(n_planes=8, n_bands=8, threshold=0.3)
 EMB_DIM = 64
+
+
+def q_dedup_minhash_survivors(spark, sf_dir):
+    """Near-dup removal end-to-end: minhash-LSH pairs → exact connected
+    components (bounded label propagation) → keep each cluster's minimum
+    id.  The oracle recomputes the exact J ≥ 0.3 pair graph and its
+    transitive closure with a recursive CTE — chained duplicates
+    (A~B~C, A≁C) must leave exactly one survivor."""
+    from mq_to_db_spark.operators.dedup import dedup_minhash
+
+    kept = dedup_minhash(_docs(spark, sf_dir), "doc_id", "text", threshold=0.3)
+    return kept.select("doc_id")
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Banded hyperplane-LSH embedding near-dup pairs with exact cosine
+    verification — the oracle replays the full banded OR-construction
+    (same seeded literal planes) plus the cosine filter in SQL."""
+    from mq_to_db_spark.operators.dedup import embedding_neardup_pairs
+
+    p = NEARDUP_PARAMS
+    pairs = embedding_neardup_pairs(
+        _emb(spark, sf_dir), "vec_id", "embedding",
+        threshold=p["threshold"], n_planes=p["n_planes"], n_bands=p["n_bands"],
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 5).alias("cosine_r"))
 
 
 def q_ann_ivf(spark, sf_dir):
@@ -529,6 +556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "dedup_minhash_survivors": q_dedup_minhash_survivors,
+        "embedding_neardup": q_embedding_neardup,
         "transcript_pipeline": q_transcript_pipeline,
     }
 
@@ -598,6 +627,44 @@ def _ann_ivf_oracle() -> str:
             FROM assign a JOIN probes pr USING (lid))
         SELECT vec_id, round(cos, 5) AS cosine_r
         FROM cand ORDER BY cos DESC, vec_id LIMIT {p["k"]}
+    """
+
+
+def _embedding_neardup_oracle() -> str:
+    """DuckDB replay of the banded hyperplane OR-construction: one sig
+    expression per band (same seeded literal planes as the Spark side),
+    candidate = any-band collision, then the exact cosine filter."""
+    from mq_to_db_spark.operators.similarity import hyperplane_planes
+
+    p = NEARDUP_PARAMS
+    n = p["n_planes"]
+    band_cols, ors = [], []
+    for b in range(p["n_bands"]):
+        planes = hyperplane_planes(n, EMB_DIM, seed=1000 + b)
+        terms = []
+        for pi in range(n):
+            dot = " + ".join(
+                f"v[{i + 1}]*{float(w)!r}" for i, w in enumerate(planes[pi])
+            )
+            terms.append(
+                f"(CASE WHEN ({dot}) >= 0 THEN {1 << (n - 1 - pi)} ELSE 0 END)"
+            )
+        band_cols.append("(" + "\n                 + ".join(terms) + f") AS s{b}")
+        ors.append(f"a.s{b} = b.s{b}")
+    sig_select = ",\n               ".join(band_cols)
+    any_band = " OR ".join(ors)
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sigs AS (SELECT vec_id, v,
+               {sig_select}
+            FROM e),
+        cand AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   list_cosine_similarity(a.v, b.v) AS cos
+            FROM sigs a JOIN sigs b
+              ON a.vec_id < b.vec_id AND ({any_band}))
+        SELECT id_a, id_b, round(cos, 5) AS cosine_r
+        FROM cand WHERE cos >= {p["threshold"]}
     """
 
 
@@ -1045,4 +1112,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh": _ann_lsh_oracle(),
         "ann_ivf": _ann_ivf_oracle(),
+        # survivors of near-dup removal: exact-Jaccard pair graph →
+        # transitive closure (recursive CTE) → min-id per component —
+        # chained duplicates leave exactly one survivor.
+        "dedup_minhash_survivors": f"""
+            WITH RECURSIVE norm AS (
+                SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                            ELSE list_distinct([array_to_string(words[i:i+2], ' ')
+                                  for i in range(1, len(words) - 1)])
+                       END AS shingles
+                FROM norm
+            ),
+            posting AS (
+                SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+                FROM sh
+            ),
+            shared AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+                FROM posting a JOIN posting b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4
+            ),
+            pairs AS (
+                SELECT id_a, id_b FROM shared
+                WHERE inter / (na + nb - inter) >= 0.3
+            ),
+            edges AS (
+                SELECT id_a AS s, id_b AS d FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(id, r) AS (
+                SELECT s, s FROM edges
+                UNION
+                SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
+            ),
+            comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+            losers AS (SELECT id FROM comp WHERE id <> component)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM losers)
+        """,
+        "embedding_neardup": _embedding_neardup_oracle(),
     }
