@@ -505,6 +505,24 @@ def q_ann_lsh(spark, sf_dir):
     ).select("vec_id", F.round("cosine", 5).alias("cosine_r"))
 
 
+WINNOW_PARAMS = dict(k=16, w=8, min_shared=5)
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """MOSS-style winnowing fingerprint pairs (Schleimer et al.): md5
+    k-gram hashes → sliding-window minima (Arrow-vectorized) → inverted
+    index join on shared fingerprints.  The oracle recomputes the exact
+    fingerprint sets in SQL (same md5 values, list-comprehension window
+    minima)."""
+    from mq_to_db_spark.operators.dedup import winnow_similar_pairs
+
+    p = WINNOW_PARAMS
+    return winnow_similar_pairs(
+        _docs(spark, sf_dir), "doc_id", "text",
+        k=p["k"], w=p["w"], min_shared=p["min_shared"],
+    )
+
+
 def q_transcript_pipeline(spark, sf_dir):
     """Full engine pipeline smoke on events-as-transcripts: tier cascade →
     gap-filled 1h global rollup (rows-only check; the per-piece oracles
@@ -558,6 +576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "dedup_minhash_survivors": q_dedup_minhash_survivors,
         "embedding_neardup": q_embedding_neardup,
+        "winnow_pairs": q_winnow_pairs,
         "transcript_pipeline": q_transcript_pipeline,
     }
 
@@ -1158,4 +1177,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (SELECT id FROM losers)
         """,
         "embedding_neardup": _embedding_neardup_oracle(),
+        # winnowing: exact md5 fingerprint replication — k-gram hashes,
+        # per-window list_min, distinct, inverted-index share counts.
+        "winnow_pairs": f"""
+            WITH nm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+            gh AS (
+                SELECT doc_id,
+                       [('0x' || substring(md5(t[i:i+{WINNOW_PARAMS["k"] - 1}]), 1, 15))::BIGINT
+                        for i in range(1, greatest(length(t) - {WINNOW_PARAMS["k"] - 1}, 1) + 1)] AS h
+                FROM nm
+            ),
+            fps AS (
+                SELECT doc_id,
+                       list_distinct([list_min(h[j:j+{WINNOW_PARAMS["w"] - 1}])
+                        for j in range(1, greatest(len(h) - {WINNOW_PARAMS["w"] - 1}, 1) + 1)]) AS fp
+                FROM gh
+            ),
+            posting AS (SELECT doc_id, unnest(fp) AS f FROM fps WHERE len(fp) > 0),
+            pruned AS (SELECT f FROM posting GROUP BY f HAVING count(*) <= 1000),
+            p2 AS (SELECT doc_id, f FROM posting WHERE f IN (SELECT f FROM pruned))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+            FROM p2 a JOIN p2 b USING (f)
+            WHERE a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= {WINNOW_PARAMS["min_shared"]}
+        """,
     }

@@ -12,6 +12,8 @@ counting (whitespace + BPE-ish regex), document fingerprinting
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -152,3 +154,100 @@ def fingerprint_rolling(col, window: int = 8) -> Column:
         f"i -> substr({norm_sql}, i + 1, {window}))"
     )
     return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
+
+
+def winnow_mins_vectorized(w: int = 4):
+    """Arrow-vectorized sliding-window minimum for winnowing: an
+    ``array<bigint>`` of gram hashes → the array of per-window minima
+    (window = ``w`` consecutive hashes; a row shorter than ``w`` yields
+    its single global min), distinct, sorted.
+
+    Batch-flattened numpy, no per-row Python: all rows' hash arrays are
+    concatenated with ``w-1`` int64-max sentinels between rows (so a
+    window never crosses a row boundary), the sliding min is ``w``
+    shifted ``np.minimum`` passes over the flat array, and per-row
+    dedup is one lexsort + first-occurrence mask."""
+    from pyspark.sql import types as T
+
+    MAXI = np.iinfo(np.int64).max
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _mins(hashes: pd.Series) -> pd.Series:
+        n = len(hashes)
+        if not n:
+            return pd.Series([], dtype=object)
+        lens = np.fromiter(
+            (0 if h is None else len(h) for h in hashes), dtype=np.int64, count=n
+        )
+        pad_lens = lens + (w - 1)
+        total = int(pad_lens.sum())
+        flat = np.full(total, MAXI, dtype=np.int64)
+        offsets = np.r_[0, np.cumsum(pad_lens)[:-1]]
+        for off, h in zip(offsets, hashes):  # row-granular copy, not per-element
+            if h is not None and len(h):
+                flat[off : off + len(h)] = np.asarray(h, dtype=np.int64)
+        # acc[j] = min(flat[j .. j+w-1])
+        acc = flat.copy()
+        for s in range(1, w):
+            acc[:-s] = np.minimum(acc[:-s], flat[s:])
+        # keep window starts: per row, positions off .. off+keep-1
+        keeps = np.where(lens > 0, np.maximum(lens - (w - 1), 1), 0)
+        row_ids = np.repeat(np.arange(n), keeps)
+        starts = np.repeat(offsets, keeps) + _segment_arange(keeps)
+        vals = acc[starts]
+        if not vals.size:
+            return pd.Series([[] for _ in range(n)])
+        order = np.lexsort((vals, row_ids))
+        rid_s, val_s = row_ids[order], vals[order]
+        first = np.r_[True, (rid_s[1:] != rid_s[:-1]) | (val_s[1:] != val_s[:-1])]
+        rid_u, val_u = rid_s[first], val_s[first]
+        counts = np.bincount(rid_u, minlength=n)
+        out = [a.tolist() for a in np.split(val_u, np.cumsum(counts)[:-1])]
+        return pd.Series(out)
+
+    return _mins
+
+
+def _segment_arange(seg_lens):
+    """[0..l0), [0..l1), ... concatenated — vectorized per-segment arange."""
+    total = int(seg_lens.sum())
+    if not total:
+        return np.empty(0, dtype=np.int64)
+    ids = np.arange(total, dtype=np.int64)
+    seg_starts = np.r_[0, np.cumsum(seg_lens)[:-1]]
+    return ids - np.repeat(seg_starts, seg_lens)
+
+
+def with_winnow_fingerprints(
+    df, text_col: str, k: int = 8, w: int = 4, out: str = "winnow_fps"
+):
+    """TRUE winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+    fingerprinting scheme): md5-derived hashes of all character k-grams
+    of the normalized text, then the minimum of every window of ``w``
+    consecutive gram hashes; the distinct window minima (sorted) are the
+    document's fingerprint set.  Guarantees: any shared substring of
+    length ≥ k + w - 1 yields at least one shared fingerprint, and an
+    edit perturbs only O(w) fingerprints (position-robust, unlike a
+    global-min sketch).
+
+    md5 (via ``conv(substring(md5(...)))``) rather than xxhash64 so a
+    DuckDB oracle reproduces every fingerprint bit-for-bit.  Gram
+    hashing runs JVM-side in ONE pass; the sliding min runs in the Arrow
+    UDF — an all-expression formulation is a trap: CollapseProject
+    inlines the gram-hash array into every window slice, re-evaluating
+    the md5 chain O(len × w) times per row."""
+    from pyspark.sql import functions as F
+
+    # filter(x IS NOT NULL): a NULL text null-propagates through the gram
+    # chain into [NULL] — winnowing of a null doc is the empty set
+    gh = F.expr(
+        f"filter(transform(sequence(1, greatest(length(_norm) - {k - 1}, 1)), "
+        f"i -> cast(conv(substring(md5(substring(_norm, i, {k})), 1, 15), 16, 10) as bigint)), "
+        f"x -> x IS NOT NULL)"
+    )
+    mins = winnow_mins_vectorized(w)
+    return (
+        df.withColumn("_norm", normalize_text(text_col))
+        .withColumn(out, mins(gh))
+        .drop("_norm")
+    )

