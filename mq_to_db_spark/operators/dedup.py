@@ -349,7 +349,12 @@ def ngram_jaccard_pairs(
             "text",
             shingle_n,
             out="sh",
+            distinct=False,
         )
+        # dedup + join on int64 shingle hashes, not strings: identical
+        # inter/union counts up to ~2^-64 collisions, and the posting
+        # shuffle carries 8-byte keys instead of shingle text
+        .withColumn("sh", F.array_distinct(F.expr("transform(sh, s -> xxhash64(s))")))
         .select("id", "sh")
         .filter(F.size("sh") > 0)
         .withColumn("n_sh", F.size("sh"))
