@@ -373,3 +373,75 @@ def ivf_topk_indexed(
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+def knn_join_lsh(
+    left: DataFrame,
+    right: DataFrame,
+    k: int = 5,
+    left_id: str = "id_l",
+    right_id: str = "id_r",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_bands: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate k-NN join for a LARGE right side — the scale path
+    :func:`knn_join_brute` (broadcast, small right) cannot take.
+
+    Both sides are hashed into ``n_bands`` independent hyperplane-LSH
+    bands; candidates are (left, right) rows colliding in ANY band (an
+    equi-join on (band, sig) — never a cross join), scored with exact
+    cosine, window top-k per left row.  A left row whose true neighbor
+    collides in no band misses it (OR-construction recall: tune bands ×
+    planes); rows may return fewer than k matches.  Both sides shuffle
+    by (band, sig) — co-located, skew defused across bands."""
+    if dim is None:
+        row = left.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = row.d if row else 0
+    bands = [
+        (b, hyperplane_planes(n_planes, dim, seed=1000 + b)) for b in range(n_bands)
+    ]
+
+    def banded(df, id_col, out_id):
+        return df.select(
+            F.col(id_col).alias(out_id), F.col(vec_col).alias(f"v_{out_id}")
+        ).select(
+            out_id,
+            f"v_{out_id}",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            hyperplane_signature(F.col(f"v_{out_id}"), planes).alias(
+                                "sig"
+                            ),
+                        )
+                        for b, planes in bands
+                    ]
+                )
+            ).alias("bk"),
+        ).select(out_id, f"v_{out_id}", "bk.band", "bk.sig")
+
+    from pyspark.sql import Window as W
+
+    l = banded(left, left_id, "lid")
+    r = banded(right, right_id, "rid")
+    cand = (
+        l.join(r, ["band", "sig"])
+        .select("lid", "rid", "v_lid", "v_rid")
+        .distinct()  # a pair may collide in several bands
+    )
+    scored = cand.withColumn(
+        "cosine",
+        cosine_sim_cols(
+            F.col("v_lid").cast("array<double>"), F.col("v_rid").cast("array<double>")
+        ),
+    )
+    w = W.partitionBy("lid").orderBy(F.desc("cosine"), F.col("rid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("lid", "rid", "cosine", "rank")
+    )

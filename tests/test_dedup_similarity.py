@@ -330,3 +330,27 @@ def test_embedding_neardup_banded_recall(spark):
     found = {(r.id_a, r.id_b) for r in pairs.collect()}
     planted = {(2 * i, 2 * i + 1) for i in range(30)}
     assert planted <= found, planted - found
+
+
+def test_knn_join_lsh_recall_on_clustered_data(spark):
+    """The banded k-NN join (no broadcast, no cross join) reaches
+    recall ≥ 0.9 vs the brute-force join on clustered data."""
+    from mq_to_db_spark.operators.similarity import knn_join_brute, knn_join_lsh
+
+    emb, _ = _clustered_embeddings(spark, n_clusters=10, per_cluster=20)
+    emb = emb.cache()
+    left = emb.filter("vec_id < 20").select(F.col("vec_id").alias("id_l"), "embedding")
+    right = emb.select(F.col("vec_id").alias("id_r"), "embedding")
+    brute = {
+        (r.lid, r.rid) for r in knn_join_brute(left, right, k=5).collect()
+    }
+    approx = {
+        (r.lid, r.rid)
+        for r in knn_join_lsh(left, right, k=5, n_planes=8, n_bands=8).collect()
+    }
+    assert len(brute & approx) / len(brute) >= 0.9, len(brute & approx) / len(brute)
+    # plan shape: equi-join on (band, sig), never a broadcast nested loop
+    plan = knn_join_lsh(left, right, k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    emb.unpersist()
