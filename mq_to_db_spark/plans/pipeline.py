@@ -146,20 +146,45 @@ class RollupPipeline:
         self.metrics = table_factory("job_metrics", None)
 
     # -- checkpoint markers ---------------------------------------------------
+    #
+    # Two marker scopes:
+    #   * global (batch/overwrite mode): a unit is acked once, forever —
+    #     a redelivered batch skips it (units arrive whole per batch);
+    #   * batch-scoped (streaming/append mode): the ack is per
+    #     (micro-batch, unit) — a *recovery replay* of the same micro-batch
+    #     skips, while a LATER micro-batch carrying more turns for the same
+    #     unit appends fresh partials (read-side merge makes that exact).
 
-    def _marker_path(self, conv_bucket: int, date: str) -> str:
-        return os.path.join(self.ckpt_dir, f"{date}_b{conv_bucket:04d}.json")
+    def _marker_path(self, conv_bucket: int, date: str, scope: str | None = None) -> str:
+        prefix = f"{scope}__" if scope else ""
+        return os.path.join(self.ckpt_dir, f"{prefix}{date}_b{conv_bucket:04d}.json")
 
-    def committed_units(self) -> set[tuple[int, str]]:
+    def committed_units(self, scope: str | None = None) -> set[tuple[int, str]]:
         out = set()
         for fn in os.listdir(self.ckpt_dir):
-            if fn.endswith(".json"):
-                date, b = fn[:-5].rsplit("_b", 1)
-                out.add((int(b), date))
+            if not fn.endswith(".json"):
+                continue
+            stem = fn[:-5]
+            if scope is None:
+                if "__" in stem:
+                    continue  # batch-scoped markers belong to append mode
+            else:
+                if not stem.startswith(f"{scope}__"):
+                    continue
+                stem = stem.split("__", 1)[1]
+            date, b = stem.rsplit("_b", 1)
+            out.add((int(b), date))
         return out
 
-    def _write_marker(self, conv_bucket: int, date: str, batch_id: str, stats: dict):
-        p = self._marker_path(conv_bucket, date)
+    def _write_marker(
+        self,
+        conv_bucket: int,
+        date: str,
+        batch_id: str,
+        stats: dict,
+        scope: str | None = None,
+    ):
+        p = self._marker_path(conv_bucket, date, scope)
         tmp = p + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump({"batch_id": batch_id, "committed_at": time.time(), **stats}, f)
@@ -173,12 +198,24 @@ class RollupPipeline:
         input_df: DataFrame,
         batch_id: str | None = None,
         fail_after_commit_of: str | None = None,
+        mode: str = "overwrite",
     ) -> BatchReport:
         """Process one delivery batch.  ``fail_after_commit_of`` is a test
         hook: raise after committing the named tier table (simulates the
-        crash-between-commit-and-ack window the resume test needs)."""
+        crash-between-commit-and-ack window the resume test needs).
+
+        ``mode="overwrite"`` (batch): units arrive whole; tier writes are
+        partition overwrites, acks are global per unit.
+        ``mode="append"`` (streaming micro-batches): a unit's turns may
+        span batches, so tier writes APPEND per-batch partials (read-side
+        merge keeps results exact) and acks are scoped to this batch_id —
+        a recovery replay of the same micro-batch is a no-op, later
+        batches for the same unit are not."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"unknown mode {mode!r}")
         t0 = time.time()
         batch_id = batch_id or uuid.uuid4().hex[:12]
+        scope = batch_id if mode == "append" else None
         cfg = self.cfg
         report = BatchReport(batch_id=batch_id)
 
@@ -203,7 +240,7 @@ class RollupPipeline:
             for r in unit_rows
             if r.conv_bucket is None or r.date is None
         )
-        committed = self.committed_units()
+        committed = self.committed_units(scope)
         todo = {u for u in units if u not in committed}
         report.n_units_total = len(units)
         report.n_units_skipped = len(units) - len(todo)
@@ -262,9 +299,14 @@ class RollupPipeline:
                     drop = ["dim", *[k for k in all_keys if k not in keys]]
                     out_df = sliced.drop(*dict.fromkeys(drop))
                     name = f"rollup_{dim}_{tier}"
-                    snap = self.tables[name].overwrite_partitions(
-                        out_df, summary={"batch_id": batch_id}
-                    )
+                    if mode == "append":
+                        snap = self.tables[name].append(
+                            out_df, summary={"batch_id": batch_id}
+                        )
+                    else:
+                        snap = self.tables[name].overwrite_partitions(
+                            out_df, summary={"batch_id": batch_id}
+                        )
                     points[name] = len(snap.added_files)  # files committed
                     if fail_after_commit_of == name:
                         raise RuntimeError(f"injected failure after commit of {name}")
@@ -347,7 +389,9 @@ class RollupPipeline:
         )
         for b, d in sorted(todo):
             n_in, n_r = units[(b, d)]
-            self._write_marker(b, d, batch_id, {"n_in": int(n_in), "n_rejected": int(n_r)})
+            self._write_marker(
+                b, d, batch_id, {"n_in": int(n_in), "n_rejected": int(n_r)}, scope
+            )
         return report
 
     # -- read-side finalization ----------------------------------------------

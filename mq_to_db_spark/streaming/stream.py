@@ -109,15 +109,51 @@ def run_stream_foreach_batch(
     checkpoint_path: str,
     batch_fn,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """Micro-batch hook: each batch of raw turns is handed to ``batch_fn
     (df, batch_id)`` — the seam where the full batch pipeline (validate →
     tier cascade → TableIO commit) runs per micro-batch, reusing all the
     batch operators verbatim."""
-    stream = read_transcript_stream(spark, input_path)
+    stream = read_transcript_stream(spark, input_path, max_files_per_trigger)
     writer = stream.writeStream.foreachBatch(batch_fn).option(
         "checkpointLocation", checkpoint_path
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_streaming_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    checkpoint_path: str,
+    pipeline,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+):
+    """The reference's full ingest loop in streaming form: each
+    micro-batch of delivered turns runs the COMPLETE RollupPipeline batch
+    — validate → dead-letter → tier cascade → lineage/metrics → ack —
+    in ``mode="append"`` (per-batch partials + batch-scoped acks), so
+
+      * a micro-batch replayed on recovery is a no-op (its batch-scoped
+        markers exist; Spark's foreachBatch batch_id is stable across
+        retries),
+      * a unit whose turns span micro-batches accumulates appended
+        partials that the read-side merge (``read_rollup``) finalizes
+        exactly — no late-data loss to the batch mode's global unit skip.
+
+    Effectively-once end to end: streaming-source checkpoint (which files
+    were delivered) × batch-scoped unit acks (which work was committed).
+    """
+
+    def _batch(df, batch_id):
+        pipeline.run(
+            df.sparkSession, df, batch_id=f"stream-{int(batch_id):06d}", mode="append"
+        )
+
+    return run_stream_foreach_batch(
+        spark, input_path, checkpoint_path, _batch, available_now,
+        max_files_per_trigger,
+    )

@@ -138,3 +138,72 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     after = spark.read.parquet(out).toPandas()
     b = after[after.bucket_start == pd.Timestamp("2025-01-01 00:02:00")]
     assert len(b) == 1 and int(b.n_turns.iloc[0]) == 2  # late row dropped, no dup window
+
+
+def test_streaming_pipeline_append_mode_effectively_once(spark, tmp_path):
+    """Full pipeline per micro-batch: rollups equal the batch-mode result
+    after read-side merge; a unit split across micro-batches loses no
+    turns; replaying a batch_id is a no-op."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mq_to_db_spark.config import EngineConfig
+    from mq_to_db_spark.fixtures.generator import (
+        TRANSCRIPT_SCHEMA,
+        generate_transcripts_pdf,
+    )
+    from mq_to_db_spark.plans.pipeline import RollupPipeline
+    from mq_to_db_spark.streaming.stream import run_streaming_pipeline
+
+    pdf = generate_transcripts_pdf(3000, seed=21)
+    # split one conversation's day across the two files → the same
+    # (conv_bucket, date) unit appears in both micro-batches
+    half = len(pdf) // 2
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    pdf.iloc[:half].to_parquet(in_dir / "part-0.parquet", index=False)
+    pdf.iloc[half:].to_parquet(in_dir / "part-1.parquet", index=False)
+
+    pipe = RollupPipeline(str(tmp_path / "wh"), EngineConfig(conv_buckets=4, shuffle_partitions=4))
+    q = run_streaming_pipeline(
+        spark, str(in_dir), str(tmp_path / "ckpt"), pipe,
+        available_now=True, max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+
+    # two genuine micro-batches ran (batch-scoped ack markers for both)
+    import os
+
+    scopes = {
+        fn.split("__", 1)[0]
+        for fn in os.listdir(pipe.ckpt_dir)
+        if "__" in fn and fn.endswith(".json")
+    }
+    assert scopes == {"stream-000000", "stream-000001"}, scopes
+
+    got = (
+        pipe.read_rollup(spark, "global", "1h")
+        .orderBy("bucket_start")
+        .toPandas()
+    )
+    # oracle: batch mode over the full input in a fresh warehouse
+    pipe2 = RollupPipeline(str(tmp_path / "wh2"), EngineConfig(conv_buckets=4, shuffle_partitions=4))
+    full = spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA)
+    pipe2.run(spark, full, batch_id="oracle")
+    want = (
+        pipe2.read_rollup(spark, "global", "1h")
+        .orderBy("bucket_start")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+
+    # replay: same batch_id + same data in append mode → all units skipped
+    df0 = spark.read.parquet(str(in_dir / "part-0.parquet"))
+    rep = pipe.run(spark, df0, batch_id="stream-000000", mode="append")
+    assert rep.n_units_skipped == rep.n_units_total > 0
+    got2 = pipe.read_rollup(spark, "global", "1h").orderBy("bucket_start").toPandas()
+    pd.testing.assert_frame_equal(
+        got2.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
