@@ -178,6 +178,17 @@ class IcebergTableIO:
             self.spark.sql(f"DELETE FROM {self.table} WHERE {cond}")
         return self.snapshot()
 
+    def compact(self, spark: SparkSession, min_files: int = 2):
+        """Small-file compaction via Iceberg's ``rewrite_data_files``
+        procedure (bin-packs each partition's files; atomic snapshot,
+        old snapshots readable until expire)."""
+        cat, rest = self.table.split(".", 1)
+        self.spark.sql(
+            f"CALL {cat}.system.rewrite_data_files(table => '{rest}', "
+            f"options => map('min-input-files', '{int(min_files)}'))"
+        )
+        return self.snapshot()
+
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """``expire_snapshots`` + orphan cleanup via the catalog
         procedures (the parquet TableIO's two-phase vacuum analogue)."""

@@ -39,6 +39,7 @@ import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col as F_col
 
 
 def partition_values(rel_path: str) -> dict[str, str]:
@@ -200,6 +201,35 @@ class TableIO:
             else []
         )
         return self._commit("delete_partitions", [], removed, summary or {})
+
+    def compact(self, spark: SparkSession, min_files: int = 2) -> Snapshot | None:
+        """Rewrite every logical partition holding ≥ ``min_files`` data
+        files into one file — the small-file compaction a streaming
+        append workload needs (each micro-batch appends its own partial
+        files; thousands of batches → thousands of tiny files per
+        partition and scan-planning death at 100 TB).  The rewrite is a
+        normal atomic snapshot commit: readers pinned to older snapshots
+        keep working until :meth:`vacuum` (Iceberg's ``rewrite_data_files``
+        contract).  Returns None when nothing needs compacting."""
+        snap = self.snapshot()
+        if snap is None:
+            return None
+        from collections import Counter
+
+        per_part = Counter(os.path.dirname(f) for f in snap.all_files)
+        doomed = {d for d, n in per_part.items() if n >= min_files}
+        if not doomed:
+            return None
+        files = [f for f in snap.all_files if os.path.dirname(f) in doomed]
+        df = self._read_files(spark, files)
+        if self.partition_cols:
+            # hash-partition on the partition cols → all rows of one
+            # logical partition land in one task → one output file each
+            df = df.repartition(*[F_col(c) for c in self.partition_cols])
+            return self.overwrite_partitions(df, summary={"compaction": len(files)})
+        # unpartitioned table: single-file rewrite of everything
+        full = self._read_files(spark, snap.all_files).coalesce(1)
+        return self.overwrite_all(full, summary={"compaction": len(snap.all_files)})
 
     def vacuum(self, keep_versions: int = 1) -> list[str]:
         """Physically delete data files unreferenced by the newest

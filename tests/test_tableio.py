@@ -68,3 +68,48 @@ def test_incremental_across_overwrite_raises(spark, tmp_path):
     t.overwrite_partitions(spark.range(5).withColumn("p", F.lit(0).cast("int")))
     with pytest.raises(ValueError, match="non-append"):
         t.read_incremental(spark, from_version=v1)
+
+
+def test_compact_collapses_small_files(spark, tmp_path):
+    """Streaming appends leave many small files; compact() rewrites each
+    multi-file partition to one file, atomically, keeping data identical
+    and old snapshots readable until vacuum."""
+    from mq_to_db_spark.sources.tableio import TableIO, partition_values
+
+    t = TableIO(str(tmp_path / "t"), ["date"])
+    for i in range(4):
+        df = spark.createDataFrame(
+            [(f"2025-01-0{d}", i, d * 10 + i) for d in (1, 2)],
+            "date string, batch int, v int",
+        )
+        t.append(df)
+    before = t.snapshot()
+    from collections import Counter
+
+    per_part = Counter(f.split("/")[0] for f in before.all_files)
+    assert all(n == 4 for n in per_part.values())
+
+    pre = t.read(spark).orderBy("date", "batch").collect()
+    snap = t.compact(spark)
+    assert snap is not None and snap.version == before.version + 1
+    per_part2 = Counter(f.split("/")[0] for f in snap.all_files)
+    assert all(n == 1 for n in per_part2.values()), per_part2
+    assert t.read(spark).orderBy("date", "batch").collect() == pre
+    # time travel to the pre-compaction snapshot still works
+    assert t.read(spark, version=before.version).count() == len(pre)
+    # second compact: nothing to do
+    assert t.compact(spark) is None
+    # vacuum reclaims the small files
+    deleted = t.vacuum()
+    assert len(deleted) == len(before.all_files)
+
+
+def test_compact_unpartitioned_table(spark, tmp_path):
+    from mq_to_db_spark.sources.tableio import TableIO
+
+    t = TableIO(str(tmp_path / "u"))
+    for i in range(3):
+        t.append(spark.createDataFrame([(i,)], "v int"))
+    snap = t.compact(spark)
+    assert snap is not None and len(snap.all_files) == 1
+    assert sorted(r.v for r in t.read(spark).collect()) == [0, 1, 2]
