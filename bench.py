@@ -152,10 +152,16 @@ def run(sf_dir: str = SF_DIR, cpus: int = CPUS, include_scaling_meta: bool = Tru
     timed("codec_encode_decode", lambda: _codec(transcripts))
 
     # -- driver-table headline queries -------------------------------------
-    # Each query is warmed once at sf0.001 (same plan shape → Janino/
-    # codegen compile happens outside the timed run; the fold-based
-    # minhash signature alone costs ~8 s of one-time compilation), then
-    # timed steady-state at sf_dir — matching the scale bench methodology.
+    # Each query is warmed at the small sibling fixture (codegen compile)
+    # AND once at sf_dir itself: per-plan-instance one-time costs (JIT of
+    # freshly generated classes, Arrow worker spin-up across all cores)
+    # do NOT transfer from the small warmup — AQE coalesces its tiny
+    # stages to ~1 partition, so e.g. only one Python worker gets
+    # spawned.  The cache is cleared before the timed run (a repeated
+    # identical plan would otherwise silently reuse the warm run's
+    # persisted subtrees via logical-plan cache matching and measure
+    # cache reads, not compute) — the timed number is honest
+    # steady-state: full recompute, warm JVM.
     qs = entry.queries()
     for name in (
         "rollup_1h_value_stats",
@@ -170,7 +176,10 @@ def run(sf_dir: str = SF_DIR, cpus: int = CPUS, include_scaling_meta: bool = Tru
     ):
         key = f"q_{name}"
         _materialize(qs[name](spark, WARM_DIR))
+        _materialize(qs[name](spark, sf_dir))  # absorb per-instance one-time costs
+        spark.catalog.clearCache()  # timed run must recompute, not read caches
         timed(key, lambda n=name: _materialize(qs[n](spark, sf_dir)))
+        spark.catalog.clearCache()
 
     rollup_sec = timings["rollup_cascade_3dim"]
     total = round(sum(timings.values()), 3)
