@@ -59,42 +59,37 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # -- shingles + minhash -------------------------------------------------------
 
 
-def with_shingles(
-    df: DataFrame, text_col: str, n: int = 3, out: str = "shingles", distinct: bool = True
+def hashed_shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """Add a distinct word-n-gram shingle column, computing the normalized
-    word array exactly once per row (the regex chain is the expensive
-    part; re-inlining it per shingle index is O(len × shingles) regex
-    work).  ``distinct=False`` skips the string-level ``array_distinct``
-    — for consumers that hash the shingles and dedup on the (much
-    cheaper to compare) int64 hashes instead (minhash)."""
-    from mq_to_db_spark.functions.text import normalize_text
-
-    # Single branch-free shingle expression: `slice` clamps at the array
-    # end, so a doc shorter than n words yields exactly its one full-text
-    # shingle via sequence(1, 1) — no CASE on size.  A CASE here is ~40%
-    # slower end-to-end: conditional branches defeat codegen subexpression
-    # elimination, so the (inlined-by-CollapseProject) normalize+split
-    # chain re-evaluates per branch.  NULL text stays NULL (guard below).
-    inner = (
-        f"transform(sequence(1, greatest(size(_words) - {n - 1}, 1)), "
-        f"i -> array_join(slice(_words, i, {n}), ' '))"
-    )
-    if distinct:
-        inner = f"array_distinct({inner})"
+    """(id, shingles: array<bigint>) — distinct word-n-gram shingle sets
+    as int64 hashes, built WITHOUT materializing shingle strings: words
+    are hashed once, shingle identity is xxhash64 over the word-hash
+    n-tuple (measured ~7× faster than `array_join(slice(...))` string
+    shingles; Jaccard over the hash sets equals Jaccard over string
+    shingles up to ~2^-64 collisions).  Docs shorter than n words clamp
+    indices → their single degenerate shingle, mirroring the string
+    path's whole-text shingle.  Null/empty docs are dropped."""
+    tuple_hash = "xxhash64(" + ", ".join(
+        f"element_at(_wh, least(i + {k}, size(_wh)))" for k in range(n)
+    ) + ")"
     return (
-        df.withColumn("_words", F.split(normalize_text(text_col), " "))
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
         .withColumn(
-            out,
-            # null-guard on the RAW column (normalize/split null-propagate,
-            # so text NULL ⇔ _words NULL) — guarding on _words would pull
-            # the regex chain into a second conditional branch.
-            F.when(
-                (F.col(text_col) if isinstance(text_col, str) else text_col).isNotNull(),
-                F.expr(inner),
+            "_wh",
+            F.expr(
+                "transform(split(" + _NORM_TEXT_SQL.format(col="text") + ", ' '), w -> xxhash64(w))"
             ),
         )
-        .drop("_words")
+        .filter(F.col("text").isNotNull() & (F.size("_wh") > 0))
+        .withColumn(
+            "shingles",
+            F.expr(
+                f"array_distinct(transform(sequence(1, greatest(size(_wh) - {n - 1}, 1)), "
+                f"i -> {tuple_hash}))"
+            ),
+        )
+        .select("id", "shingles")
     )
 
 
@@ -190,30 +185,13 @@ def minhash_lsh_pairs(
     assert n_hashes % bands == 0
     r = n_hashes // bands
     mix = minhash_signature_vectorized(n_hashes)
-    # Numeric shingles: hash each word ONCE, then combine word-hash
-    # n-tuples with one more xxhash64 — never building shingle *strings*
-    # (the `array_join(slice(words, i, n))` construction allocates a
-    # string per shingle and measured ~7× slower end-to-end).  Jaccard
-    # over distinct tuple-hashes equals Jaccard over string shingles up
-    # to ~2^-64 collisions; docs shorter than n words clamp indices and
-    # yield their single degenerate shingle, mirroring the string path's
-    # whole-text shingle.  The Arrow UDF then derives all n_hashes
-    # minima from the integer hashes (minhash_signature_vectorized).
-    tuple_hash = "xxhash64(" + ", ".join(
-        f"element_at(_wh, least(i + {k}, size(_wh)))" for k in range(shingle_n)
-    ) + ")"
+    # Numeric shingle sets (hashed_shingle_sets — no shingle strings);
+    # the Arrow UDF derives all n_hashes minima from the integer hashes
+    # (minhash_signature_vectorized), and verification computes exact
+    # Jaccard over the same hash sets.
     base = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-        .withColumn("_wh", F.expr("transform(split(" + _NORM_TEXT_SQL.format(col="text") + ", ' '), w -> xxhash64(w))"))
-        .filter(F.col("text").isNotNull() & (F.size("_wh") > 0))
-        .withColumn(
-            "_h",
-            F.expr(
-                f"array_distinct(transform(sequence(1, greatest(size(_wh) - {shingle_n - 1}, 1)), "
-                f"i -> {tuple_hash}))"
-            ),
-        )
-        .select("id", F.col("_h").alias("shingles"), mix(F.col("_h")).alias("sig"))
+        hashed_shingle_sets(df, id_col, text_col, shingle_n)
+        .select("id", "shingles", mix(F.col("shingles")).alias("sig"))
         .persist()  # reused 3× (banding + both sides of verification)
     )
     banded = base.select(
@@ -354,20 +332,12 @@ def ngram_jaccard_pairs(
     ``max_doc_freq`` prunes shingles appearing in more than N docs before
     the self-join — the skew guard: a ubiquitous shingle would otherwise
     produce O(N²) candidate rows."""
+    # numeric shingle sets (hashed_shingle_sets): identical inter/union
+    # counts up to ~2^-64 collisions, and the posting shuffle carries
+    # 8-byte keys instead of shingle text
     docs = (
-        with_shingles(
-            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text")),
-            "text",
-            shingle_n,
-            out="sh",
-            distinct=False,
-        )
-        # dedup + join on int64 shingle hashes, not strings: identical
-        # inter/union counts up to ~2^-64 collisions, and the posting
-        # shuffle carries 8-byte keys instead of shingle text
-        .withColumn("sh", F.array_distinct(F.expr("transform(sh, s -> xxhash64(s))")))
-        .select("id", "sh")
-        .filter(F.size("sh") > 0)
+        hashed_shingle_sets(df, id_col, text_col, shingle_n)
+        .withColumnRenamed("shingles", "sh")
         .withColumn("n_sh", F.size("sh"))
     )
     # materialize the posting list once — it feeds the frequency count and
