@@ -108,9 +108,18 @@ def run(sf_dir: str = SF_DIR, cpus: int = CPUS, include_scaling_meta: bool = Tru
     timings: dict[str, float] = {}
 
     def timed(name: str, fn):
+        # best of 2 (cache cleared between): the host is a shared VM
+        # whose slow windows last minutes — a single-shot time can read
+        # 2× off; the min of two spaced runs damps that without hiding
+        # real cost (each run is still a full recompute).
         t0 = time.perf_counter()
         out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        first = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(min(first, time.perf_counter() - t0), 3)
+        spark.catalog.clearCache()
         return out
 
     # -- north-rule pipeline: transcripts → validate → tier cascade --------
