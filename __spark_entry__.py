@@ -134,6 +134,22 @@ def q_percentile_1h(spark, sf_dir):
     )
 
 
+def q_distinct_users_1h(spark, sf_dir):
+    """Windowed distinct cardinality (the active-series gauge family):
+    exact per-hour distinct users + per-type breakdown.  The engine's
+    scale path is the mergeable HLL sketch rollup (operators/rollup.py
+    hll_* — cross-tier re-aggregable); this exact form is its oracle-able
+    twin and the accuracy baseline the sketch is tested against."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket_start"))
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count_distinct("user_id", "event_type").alias("n_user_type"),
+        )
+    )
+
+
 def q_gauge_last_1h(spark, sf_dir):
     """Gauge/last-value per user per hour (C6)."""
     from mq_to_db_spark.operators.rollup import gauge_last
@@ -554,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_1m": q_rate_1m,
         "percentile_1h": q_percentile_1h,
         "gauge_last_1h": q_gauge_last_1h,
+        "distinct_users_1h": q_distinct_users_1h,
         "histogram_1d": q_histogram_1d,
         "hist_quantile_1d": q_hist_quantile_1d,
         "gapfill_1h": q_gapfill_1h,
@@ -727,6 +744,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS bucket_start,
                    round(quantile_cont(value, 0.5), 6) AS p50,
                    round(quantile_cont(value, 0.9), 6) AS p90
+            FROM events GROUP BY 1
+        """,
+        "distinct_users_1h": """
+            SELECT date_trunc('hour', ts) AS bucket_start,
+                   count(DISTINCT user_id) AS n_users,
+                   count(DISTINCT (user_id, event_type)) AS n_user_type
             FROM events GROUP BY 1
         """,
         "gauge_last_1h": """
