@@ -521,7 +521,7 @@ def q_ann_lsh(spark, sf_dir):
     ).select("vec_id", F.round("cosine", 5).alias("cosine_r"))
 
 
-WINNOW_PARAMS = dict(k=16, w=8, min_shared=5)
+WINNOW_PARAMS = dict(k=16, w=8, min_shared=5, max_doc_freq=50)
 
 
 def q_winnow_pairs(spark, sf_dir):
@@ -536,6 +536,7 @@ def q_winnow_pairs(spark, sf_dir):
     return winnow_similar_pairs(
         _docs(spark, sf_dir), "doc_id", "text",
         k=p["k"], w=p["w"], min_shared=p["min_shared"],
+        max_doc_freq=p["max_doc_freq"],
     )
 
 
@@ -1217,7 +1218,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM gh
             ),
             posting AS (SELECT doc_id, unnest(fp) AS f FROM fps WHERE len(fp) > 0),
-            pruned AS (SELECT f FROM posting GROUP BY f HAVING count(*) <= 1000),
+            pruned AS (SELECT f FROM posting GROUP BY f HAVING count(*) <= 50),
             p2 AS (SELECT doc_id, f FROM posting WHERE f IN (SELECT f FROM pruned))
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
             FROM p2 a JOIN p2 b USING (f)

@@ -156,6 +156,10 @@ def fingerprint_rolling(col, window: int = 8) -> Column:
     return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
 def winnow_mins_vectorized(w: int = 4):
     """Arrow-vectorized sliding-window minimum for winnowing: an
     ``array<bigint>`` of gram hashes → the array of per-window minima
@@ -166,7 +170,13 @@ def winnow_mins_vectorized(w: int = 4):
     concatenated with ``w-1`` int64-max sentinels between rows (so a
     window never crosses a row boundary), the sliding min is ``w``
     shifted ``np.minimum`` passes over the flat array, and per-row
-    dedup is one lexsort + first-occurrence mask."""
+    dedup is one lexsort + first-occurrence mask.
+
+    The factory is lru_cached: repeated calls share ONE pandas-UDF
+    instance, so rebuilt DataFrames produce byte-identical plans and
+    reuse the already-JIT-warmed generated classes — a fresh UDF id per
+    call would re-pay the cold-interpreter cost of the md5 gram chain
+    (~20 s at 5k docs) on every new query instance."""
     from pyspark.sql import types as T
 
     MAXI = np.iinfo(np.int64).max
@@ -235,7 +245,15 @@ def with_winnow_fingerprints(
     hashing runs JVM-side in ONE pass; the sliding min runs in the Arrow
     UDF — an all-expression formulation is a trap: CollapseProject
     inlines the gram-hash array into every window slice, re-evaluating
-    the md5 chain O(len × w) times per row."""
+    the md5 chain O(len × w) times per row.
+
+    Cost note: the per-character md5+conv chain (one per gram) is the
+    dominant cost of the whole winnowing pipeline and runs
+    interpreter-cold on each fresh plan instance (~20 s for 5k docs the
+    first time, ~1 s warm).  The known upgrade if this becomes a hot
+    path: a dual-modulus polynomial rolling hash over codepoints
+    (computable in O(len) vectorized numpy AND in plain BIGINT SQL),
+    replacing md5 in both engines."""
     from pyspark.sql import functions as F
 
     # filter(x IS NOT NULL): a NULL text null-propagates through the gram

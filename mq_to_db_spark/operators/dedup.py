@@ -118,6 +118,10 @@ def minhash_signature(shingle_col: Column, n_hashes: int = 32) -> Column:
     )
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
 def minhash_signature_vectorized(n_hashes: int = 32):
     """Arrow-vectorized minhash over pre-hashed shingles — the scale path.
 
@@ -468,9 +472,9 @@ def embedding_neardup_pairs(
     exact cosine.  P(candidate | cos=c) = 1-(1-p^n_planes)^n_bands with
     p = 1-arccos(c)/π; at the 0.95 default: ≥0.98."""
     from mq_to_db_spark.operators.similarity import (
+        band_signatures_vectorized,
         cosine_sim_cols,
         hyperplane_planes,
-        hyperplane_signature,
     )
 
     dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
@@ -479,23 +483,13 @@ def embedding_neardup_pairs(
             [], "id_a long, id_b long, cosine double"
         )
     dim = dim_row.d
+    sigs = band_signatures_vectorized(
+        [hyperplane_planes(n_planes, dim, seed=1000 + b) for b in range(n_bands)]
+    )
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).persist()
     banded = base.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        hyperplane_signature(
-                            F.col("vec"), hyperplane_planes(n_planes, dim, seed=1000 + b)
-                        ).alias("key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.key")
+        "id", F.posexplode(sigs(F.col("vec"))).alias("band", "key")
+    )
     cands = _bucket_pairs(banded, ["band", "key"])
     cos = cosine_sim_cols(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))
     return (
@@ -516,7 +510,7 @@ def winnow_similar_pairs(
     k: int = 16,
     w: int = 8,
     min_shared: int = 5,
-    max_doc_freq: int = 1000,
+    max_doc_freq: int = 50,
 ) -> DataFrame:
     """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
     the MOSS-style containment/plagiarism detector: any shared substring

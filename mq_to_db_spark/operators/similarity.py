@@ -22,6 +22,7 @@ path.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -399,30 +400,16 @@ def knn_join_lsh(
     if dim is None:
         row = left.select(F.size(F.col(vec_col)).alias("d")).first()
         dim = row.d if row else 0
-    bands = [
-        (b, hyperplane_planes(n_planes, dim, seed=1000 + b)) for b in range(n_bands)
-    ]
+    sigs = band_signatures_vectorized(
+        [hyperplane_planes(n_planes, dim, seed=1000 + b) for b in range(n_bands)]
+    )
 
     def banded(df, id_col, out_id):
         return df.select(
-            F.col(id_col).alias(out_id), F.col(vec_col).alias(f"v_{out_id}")
-        ).select(
-            out_id,
-            f"v_{out_id}",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            hyperplane_signature(F.col(f"v_{out_id}"), planes).alias(
-                                "sig"
-                            ),
-                        )
-                        for b, planes in bands
-                    ]
-                )
-            ).alias("bk"),
-        ).select(out_id, f"v_{out_id}", "bk.band", "bk.sig")
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(f"v_{out_id}"),
+            F.posexplode(sigs(F.col(vec_col))).alias("band", "sig"),
+        )
 
     from pyspark.sql import Window as W
 
@@ -445,3 +432,38 @@ def knn_join_lsh(
         .filter(F.col("rank") <= k)
         .select("lid", "rid", "cosine", "rank")
     )
+
+
+def band_signatures_vectorized(bands_planes: list[np.ndarray]):
+    """Arrow-vectorized multi-band hyperplane signatures: one UDF call
+    computes every band's signature for the whole batch (``array<float|
+    double>`` vec → ``array<long>``, one element per band).
+
+    BIT-EXACT with :func:`hyperplane_signature`'s fold (and therefore
+    with the DuckDB oracle's literal sums): each dot product is taken as
+    the last element of ``np.cumsum`` over the products — cumsum is a
+    strict sequential left-associated sum, unlike ``np.dot``/``sum``
+    whose BLAS/pairwise association could flip a sign at the decision
+    boundary.  The per-band interpreted expression folds this replaces
+    cost ~n_bands × n_planes × dim lambda steps per row."""
+    from pyspark.sql import types as T
+
+    P = np.stack(bands_planes)  # (B, n_planes, dim)
+    B, n_planes, _dim = P.shape
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sigs(vecs: pd.Series) -> pd.Series:
+        n = len(vecs)
+        if not n:
+            return pd.Series([], dtype=object)
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        out = np.zeros((n, B), dtype=np.int64)
+        for b in range(B):
+            sig = np.zeros(n, dtype=np.int64)
+            for p in range(n_planes):
+                dots = np.cumsum(V * P[b, p][None, :], axis=1)[:, -1]
+                sig = sig * 2 + (dots >= 0).astype(np.int64)
+            out[:, b] = sig
+        return pd.Series(list(out))
+
+    return _sigs
