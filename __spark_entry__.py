@@ -1201,20 +1201,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (SELECT id FROM losers)
         """,
         "embedding_neardup": _embedding_neardup_oracle(),
-        # winnowing: exact md5 fingerprint replication — k-gram hashes,
-        # per-window list_min, distinct, inverted-index share counts.
+        # winnowing: exact fingerprint replication — dual-modulus Horner
+        # rolling hashes over codepoints (plain BIGINT arithmetic, no
+        # md5), per-window list_min, distinct, inverted-index counts.
         "winnow_pairs": f"""
-            WITH nm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+            WITH nm AS (
+                SELECT doc_id, {_NORM_SQL} AS t FROM documents
+                WHERE length({_NORM_SQL}) > 0
+            ),
             gh AS (
                 SELECT doc_id,
-                       [('0x' || substring(md5(t[i:i+{WINNOW_PARAMS["k"] - 1}]), 1, 15))::BIGINT
-                        for i in range(1, greatest(length(t) - {WINNOW_PARAMS["k"] - 1}, 1) + 1)] AS h
+                       [list_reduce([CAST(CASE WHEN i+j <= length(t) THEN unicode(t[i+j:i+j]) ELSE 0 END AS BIGINT) for j in range(0, 16)], (a, b) -> (a*131 + b) % 2147483647) * 2147483629 + list_reduce([CAST(CASE WHEN i+j <= length(t) THEN unicode(t[i+j:i+j]) ELSE 0 END AS BIGINT) for j in range(0, 16)], (a, b) -> (a*257 + b) % 2147483629)
+                        for i in range(1, greatest(length(t) - 15, 1) + 1)] AS h
                 FROM nm
             ),
             fps AS (
                 SELECT doc_id,
-                       list_distinct([list_min(h[j:j+{WINNOW_PARAMS["w"] - 1}])
-                        for j in range(1, greatest(len(h) - {WINNOW_PARAMS["w"] - 1}, 1) + 1)]) AS fp
+                       list_distinct([list_min(h[j:j+7])
+                        for j in range(1, greatest(len(h) - 7, 1) + 1)]) AS fp
                 FROM gh
             ),
             posting AS (SELECT doc_id, unnest(fp) AS f FROM fps WHERE len(fp) > 0),
@@ -1223,6 +1227,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
             FROM p2 a JOIN p2 b USING (f)
             WHERE a.doc_id < b.doc_id
-            GROUP BY 1, 2 HAVING count(*) >= {WINNOW_PARAMS["min_shared"]}
+            GROUP BY 1, 2 HAVING count(*) >= 5
         """,
     }

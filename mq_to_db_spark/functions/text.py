@@ -158,52 +158,87 @@ def fingerprint_rolling(col, window: int = 8) -> Column:
 
 import functools
 
+#: dual-modulus polynomial rolling-hash constants for winnowing: two
+#: independent Horner hashes over codepoints, combined as h1 * M2 + h2
+#: (< 2^62 — BIGINT-safe in every engine, collision space ~2^62).
+#: Plain 64-bit-safe arithmetic: a < M < 2^31 and P < 2^9 keep every
+#: intermediate under 2^40, so the same fold runs in numpy int64 and in
+#: DuckDB BIGINT with ordinary % — no md5, no 128-bit intermediates.
+WINNOW_P1, WINNOW_M1 = 131, 2_147_483_647
+WINNOW_P2, WINNOW_M2 = 257, 2_147_483_629
+
 
 @functools.lru_cache(maxsize=None)
-def winnow_mins_vectorized(w: int = 4):
-    """Arrow-vectorized sliding-window minimum for winnowing: an
-    ``array<bigint>`` of gram hashes → the array of per-window minima
-    (window = ``w`` consecutive hashes; a row shorter than ``w`` yields
-    its single global min), distinct, sorted.
+def winnow_fps_vectorized(k: int = 16, w: int = 8):
+    """Arrow-vectorized winnowing: normalized-text column → the distinct
+    (sorted) set of per-window minima over the k-gram rolling hashes.
 
-    Batch-flattened numpy, no per-row Python: all rows' hash arrays are
-    concatenated with ``w-1`` int64-max sentinels between rows (so a
-    window never crosses a row boundary), the sliding min is ``w``
-    shifted ``np.minimum`` passes over the flat array, and per-row
-    dedup is one lexsort + first-occurrence mask.
+    One UDF does everything, batch-flattened (no per-element Python):
 
-    The factory is lru_cached: repeated calls share ONE pandas-UDF
-    instance, so rebuilt DataFrames produce byte-identical plans and
-    reuse the already-JIT-warmed generated classes — a fresh UDF id per
-    call would re-pay the cold-interpreter cost of the md5 gram chain
-    (~20 s at 5k docs) on every new query instance."""
+      * codepoints: each row's string is decoded to a uint32 array in
+        one ``np.frombuffer(s.encode('utf-32-le'))`` call (row-granular,
+        like the other mixers' concat loops); rows are laid into one
+        flat array with k zero sentinels between them (the normalize
+        chain never emits NUL, and gram positions are masked to row
+        interiors anyway);
+      * gram hashes: k shifted Horner passes per modulus —
+        ``H = (H * P + c) % M`` — a strict left fold reproducible in
+        plain SQL; grams of rows shorter than k use the row's chars
+        followed by 0 pads (both engines agree on the padding);
+      * fingerprints: w shifted ``np.minimum`` passes + per-row lexsort
+        dedup (same construction as the generic sliding min).
+
+    The factory is lru_cached so rebuilt DataFrames share one UDF
+    instance (stable plans, warm generated classes).
+    """
     from pyspark.sql import types as T
 
+    P1, M1 = np.int64(WINNOW_P1), np.int64(WINNOW_M1)
+    P2, M2 = np.int64(WINNOW_P2), np.int64(WINNOW_M2)
     MAXI = np.iinfo(np.int64).max
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _mins(hashes: pd.Series) -> pd.Series:
-        n = len(hashes)
+    def _fps(texts: pd.Series) -> pd.Series:
+        n = len(texts)
         if not n:
             return pd.Series([], dtype=object)
         lens = np.fromiter(
-            (0 if h is None else len(h) for h in hashes), dtype=np.int64, count=n
+            (0 if t is None else len(t) for t in texts), dtype=np.int64, count=n
         )
-        pad_lens = lens + (w - 1)
+        pad_lens = lens + k  # k zero sentinels after each row
         total = int(pad_lens.sum())
-        flat = np.full(total, MAXI, dtype=np.int64)
+        flat = np.zeros(total, dtype=np.int64)
         offsets = np.r_[0, np.cumsum(pad_lens)[:-1]]
-        for off, h in zip(offsets, hashes):  # row-granular copy, not per-element
-            if h is not None and len(h):
-                flat[off : off + len(h)] = np.asarray(h, dtype=np.int64)
-        # acc[j] = min(flat[j .. j+w-1])
-        acc = flat.copy()
-        for s in range(1, w):
-            acc[:-s] = np.minimum(acc[:-s], flat[s:])
-        # keep window starts: per row, positions off .. off+keep-1
-        keeps = np.where(lens > 0, np.maximum(lens - (w - 1), 1), 0)
+        for off, t in zip(offsets, texts):  # row-granular decode
+            if t:
+                flat[off : off + len(t)] = np.frombuffer(
+                    t.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+        # k Horner passes per modulus: H_i = fold over flat[i .. i+k-1]
+        h1 = np.zeros(total, dtype=np.int64)
+        h2 = np.zeros(total, dtype=np.int64)
+        for j in range(k):
+            c = flat[j:] if j else flat
+            h1[: total - j] = (h1[: total - j] * P1 + c) % M1
+            h2[: total - j] = (h2[: total - j] * P2 + c) % M2
+        gram = h1 * np.int64(WINNOW_M2) + h2
+        # gram positions per row: 0 .. g-1 with g = max(len - k + 1, 1)
+        grams = np.where(lens > 0, np.maximum(lens - (k - 1), 1), 0)
+        # sliding min over each row's gram run (w shifted minima over a
+        # sentinel-padded copy so windows never cross rows)
+        gp_lens = grams + (w - 1)
+        gtotal = int(gp_lens.sum())
+        gflat = np.full(gtotal, MAXI, dtype=np.int64)
+        goff = np.r_[0, np.cumsum(gp_lens)[:-1]]
+        src = np.repeat(offsets, grams) + _segment_arange(grams)
+        dst = np.repeat(goff, grams) + _segment_arange(grams)
+        gflat[dst] = gram[src]
+        acc = gflat.copy()
+        for s_ in range(1, w):
+            acc[:-s_] = np.minimum(acc[:-s_], gflat[s_:])
+        keeps = np.where(grams > 0, np.maximum(grams - (w - 1), 1), 0)
         row_ids = np.repeat(np.arange(n), keeps)
-        starts = np.repeat(offsets, keeps) + _segment_arange(keeps)
+        starts = np.repeat(goff, keeps) + _segment_arange(keeps)
         vals = acc[starts]
         if not vals.size:
             return pd.Series([[] for _ in range(n)])
@@ -215,7 +250,7 @@ def winnow_mins_vectorized(w: int = 4):
         out = [a.tolist() for a in np.split(val_u, np.cumsum(counts)[:-1])]
         return pd.Series(out)
 
-    return _mins
+    return _fps
 
 
 def _segment_arange(seg_lens):
@@ -232,40 +267,28 @@ def with_winnow_fingerprints(
     df, text_col: str, k: int = 8, w: int = 4, out: str = "winnow_fps"
 ):
     """TRUE winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
-    fingerprinting scheme): md5-derived hashes of all character k-grams
-    of the normalized text, then the minimum of every window of ``w``
-    consecutive gram hashes; the distinct window minima (sorted) are the
-    document's fingerprint set.  Guarantees: any shared substring of
-    length ≥ k + w - 1 yields at least one shared fingerprint, and an
-    edit perturbs only O(w) fingerprints (position-robust, unlike a
-    global-min sketch).
+    fingerprinting scheme): dual-modulus polynomial rolling hashes of all
+    character k-grams of the normalized text, then the minimum of every
+    window of ``w`` consecutive gram hashes; the distinct window minima
+    (sorted) are the document's fingerprint set.  Guarantees: any shared
+    substring of length ≥ k + w - 1 yields at least one shared
+    fingerprint, and an edit perturbs only O(w) fingerprints
+    (position-robust, unlike a global-min sketch).
 
-    md5 (via ``conv(substring(md5(...)))``) rather than xxhash64 so a
-    DuckDB oracle reproduces every fingerprint bit-for-bit.  Gram
-    hashing runs JVM-side in ONE pass; the sliding min runs in the Arrow
-    UDF — an all-expression formulation is a trap: CollapseProject
-    inlines the gram-hash array into every window slice, re-evaluating
-    the md5 chain O(len × w) times per row.
-
-    Cost note: the per-character md5+conv chain (one per gram) is the
-    dominant cost of the whole winnowing pipeline and runs
-    interpreter-cold on each fresh plan instance (~20 s for 5k docs the
-    first time, ~1 s warm).  The known upgrade if this becomes a hot
-    path: a dual-modulus polynomial rolling hash over codepoints
-    (computable in O(len) vectorized numpy AND in plain BIGINT SQL),
-    replacing md5 in both engines."""
+    The gram hash is Horner over codepoints with (P1, M1) and (P2, M2),
+    combined ``h1 * M2 + h2`` — engine-independent plain-integer
+    arithmetic, so the DuckDB oracle reproduces every fingerprint with
+    ordinary BIGINT ``%`` folds (the earlier md5 variant was
+    oracle-exact too but its per-gram md5+conv chain dominated the whole
+    pipeline and ran interpreter-cold per fresh plan instance).  All
+    compute — codepoint decode, 2k Horner passes, w sliding-min passes,
+    dedup — is one batch-flattened Arrow UDF over the normalized
+    string."""
     from pyspark.sql import functions as F
 
-    # filter(x IS NOT NULL): a NULL text null-propagates through the gram
-    # chain into [NULL] — winnowing of a null doc is the empty set
-    gh = F.expr(
-        f"filter(transform(sequence(1, greatest(length(_norm) - {k - 1}, 1)), "
-        f"i -> cast(conv(substring(md5(substring(_norm, i, {k})), 1, 15), 16, 10) as bigint)), "
-        f"x -> x IS NOT NULL)"
-    )
-    mins = winnow_mins_vectorized(w)
+    fps = winnow_fps_vectorized(k, w)
     return (
         df.withColumn("_norm", normalize_text(text_col))
-        .withColumn(out, mins(gh))
+        .withColumn(out, fps(F.col("_norm")))
         .drop("_norm")
     )

@@ -100,12 +100,19 @@ def test_against_documents_nchars(docs):
 
 
 def test_winnow_fingerprints_match_pure_python_reference(spark):
-    """The Arrow sliding-min winnowing must equal a per-doc reference
-    (md5 k-gram hashes, window minima, distinct)."""
-    import hashlib
+    """The Arrow winnowing UDF must equal a per-doc pure-Python reference
+    (dual-modulus Horner k-gram hashes over codepoints with 0-padding,
+    window minima, distinct) — guards both the batch-flattened
+    vectorization and the constants the DuckDB oracle replays."""
     import re
 
-    from mq_to_db_spark.functions.text import with_winnow_fingerprints
+    from mq_to_db_spark.functions.text import (
+        WINNOW_M1,
+        WINNOW_M2,
+        WINNOW_P1,
+        WINNOW_P2,
+        with_winnow_fingerprints,
+    )
 
     K, W = 8, 4
     texts = [
@@ -114,6 +121,7 @@ def test_winnow_fingerprints_match_pure_python_reference(spark):
         (3, None),
         (4, "word " * 100),
         (5, "The QUICK brown,, fox!!"),
+        (6, "   "),
     ]
     df = spark.createDataFrame(texts, "doc_id long, text string")
     got = {
@@ -126,16 +134,25 @@ def test_winnow_fingerprints_match_pure_python_reference(spark):
             r"\s+", " ", re.sub(r"[^\w\s]", " ", text.lower(), flags=re.ASCII),
             flags=re.ASCII,
         ).strip()
-        grams = [norm[i : i + K] for i in range(max(len(norm) - K + 1, 1))]
-        h = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+        if not norm:
+            return []
+        cps = [ord(c) for c in norm]
+
+        def gram_hash(i):
+            h1 = h2 = 0
+            for j in range(K):
+                c = cps[i + j] if i + j < len(cps) else 0
+                h1 = (h1 * WINNOW_P1 + c) % WINNOW_M1
+                h2 = (h2 * WINNOW_P2 + c) % WINNOW_M2
+            return h1 * WINNOW_M2 + h2
+
+        h = [gram_hash(i) for i in range(max(len(cps) - K + 1, 1))]
         wins = [min(h[j : j + W]) for j in range(max(len(h) - W + 1, 1))]
         return sorted(set(wins))
 
     for doc_id, text in texts:
-        if text is None:
-            assert got[doc_id] == []  # null text → no grams
-        else:
-            assert got[doc_id] == ref(text), doc_id
+        want = [] if text is None else ref(text)
+        assert got[doc_id] == want, (doc_id, got[doc_id][:3], want[:3])
 
 
 def test_winnow_shared_substring_guarantee(spark):
