@@ -35,6 +35,24 @@ _PUBLIC = {
     "encode_chunks": "mq_to_db_spark.operators.compression",
     "decode_chunks": "mq_to_db_spark.operators.compression",
     "split_valid_rejected": "mq_to_db_spark.operators.validate",
+    # dedup / similarity (round 2)
+    "dedup_exact": "mq_to_db_spark.operators.dedup",
+    "dedup_minhash": "mq_to_db_spark.operators.dedup",
+    "simhash_pairs": "mq_to_db_spark.operators.dedup",
+    "ngram_jaccard_pairs": "mq_to_db_spark.operators.dedup",
+    "embedding_neardup_pairs": "mq_to_db_spark.operators.dedup",
+    "winnow_similar_pairs": "mq_to_db_spark.operators.dedup",
+    "connected_components": "mq_to_db_spark.operators.dedup",
+    "cosine_topk": "mq_to_db_spark.operators.similarity",
+    "ann_lsh_topk": "mq_to_db_spark.operators.similarity",
+    "ivf_topk": "mq_to_db_spark.operators.similarity",
+    "knn_join_brute": "mq_to_db_spark.operators.similarity",
+    "knn_join_lsh": "mq_to_db_spark.operators.similarity",
+    "build_lsh_index": "mq_to_db_spark.operators.similarity",
+    "ann_lsh_topk_indexed": "mq_to_db_spark.operators.similarity",
+    "range_locf": "mq_to_db_spark.operators.rangewin",
+    "IcebergTableIO": "mq_to_db_spark.sources.iceberg",
+    "run_streaming_pipeline": "mq_to_db_spark.streaming.stream",
 }
 
 
