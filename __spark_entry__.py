@@ -521,14 +521,40 @@ def q_ann_lsh(spark, sf_dir):
     ).select("vec_id", F.round("cosine", 5).alias("cosine_r"))
 
 
+KNN_LSH_PARAMS = dict(n_planes=8, n_bands=8, k=3, n_left=10)
+
+
+def q_knn_join_lsh(spark, sf_dir):
+    """Banded hyperplane-LSH k-NN join (the large-right scale path: no
+    broadcast, no cross join; candidates from any-band collisions, bare
+    ids through the dedup shuffle).  The oracle replays the banded
+    construction with the same seeded literal planes — candidate = any
+    band equal — then ranks candidates by exact cosine per left row,
+    exactly the operator's semantics."""
+    from mq_to_db_spark.operators.similarity import knn_join_lsh
+
+    p = KNN_LSH_PARAMS
+    emb = _emb(spark, sf_dir)
+    left = emb.filter(f"vec_id < {p['n_left']}").select(
+        F.col("vec_id").alias("id_l"), "embedding"
+    )
+    right = emb.select(F.col("vec_id").alias("id_r"), "embedding")
+    out = knn_join_lsh(
+        left, right, k=p["k"], n_planes=p["n_planes"], n_bands=p["n_bands"],
+        dim=EMB_DIM,
+    )
+    return out.select("lid", "rid", F.round("cosine", 5).alias("cosine_r"), "rank")
+
+
 WINNOW_PARAMS = dict(k=16, w=8, min_shared=5, max_doc_freq=50)
 
 
 def q_winnow_pairs(spark, sf_dir):
-    """MOSS-style winnowing fingerprint pairs (Schleimer et al.): md5
-    k-gram hashes → sliding-window minima (Arrow-vectorized) → inverted
-    index join on shared fingerprints.  The oracle recomputes the exact
-    fingerprint sets in SQL (same md5 values, list-comprehension window
+    """MOSS-style winnowing fingerprint pairs (Schleimer et al.):
+    dual-modulus rolling k-gram hashes (BIGINT-replayable Horner chains)
+    → sliding-window minima (Arrow-vectorized) → inverted index join on
+    shared fingerprints.  The oracle recomputes the exact fingerprint
+    sets in SQL (same rolling-hash values, list-comprehension window
     minima)."""
     from mq_to_db_spark.operators.dedup import winnow_similar_pairs
 
@@ -541,9 +567,9 @@ def q_winnow_pairs(spark, sf_dir):
 
 
 def q_transcript_pipeline(spark, sf_dir):
-    """Full engine pipeline smoke on events-as-transcripts: tier cascade →
-    gap-filled 1h global rollup (rows-only check; the per-piece oracles
-    above cover the math)."""
+    """Full engine pipeline on events-as-transcripts: tier cascade →
+    gap-filled 1h global rollup, hash-checked exactly against the
+    equivalent SQL cascade (CORRECTNESS_r02: exact match)."""
     from mq_to_db_spark.operators.rollup import rollup_tiers
 
     from mq_to_db_spark.operators.gapfill import gapfill
@@ -594,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "dedup_minhash_survivors": q_dedup_minhash_survivors,
         "embedding_neardup": q_embedding_neardup,
+        "knn_join_lsh": q_knn_join_lsh,
         "winnow_pairs": q_winnow_pairs,
         "transcript_pipeline": q_transcript_pipeline,
     }
@@ -702,6 +729,51 @@ def _embedding_neardup_oracle() -> str:
               ON a.vec_id < b.vec_id AND ({any_band}))
         SELECT id_a, id_b, round(cos, 5) AS cosine_r
         FROM cand WHERE cos >= {p["threshold"]}
+    """
+
+
+def _knn_join_lsh_oracle() -> str:
+    """DuckDB replay of the banded-LSH k-NN join: per-band signature
+    expressions from the same seeded literal planes (identical doubles,
+    same left-associated sums), candidate = any-band collision between a
+    left row and a right row, then exact-cosine row_number ranking per
+    left row — the full approximate algorithm, not a recall proxy."""
+    from mq_to_db_spark.operators.similarity import hyperplane_planes
+
+    p = KNN_LSH_PARAMS
+    n = p["n_planes"]
+    band_cols, ors = [], []
+    for b in range(p["n_bands"]):
+        planes = hyperplane_planes(n, EMB_DIM, seed=1000 + b)
+        terms = []
+        for pi in range(n):
+            dot = " + ".join(
+                f"v[{i + 1}]*{float(w)!r}" for i, w in enumerate(planes[pi])
+            )
+            terms.append(
+                f"(CASE WHEN ({dot}) >= 0 THEN {1 << (n - 1 - pi)} ELSE 0 END)"
+            )
+        band_cols.append("(" + "\n                 + ".join(terms) + f") AS s{b}")
+        ors.append(f"l.s{b} = r.s{b}")
+    sig_select = ",\n               ".join(band_cols)
+    any_band = " OR ".join(ors)
+    return f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sigs AS (SELECT vec_id, v,
+               {sig_select}
+            FROM e),
+        cand AS (
+            SELECT l.vec_id AS lid, r.vec_id AS rid,
+                   list_cosine_similarity(l.v, r.v) AS cos
+            FROM sigs l JOIN sigs r
+              ON l.vec_id < {p["n_left"]} AND ({any_band})),
+        ranked AS (
+            SELECT lid, rid, cos,
+                   row_number() OVER (PARTITION BY lid
+                                      ORDER BY cos DESC, rid) AS rank
+            FROM cand)
+        SELECT lid, rid, round(cos, 5) AS cosine_r, rank
+        FROM ranked WHERE rank <= {p["k"]}
     """
 
 
@@ -1201,6 +1273,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (SELECT id FROM losers)
         """,
         "embedding_neardup": _embedding_neardup_oracle(),
+        "knn_join_lsh": _knn_join_lsh_oracle(),
         # winnowing: exact fingerprint replication — dual-modulus Horner
         # rolling hashes over codepoints (plain BIGINT arithmetic, no
         # md5), per-window list_min, distinct, inverted-index counts.

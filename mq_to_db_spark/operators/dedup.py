@@ -71,8 +71,14 @@ def hashed_shingle_sets(
     indices → their single degenerate shingle, mirroring the string
     path's whole-text shingle.  Null/empty docs are dropped."""
     tuple_hash = "xxhash64(" + ", ".join(
-        f"element_at(_wh, least(i + {k}, size(_wh)))" for k in range(n)
+        f"element_at(_wh, i + {k})" for k in range(n)
     ) + ")"
+    # docs shorter than n words get ONE shingle hashing the WHOLE word-hash
+    # array (not a clamped n-tuple: clamping collapsed 'a', 'a a', 'a b b'…
+    # prefix-equivalent short docs onto one hash — false J=1.0 pairs the
+    # string-shingle path and the DuckDB oracles never produce); hashing
+    # the array keeps short docs distinct unless their full word sequences
+    # match, mirroring the string path's full-text shingle exactly.
     return (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
         .withColumn(
@@ -85,8 +91,9 @@ def hashed_shingle_sets(
         .withColumn(
             "shingles",
             F.expr(
-                f"array_distinct(transform(sequence(1, greatest(size(_wh) - {n - 1}, 1)), "
-                f"i -> {tuple_hash}))"
+                f"CASE WHEN size(_wh) < {n} THEN array(xxhash64(_wh)) "
+                f"ELSE array_distinct(transform(sequence(1, size(_wh) - {n - 1}), "
+                f"i -> {tuple_hash})) END"
             ),
         )
         .select("id", "shingles")
@@ -251,13 +258,19 @@ def connected_components(
     """Exact connected components over an undirected pair list →
     ``(id, component)`` with component = min id in the cluster.
 
-    Bounded label propagation: each round every node adopts the minimum
-    label among itself and its neighbors — converges in O(log(diameter))
-    rounds (duplicate clusters are near-cliques, so 2-3 in practice);
-    early-exits when a round changes nothing.  Each round is one shuffle
-    on the edge list; ``localCheckpoint`` truncates the growing lineage
-    (on a real cluster use ``spark.sparkContext.setCheckpointDir`` +
-    ``checkpoint()`` for fault-tolerant truncation)."""
+    Bounded min-label propagation: each round every node adopts the
+    minimum label among itself and its neighbors, so convergence takes
+    O(diameter) rounds — duplicate clusters are near-cliques (diameter
+    2-3 in practice), and the loop early-exits when a round changes
+    nothing.  A graph whose diameter exceeds ``max_iter`` raises rather
+    than silently returning non-converged labels (raise > warn: a wrong
+    drop-set corrupts the dedup output downstream; for adversarial
+    long-chain graphs use more rounds, or the large-star/small-star
+    alternation [Kiveris et al., SoCC'14] which bounds rounds
+    logarithmically).  Each round is one shuffle on the edge list;
+    ``localCheckpoint`` truncates the growing lineage (on a real cluster
+    use ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
+    fault-tolerant truncation)."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -267,6 +280,7 @@ def connected_components(
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "component", F.col("id")
     )
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.src == labels.id)
@@ -287,8 +301,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
     return labels
 
 
@@ -486,7 +506,13 @@ def embedding_neardup_pairs(
     sigs = band_signatures_vectorized(
         [hyperplane_planes(n_planes, dim, seed=1000 + b) for b in range(n_bands)]
     )
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")).persist()
+    # null / wrong-dimension vectors are filtered before the signature UDF
+    # (a ragged Arrow batch would fail the whole job for one bad row)
+    base = (
+        df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .persist()
+    )
     banded = base.select(
         "id", F.posexplode(sigs(F.col("vec"))).alias("band", "key")
     )

@@ -266,17 +266,42 @@ def ivf_centroids(
     return [list(r.v) for r in rows]
 
 
+#: above this many literal terms the ivf_assign expression tree risks the
+#: 64 KB codegen method limit (whole stage falls back to interpreted) —
+#: switch to the Arrow-vectorized argmax
+_IVF_EXPR_TERM_BUDGET = 2048
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
     out_col: str = "list_id",
+    use_udf: bool | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest (max-cosine) centroid — the
     inverted-list id.  Centroids are literal expressions (broadcast-free,
     identical on every executor); at scale the assigned table is
     partitioned by ``list_id`` so probes prune partitions
-    (:func:`build_ivf_index`)."""
+    (:func:`build_ivf_index`).
+
+    Two physical strategies, identical assignments:
+
+      * **expression** (default for small quantizers): ``greatest()``
+        over (cos, lid) structs — pure codegen, zero Python.
+      * **Arrow UDF** (``use_udf=None`` auto-selects it once
+        ``n_centroids × dim`` exceeds the codegen expression budget —
+        the 256–1024-centroid quantizer a 100 TB corpus wants): one
+        vectorized left-fold dot per (batch, centroid) with the same
+        IEEE association and the same max-cos/max-lid tie-break, so
+        both paths agree bit-for-bit (see test_ivf_assign_udf_parity).
+    """
+    n_c = len(centroids)
+    dim = len(centroids[0]) if n_c else 0
+    if use_udf is None:
+        use_udf = n_c * dim > _IVF_EXPR_TERM_BUDGET
+    if use_udf:
+        return df.withColumn(out_col, _ivf_assign_udf(centroids)(F.col(vec_col)))
     v = F.col(vec_col).cast("array<double>")
     # greatest() over (cos, lid) structs = max-by-cosine with a
     # deterministic lid tie-break (struct comparison is field-ordered)
@@ -288,6 +313,50 @@ def ivf_assign(
         for i, c in enumerate(centroids)
     ]
     return df.withColumn(out_col, F.greatest(*scored)["lid"] if len(scored) > 1 else scored[0]["lid"])
+
+
+def _ivf_assign_udf(centroids: list[list[float]]):
+    """Arrow-vectorized nearest-centroid argmax, bit-compatible with the
+    expression path: dots and norms are strict left-associated
+    accumulator folds (seeded at 0.0, like ``F.aggregate``), the winner
+    is max cosine with ties to the HIGHEST lid (``greatest()`` struct
+    semantics).  Zero-norm rows/centroids (expression path: NULL cosine,
+    never greatest) score -inf here — likewise never selected."""
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)  # (m, dim)
+    m, dim = C.shape
+    cnorm = np.zeros(m, dtype=np.float64)
+    for d in range(dim):
+        cnorm += C[:, d] * C[:, d]
+    cnorm = np.sqrt(cnorm)
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        n = len(vecs)
+        if not n:
+            return pd.Series([], dtype="int32")
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        Vt = np.ascontiguousarray(V.T)  # (dim, n)
+        dots = np.zeros((n, m), dtype=np.float64)
+        vnorm = np.zeros(n, dtype=np.float64)
+        for d in range(dim):
+            dots += Vt[d][:, None] * C[:, d][None, :]
+            vnorm += Vt[d] * Vt[d]
+        vnorm = np.sqrt(vnorm)
+        denom = vnorm[:, None] * cnorm[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom > 0, dots / denom, -np.inf)
+        # argmax with ties to the highest lid: scan lids ascending, >=
+        best = np.zeros(n, dtype=np.int32)
+        best_cos = cos[:, 0].copy()
+        for lid in range(1, m):
+            take = cos[:, lid] >= best_cos
+            best[take] = lid
+            best_cos[take] = cos[take, lid]
+        return pd.Series(best)
+
+    return _assign
 
 
 def ivf_probe_lists(query_vec: list[float], centroids: list[list[float]], nprobe: int) -> list[int]:
@@ -395,8 +464,14 @@ def knn_join_lsh(
     equi-join on (band, sig) — never a cross join), scored with exact
     cosine, window top-k per left row.  A left row whose true neighbor
     collides in no band misses it (OR-construction recall: tune bands ×
-    planes); rows may return fewer than k matches.  Both sides shuffle
-    by (band, sig) — co-located, skew defused across bands."""
+    planes); rows may return fewer than k matches.
+
+    Shuffle discipline (the 100 TB budget): the banded frames and the
+    candidate DISTINCT carry **bare ids only** — each embedding crosses
+    the wire exactly once per candidate re-join (hashed by its own id),
+    never inside the (band, sig) exchange or the multi-collision dedup.
+    Null / wrong-dimension vectors are filtered before the signature UDF
+    (one bad row must not fail the batch)."""
     if dim is None:
         row = left.select(F.size(F.col(vec_col)).alias("d")).first()
         dim = row.d if row else 0
@@ -404,27 +479,39 @@ def knn_join_lsh(
         [hyperplane_planes(n_planes, dim, seed=1000 + b) for b in range(n_bands)]
     )
 
-    def banded(df, id_col, out_id):
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.col(vec_col).alias(f"v_{out_id}"),
-            F.posexplode(sigs(F.col(vec_col))).alias("band", "sig"),
-        )
+    def keyed(df, id_col, out_id):
+        return df.filter(
+            F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+        ).select(F.col(id_col).alias(out_id), F.col(vec_col).alias(f"v_{out_id}"))
 
     from pyspark.sql import Window as W
 
-    l = banded(left, left_id, "lid")
-    r = banded(right, right_id, "rid")
+    # persist: each side feeds its banding pass AND the candidate re-join
+    lv = keyed(left, left_id, "lid").persist()
+    rv = keyed(right, right_id, "rid").persist()
+
+    def banded(df, out_id):
+        return df.select(
+            out_id, F.posexplode(sigs(F.col(f"v_{out_id}"))).alias("band", "sig")
+        )
+
     cand = (
-        l.join(r, ["band", "sig"])
-        .select("lid", "rid", "v_lid", "v_rid")
-        .distinct()  # a pair may collide in several bands
+        banded(lv, "lid")
+        .join(banded(rv, "rid"), ["band", "sig"])
+        .select("lid", "rid")
+        .distinct()  # a pair may collide in several bands — bare-id dedup
     )
-    scored = cand.withColumn(
-        "cosine",
-        cosine_sim_cols(
-            F.col("v_lid").cast("array<double>"), F.col("v_rid").cast("array<double>")
-        ),
+    scored = (
+        cand.join(lv, "lid")
+        .join(rv, "rid")
+        .select(
+            "lid",
+            "rid",
+            cosine_sim_cols(
+                F.col("v_lid").cast("array<double>"),
+                F.col("v_rid").cast("array<double>"),
+            ).alias("cosine"),
+        )
     )
     w = W.partitionBy("lid").orderBy(F.desc("cosine"), F.col("rid"))
     return (
@@ -440,16 +527,21 @@ def band_signatures_vectorized(bands_planes: list[np.ndarray]):
     double>`` vec → ``array<long>``, one element per band).
 
     BIT-EXACT with :func:`hyperplane_signature`'s fold (and therefore
-    with the DuckDB oracle's literal sums): each dot product is taken as
-    the last element of ``np.cumsum`` over the products — cumsum is a
-    strict sequential left-associated sum, unlike ``np.dot``/``sum``
-    whose BLAS/pairwise association could flip a sign at the decision
-    boundary.  The per-band interpreted expression folds this replaces
-    cost ~n_bands × n_planes × dim lambda steps per row."""
+    with the DuckDB oracle's literal sums): each dot product is a strict
+    sequential left-associated accumulator sum over ``dim`` (one O(n)
+    running column, ``((0 + t₀) + t₁) + …`` — IEEE-identical to the
+    expression fold's ``0.0`` seed), unlike ``np.dot``/``sum`` whose
+    BLAS/pairwise association could flip a sign at the decision
+    boundary.  Memory per (band, plane) is O(n) — the earlier
+    full-cumsum variant allocated an (n × dim) temporary per plane.
+
+    Callers must pre-filter null / wrong-dimension vectors (``vec
+    IS NOT NULL AND size(vec) == dim``); a ragged batch would otherwise
+    fail the ``np.array`` stack."""
     from pyspark.sql import types as T
 
     P = np.stack(bands_planes)  # (B, n_planes, dim)
-    B, n_planes, _dim = P.shape
+    B, n_planes, dim = P.shape
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _sigs(vecs: pd.Series) -> pd.Series:
@@ -457,12 +549,16 @@ def band_signatures_vectorized(bands_planes: list[np.ndarray]):
         if not n:
             return pd.Series([], dtype=object)
         V = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        Vt = np.ascontiguousarray(V.T)  # (dim, n): unit-stride per-d rows
         out = np.zeros((n, B), dtype=np.int64)
         for b in range(B):
             sig = np.zeros(n, dtype=np.int64)
             for p in range(n_planes):
-                dots = np.cumsum(V * P[b, p][None, :], axis=1)[:, -1]
-                sig = sig * 2 + (dots >= 0).astype(np.int64)
+                w = P[b, p]
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(dim):
+                    acc += Vt[d] * w[d]
+                sig = sig * 2 + (acc >= 0).astype(np.int64)
             out[:, b] = sig
         return pd.Series(list(out))
 

@@ -354,3 +354,121 @@ def test_knn_join_lsh_recall_on_clustered_data(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     emb.unpersist()
+
+
+def test_knn_join_lsh_distinct_carries_no_vectors(spark):
+    """The candidate dedup (DISTINCT on lid, rid) must shuffle bare ids —
+    an exchange that carried the embedding arrays would dominate the
+    shuffle at dim=768 (VERDICT r02 anti-pattern #1)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from mq_to_db_spark.operators.similarity import knn_join_lsh
+
+    emb, _ = _clustered_embeddings(spark, n_clusters=4, per_cluster=5)
+    left = emb.filter("vec_id < 5").select(F.col("vec_id").alias("id_l"), "embedding")
+    right = emb.select(F.col("vec_id").alias("id_r"), "embedding")
+    out = knn_join_lsh(left, right, k=3)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # every Exchange hash-partitioned on BOTH lid and rid (the distinct
+    # and its downstream) must list no vector column in its Input
+    for block in plan.split("\n\n"):
+        if "Exchange" not in block or "hashpartitioning" not in block:
+            continue
+        part_line = next(l for l in block.splitlines() if "hashpartitioning" in l)
+        if "lid" in part_line and "rid" in part_line:
+            assert "v_lid" not in block and "v_rid" not in block, block
+
+
+def test_knn_join_lsh_skips_bad_vectors(spark):
+    """One NULL and one wrong-dimension row must not fail the job
+    (ADVICE r02: np.asarray(None) / ragged batch crashed the UDF)."""
+    from mq_to_db_spark.operators.similarity import knn_join_lsh
+
+    emb, _ = _clustered_embeddings(spark, n_clusters=4, per_cluster=5, dim=16)
+    bad = spark.createDataFrame(
+        [(900, None), (901, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    full = emb.select("vec_id", "embedding").unionByName(bad)
+    left = full.select(F.col("vec_id").alias("id_l"), "embedding")
+    right = full.select(F.col("vec_id").alias("id_r"), "embedding")
+    rows = knn_join_lsh(left, right, k=2, dim=16).collect()
+    assert rows  # good rows still match
+    assert not any(r.lid in (900, 901) or r.rid in (900, 901) for r in rows)
+
+
+def test_embedding_neardup_skips_bad_vectors(spark):
+    from mq_to_db_spark.operators.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(3)
+    v = [float(x) for x in rng.normal(size=16)]
+    df = spark.createDataFrame(
+        [(0, v), (1, v), (2, None), (3, [1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    pairs = embedding_neardup_pairs(df, "vec_id", "embedding", threshold=0.9)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(0, 1)}
+
+
+def test_ivf_assign_udf_parity(spark):
+    """The Arrow-UDF argmax (large-quantizer path) must produce the exact
+    assignments of the literal-expression path — same IEEE association,
+    same max-cos/max-lid tie-break (VERDICT r02 next-round #5)."""
+    from mq_to_db_spark.operators.similarity import ivf_assign
+
+    rng = np.random.default_rng(21)
+    n_c, dim = 64, 64
+    cents = [[float(x) for x in rng.normal(size=dim)] for _ in range(n_c)]
+    rows = [(i, [float(x) for x in rng.normal(size=dim)]) for i in range(300)]
+    # plant exact-centroid rows (cos=1.0 against their own centroid)
+    rows += [(1000 + i, list(c)) for i, c in enumerate(cents[:8])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    expr_path = {
+        r.vec_id: r.list_id
+        for r in ivf_assign(df, cents, use_udf=False).collect()
+    }
+    udf_path = {
+        r.vec_id: r.list_id
+        for r in ivf_assign(df, cents, use_udf=True).collect()
+    }
+    assert expr_path == udf_path
+    # auto mode picks the UDF above the codegen budget (64×64 > 2048)
+    auto = ivf_assign(df, cents)
+    assert "pythonUDF" in auto._jdf.queryExecution().executedPlan().toString() or \
+        "ArrowEvalPython" in auto._jdf.queryExecution().executedPlan().toString()
+
+
+def test_short_doc_shingles_not_conflated(spark):
+    """Prefix-equivalent sub-n-word docs must NOT hash to the same
+    shingle set ('a' vs 'a a' vs 'a b b': the string-shingle path and
+    the DuckDB oracles give Jaccard 0) — ADVICE r02."""
+    from mq_to_db_spark.operators.dedup import hashed_shingle_sets
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a a"), (3, "a b b"), (4, "a"), (5, "x y z")],
+        "doc_id long, text string",
+    )
+    sets = {r.id: tuple(sorted(r.shingles)) for r in
+            hashed_shingle_sets(df, "doc_id", "text", n=3).collect()}
+    assert sets[1] == sets[4]              # identical short docs still match
+    assert sets[1] != sets[2]              # 'a' vs 'a a'
+    assert sets[2] != sets[3]              # 'a a' vs 'a b b'
+    assert sets[1] != sets[5] and sets[3] != sets[5]
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A chain longer than max_iter rounds must raise, not silently
+    return wrong labels (ADVICE r02)."""
+    from mq_to_db_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    labels = connected_components(chain, max_iter=16)
+    assert {r.component for r in labels.collect()} == {0}
