@@ -21,6 +21,7 @@ the scan and never shuffles the payload bytes.
 from __future__ import annotations
 
 import hashlib
+import io
 import os
 from collections.abc import Iterator
 
@@ -29,6 +30,19 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Optional compressed-codec backends: used when installed, otherwise the
+# corresponding mimes raise NotImplementedError (this container ships
+# neither).  Import once at module load — a per-row import would sit on
+# the mapInPandas hot path.
+try:  # pragma: no cover - absent in the build container
+    from PIL import Image as _PIL_Image
+except ImportError:
+    _PIL_Image = None
+try:  # pragma: no cover - absent in the build container
+    import soundfile as _soundfile
+except ImportError:
+    _soundfile = None
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -169,13 +183,20 @@ def split_ppmseq(payload: bytes) -> list[bytes]:
     return frames
 
 
+#: compressed mimes decodable by an optional backend, when present
+_PIL_MIMES = ("image/png", "image/jpeg", "image/webp", "image/gif", "image/bmp")
+_SOUNDFILE_MIMES = ("audio/flac", "audio/ogg", "audio/opus", "audio/mpeg", "audio/mp3")
+
+
 def real_decode(payload: bytes, mime: str) -> np.ndarray:
     """Decode a payload to a float64 feature-source array.
 
     Real for the numpy-only formats (WAV/PCM16, PPM, ppmseq video —
-    decoded first frame); compressed codecs (png/jpeg/opus/h264) require
-    PIL/ffmpeg, absent in this container → NotImplementedError (the
-    clearly-marked stub the build brief asks for)."""
+    decoded first frame) always; compressed images/audio decode through
+    PIL / soundfile WHEN INSTALLED (optional imports at module top) —
+    in this container neither is present, so those mimes raise
+    NotImplementedError (the clearly-marked environmental stub; video
+    H264 stays stubbed pending ffmpeg)."""
     if mime in ("audio/wav", "audio/x-wav"):
         samples, _rate = decode_wav(payload)
         return samples
@@ -183,9 +204,17 @@ def real_decode(payload: bytes, mime: str) -> np.ndarray:
         return decode_ppm(payload).astype(np.float64).ravel() / 255.0
     if mime == PPMSEQ_MIME:
         return decode_ppm(split_ppmseq(payload)[0]).astype(np.float64).ravel() / 255.0
+    if mime in _PIL_MIMES and _PIL_Image is not None:
+        rgb = np.asarray(_PIL_Image.open(io.BytesIO(payload)).convert("RGB"))
+        return rgb.astype(np.float64).ravel() / 255.0
+    if mime in _SOUNDFILE_MIMES and _soundfile is not None:
+        data, _rate = _soundfile.read(io.BytesIO(payload), dtype="float64")
+        if getattr(data, "ndim", 1) > 1:
+            data = data.mean(axis=1)  # downmix to mono
+        return np.asarray(data, dtype=np.float64)
     raise NotImplementedError(
-        f"decoding {mime!r} requires PIL/ffmpeg, not available in this "
-        "environment; use deterministic_fake_decode for plumbing tests"
+        f"decoding {mime!r} requires PIL/soundfile/ffmpeg, not available in "
+        "this environment; use deterministic_fake_decode for plumbing tests"
     )
 
 

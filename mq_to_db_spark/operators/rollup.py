@@ -45,6 +45,17 @@ _TRUNC_UNIT = {"1m": "minute", "1h": "hour", "1d": "day"}
 
 ROLE_NAMES = ("user", "assistant", "system", "tool")
 
+#: output columns of _partial_aggs / _merge_aggs (shape-preserving merge)
+AGG_COL_NAMES = [
+    "n_turns",
+    "text_len_sum",
+    "text_len_min",
+    "text_len_max",
+    "text_len_sumsq",
+    "token_sum",
+    *[f"n_{r}" for r in ROLE_NAMES],
+]
+
 
 def with_text_stats(df: DataFrame) -> DataFrame:
     """Project per-turn text measures (JVM-side, codegen'd).

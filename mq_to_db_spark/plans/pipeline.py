@@ -36,7 +36,6 @@ from __future__ import annotations
 
 import datetime as dt
 import json
-import os
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -47,8 +46,9 @@ from pyspark.sql import types as T
 
 from mq_to_db_spark.config import EngineConfig
 from mq_to_db_spark.operators.gapfill import gapfill
-from mq_to_db_spark.operators.rollup import _merge_aggs, with_text_stats
+from mq_to_db_spark.operators.rollup import AGG_COL_NAMES, _merge_aggs, with_text_stats
 from mq_to_db_spark.operators.validate import with_reject_reason
+from mq_to_db_spark.sources.store import LocalAtomicStore
 from mq_to_db_spark.sources.tableio import TableIO
 
 #: rollup dimensions materialized by the pipeline: name → series key cols
@@ -121,19 +121,22 @@ class RollupPipeline:
         work_dir: str,
         cfg: EngineConfig | None = None,
         table_factory=None,
+        marker_store=None,
     ):
         """``table_factory(name, partition_cols) -> TableIO-like`` selects
         the storage backend: default is the parquet-emulated
         ``sources.tableio.TableIO``; pass a closure over
         ``sources.iceberg.IcebergTableIO`` (jar-gated) for a real Iceberg
-        catalog — the pipeline only touches the shared seam."""
+        catalog.  ``marker_store`` is the AtomicStore holding checkpoint
+        markers (default: local under ``work_dir/_checkpoints``) — the
+        S3/HDFS plug point.  The pipeline touches storage ONLY through
+        these two seams."""
         self.work_dir = work_dir
         self.cfg = cfg or EngineConfig()
-        self.ckpt_dir = os.path.join(work_dir, "_checkpoints")
-        os.makedirs(self.ckpt_dir, exist_ok=True)
+        self.markers = marker_store or LocalAtomicStore(f"{work_dir}/_checkpoints")
         if table_factory is None:
             table_factory = lambda name, part=None: TableIO(  # noqa: E731
-                os.path.join(work_dir, name), part
+                f"{work_dir}/{name}", part
             )
         part = ["date", "conv_bucket"]
         self.tables: dict[str, TableIO] = {}
@@ -155,16 +158,16 @@ class RollupPipeline:
     #     skips, while a LATER micro-batch carrying more turns for the same
     #     unit appends fresh partials (read-side merge makes that exact).
 
-    def _marker_path(self, conv_bucket: int, date: str, scope: str | None = None) -> str:
+    def _marker_key(self, conv_bucket: int, date: str, scope: str | None = None) -> str:
         prefix = f"{scope}__" if scope else ""
-        return os.path.join(self.ckpt_dir, f"{prefix}{date}_b{conv_bucket:04d}.json")
+        return f"{prefix}{date}_b{conv_bucket:04d}.json"
 
     def committed_units(self, scope: str | None = None) -> set[tuple[int, str]]:
         out = set()
-        for fn in os.listdir(self.ckpt_dir):
-            if not fn.endswith(".json"):
+        for key in self.markers.list():
+            if not key.endswith(".json"):
                 continue
-            stem = fn[:-5]
+            stem = key[:-5]
             if scope is None:
                 if "__" in stem:
                     continue  # batch-scoped markers belong to append mode
@@ -184,11 +187,10 @@ class RollupPipeline:
         stats: dict,
         scope: str | None = None,
     ):
-        p = self._marker_path(conv_bucket, date, scope)
-        tmp = p + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"batch_id": batch_id, "committed_at": time.time(), **stats}, f)
-        os.replace(tmp, p)
+        self.markers.write_text_atomic(
+            self._marker_key(conv_bucket, date, scope),
+            json.dumps({"batch_id": batch_id, "committed_at": time.time(), **stats}),
+        )
 
     # -- the batch job --------------------------------------------------------
 
@@ -209,8 +211,12 @@ class RollupPipeline:
         ``mode="append"`` (streaming micro-batches): a unit's turns may
         span batches, so tier writes APPEND per-batch partials (read-side
         merge keeps results exact) and acks are scoped to this batch_id —
-        a recovery replay of the same micro-batch is a no-op, later
-        batches for the same unit are not."""
+        a recovery replay of the same micro-batch is a no-op EVEN when
+        the crash landed between tier commits and the markers: every
+        append consults the table's snapshot batch ledger
+        (``TableIO.has_batch``) and skips tables this batch already
+        reached, so no partial can be double-appended.  Later batches
+        for the same unit (new batch_id) append normally."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unknown mode {mode!r}")
         t0 = time.time()
@@ -300,6 +306,14 @@ class RollupPipeline:
                     out_df = sliced.drop(*dict.fromkeys(drop))
                     name = f"rollup_{dim}_{tier}"
                     if mode == "append":
+                        # idempotent per (table, batch): a crash-window
+                        # replay of this batch_id must not re-append a
+                        # tier's partials (the read-side sum would
+                        # double-count) — skip tables whose snapshot
+                        # ledger already carries this batch_id.
+                        if self.tables[name].has_batch(batch_id):
+                            points[name] = 0
+                            continue
                         snap = self.tables[name].append(
                             out_df, summary={"batch_id": batch_id}
                         )
@@ -322,7 +336,7 @@ class RollupPipeline:
         # tagged input on top of the append's own (2 extra raw scans/batch
         # at 10^12 turns).
         n_rej = sum(units[u][1] for u in todo) + n_unitless
-        if n_rej:
+        if n_rej and not self.dead_letter.has_batch(batch_id):
             self.dead_letter.append(
                 rejected.withColumn("batch_id", F.lit(batch_id)),
                 summary={"batch_id": batch_id},
@@ -345,10 +359,11 @@ class RollupPipeline:
             )
             for b, d in sorted(todo)
         ]
-        self.lineage.append(
-            spark.createDataFrame(lineage_rows, schema=LINEAGE_SCHEMA),
-            summary={"batch_id": batch_id},
-        )
+        if not self.lineage.has_batch(batch_id):
+            self.lineage.append(
+                spark.createDataFrame(lineage_rows, schema=LINEAGE_SCHEMA),
+                summary={"batch_id": batch_id},
+            )
         # counter semantics mirror the reference's storer totals: every
         # consumed message counts, including unitless rejects (which have
         # no lineage row — they belong to no unit — but do reach the dead
@@ -367,26 +382,27 @@ class RollupPipeline:
         # never write one.
         from mq_to_db_spark import __version__
 
-        self.metrics.append(
-            spark.createDataFrame(
-                [
-                    (
-                        batch_id,
-                        report.n_units_total,
-                        report.n_units_skipped,
-                        report.n_in,
-                        report.n_ok,
-                        report.n_rejected,
-                        {k: int(v) for k, v in points.items()},
-                        float(report.seconds),
-                        __version__,
-                        committed_ts,
-                    )
-                ],
-                schema=METRICS_SCHEMA,
-            ),
-            summary={"batch_id": batch_id},
-        )
+        if not self.metrics.has_batch(batch_id):
+            self.metrics.append(
+                spark.createDataFrame(
+                    [
+                        (
+                            batch_id,
+                            report.n_units_total,
+                            report.n_units_skipped,
+                            report.n_in,
+                            report.n_ok,
+                            report.n_rejected,
+                            {k: int(v) for k, v in points.items()},
+                            float(report.seconds),
+                            __version__,
+                            committed_ts,
+                        )
+                    ],
+                    schema=METRICS_SCHEMA,
+                ),
+                summary={"batch_id": batch_id},
+            )
         for b, d in sorted(todo):
             n_in, n_r = units[(b, d)]
             self._write_marker(
@@ -409,14 +425,76 @@ class RollupPipeline:
         by (bucket_start, keys) over tier-sized data.  For dim="conv" the
         merge is a near-no-op (a conversation lives in one conv_bucket,
         but a 1h/1d bucket can span two dates only at day boundaries —
-        still merged here for exactness)."""
+        still merged here for exactness).
+
+        After :meth:`finalize` the current snapshot holds exactly one row
+        per (bucket, series) — the read is then a plain scan+project (no
+        Aggregate node), which is the whole point: without finalization a
+        long-running streaming append accumulates one partial row per
+        micro-batch and every dashboard read re-merges all of them."""
         keys = DIMENSIONS[dim]
         tbl = self.tables[f"rollup_{dim}_{tier}"]
         df = tbl.read(spark)
-        final = df.groupBy("bucket_start", *keys).agg(*_merge_aggs())
+        snap = tbl.snapshot()
+        if snap is not None and (snap.summary or {}).get("finalized"):
+            final = df.select("bucket_start", *keys, *AGG_COL_NAMES)
+        else:
+            final = df.groupBy("bucket_start", *keys).agg(*_merge_aggs())
         if gap_filled:
             final = gapfill(final, tier, keys, policy=self.cfg.gapfill_policy)
         return final
+
+    def finalize(
+        self,
+        spark: SparkSession,
+        dims: list[str] | None = None,
+        tiers: list[str] | None = None,
+    ) -> dict[str, object]:
+        """Collapse accumulated per-batch partials into ONE finalized row
+        per (bucket, series) — the MERGE-INTO analogue for append /
+        streaming mode (VERDICT r02 next-round #2).  Atomic + idempotent:
+        each table is rewritten in a single ``overwrite_all`` snapshot
+        whose summary carries ``finalized`` — :meth:`read_rollup` then
+        skips the merge aggregate entirely; a later ``append`` snapshot
+        (new micro-batch) clears the flag and the read-side merge
+        resumes, so finalize can run on any cadence (e.g. hourly) while
+        the stream keeps flowing.
+
+        Partition columns are re-derived from the merged series: ``date =
+        to_date(bucket_start)`` (exact — tier truncation never crosses a
+        date) and ``conv_bucket`` from ``conv_id`` for the conv dimension
+        (identical to ``unit_cols``); cross-bucket series (global / tool)
+        collapse to bucket 0 — they no longer belong to a single ingest
+        unit, and retention (the only consumer of the partition layout
+        besides pruning) cuts on ``date`` alone.
+
+        Scale note: the rewrite touches tier-sized data only (never raw);
+        at 100 TB raw a 1m tier is ~10⁻³ of it, and an incremental
+        variant would overwrite only partitions whose partial count grew
+        — the snapshot ledger has the per-batch file lists to drive that.
+        """
+        out: dict[str, object] = {}
+        for dim in dims or list(DIMENSIONS):
+            keys = DIMENSIONS[dim]
+            for tier in tiers or list(self.cfg.tiers):
+                name = f"rollup_{dim}_{tier}"
+                tbl = self.tables[name]
+                if not tbl.exists():
+                    continue
+                merged = (
+                    tbl.read(spark)
+                    .groupBy("bucket_start", *keys)
+                    .agg(*_merge_aggs())
+                    .withColumn("date", F.to_date("bucket_start"))
+                    .withColumn(
+                        "conv_bucket",
+                        F.pmod(F.xxhash64("conv_id"), F.lit(self.cfg.conv_buckets)).cast("int")
+                        if dim == "conv"
+                        else F.lit(0),
+                    )
+                )
+                out[name] = tbl.overwrite_all(merged, summary={"finalized": True})
+        return out
 
     # -- retention ------------------------------------------------------------
 

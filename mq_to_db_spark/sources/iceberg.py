@@ -122,18 +122,47 @@ class IcebergTableIO:
     def _ensure_table(self, df: DataFrame) -> None:
         if self.exists():
             return
-        writer = df.writeTo(self.table).using("iceberg")
+        # create EMPTY with df's schema (limit(0) — a full-df CTAS would
+        # write all the data once just to delete it again; ADVICE r02);
+        # data lands via the caller's normal append/overwrite path
+        writer = df.limit(0).writeTo(self.table).using("iceberg")
         if self.partition_cols:
             from pyspark.sql import functions as F
 
             writer = writer.partitionedBy(*[F.col(c) for c in self.partition_cols])
-        # create empty with df's schema; data lands via the normal path
         writer.create()
-        self.spark.sql(f"DELETE FROM {self.table} WHERE true")
+
+    def batch_ids(self) -> set[str]:
+        """Every ``batch_id`` recorded as a snapshot property — scan of
+        the catalog's ``.snapshots`` metadata table (the Iceberg
+        idempotent-append ledger; parquet TableIO parity)."""
+        if not self.exists():
+            return set()
+        rows = self.spark.sql(
+            f"SELECT summary FROM {self.table}.snapshots"
+        ).collect()
+        return {
+            b for r in rows if (b := (dict(r.summary or {})).get("batch_id"))
+        }
+
+    def has_batch(self, batch_id: str) -> bool:
+        """True when a committed snapshot already carries ``batch_id`` —
+        the guard that makes per-batch appends idempotent under crash
+        replay (parquet TableIO.has_batch parity)."""
+        return batch_id in self.batch_ids()
+
+    def _writer(self, df: DataFrame, summary: dict | None):
+        """writeTo with the summary recorded as Iceberg snapshot
+        properties (``snapshot-property.*``) — what :meth:`has_batch`
+        reads back from the ``.snapshots`` metadata table."""
+        writer = df.writeTo(self.table)
+        for k, v in (summary or {}).items():
+            writer = writer.option(f"snapshot-property.{k}", str(v))
+        return writer
 
     def append(self, df: DataFrame, summary: dict | None = None) -> IcebergSnapshot:
         self._ensure_table(df)
-        df.writeTo(self.table).append()
+        self._writer(df, summary).append()
         return self.snapshot()
 
     def overwrite_partitions(self, df: DataFrame, summary: dict | None = None) -> IcebergSnapshot:
@@ -143,14 +172,14 @@ class IcebergTableIO:
         if not self.partition_cols:
             raise ValueError("overwrite_partitions requires partition_cols")
         self._ensure_table(df)
-        df.writeTo(self.table).overwritePartitions()
+        self._writer(df, summary).overwritePartitions()
         return self.snapshot()
 
     def overwrite_all(self, df: DataFrame, summary: dict | None = None) -> IcebergSnapshot:
         self._ensure_table(df)
         from pyspark.sql import functions as F
 
-        df.writeTo(self.table).overwrite(F.lit(True))
+        self._writer(df, summary).overwrite(F.lit(True))
         return self.snapshot()
 
     def delete_partitions(self, predicate, summary: dict | None = None) -> IcebergSnapshot:

@@ -41,6 +41,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import col as F_col
 
+from mq_to_db_spark.sources.store import LocalAtomicStore
+
 
 def partition_values(rel_path: str) -> dict[str, str]:
     """Hive partition values encoded in a file's directory path,
@@ -70,32 +72,60 @@ class Snapshot:
 class TableIO:
     """One versioned table rooted at ``path``."""
 
-    def __init__(self, path: str, partition_cols: list[str] | None = None):
+    def __init__(
+        self,
+        path: str,
+        partition_cols: list[str] | None = None,
+        store: LocalAtomicStore | None = None,
+    ):
+        """``store`` is the AtomicStore holding this table's metadata and
+        data objects (default: a :class:`LocalAtomicStore` rooted at
+        ``path``) — swap it for an object-store implementation without
+        touching any table or pipeline logic."""
         self.path = path
         self.partition_cols = list(partition_cols or [])
-        self.data_dir = os.path.join(path, "data")
-        self.manifest_dir = os.path.join(path, "_manifests")
-        self.current_ptr = os.path.join(path, "_current")
+        self.store = store or LocalAtomicStore(path)
+        self.data_dir = self.store.uri("data")
         os.makedirs(self.data_dir, exist_ok=True)
-        os.makedirs(self.manifest_dir, exist_ok=True)
+        self._batch_ids: set[str] | None = None
 
     # -- snapshot bookkeeping -------------------------------------------------
 
     def current_version(self) -> int:
-        if not os.path.exists(self.current_ptr):
+        if not self.store.exists("_current"):
             return 0
-        with open(self.current_ptr) as f:
-            return int(f.read().strip())
+        return int(self.store.read_text("_current").strip())
 
     def snapshot(self, version: int | None = None) -> Snapshot | None:
         v = self.current_version() if version is None else version
         if v == 0:
             return None
-        with open(os.path.join(self.manifest_dir, f"v{v:08d}.json")) as f:
-            return Snapshot(**json.load(f))
+        return Snapshot(**json.loads(self.store.read_text(f"_manifests/v{v:08d}.json")))
 
     def exists(self) -> bool:
         return self.current_version() > 0
+
+    def batch_ids(self) -> set[str]:
+        """Every ``batch_id`` recorded in a snapshot summary — the
+        idempotent-append ledger (Iceberg analogue: scan snapshot
+        summaries).  Lazily scanned once per TableIO instance, updated on
+        each local commit."""
+        if self._batch_ids is None:
+            ids: set[str] = set()
+            for v in range(1, self.current_version() + 1):
+                s = self.snapshot(v)
+                b = (s.summary or {}).get("batch_id") if s else None
+                if b:
+                    ids.add(b)
+            self._batch_ids = ids
+        return self._batch_ids
+
+    def has_batch(self, batch_id: str) -> bool:
+        """True when a committed snapshot already carries ``batch_id`` —
+        the guard that makes per-batch appends idempotent under crash
+        replay (a replayed micro-batch skips tables it already reached,
+        closing the commit-then-crash-before-ack double-count window)."""
+        return batch_id in self.batch_ids()
 
     # -- write paths ----------------------------------------------------------
 
@@ -114,17 +144,17 @@ class TableIO:
         return stage, rels
 
     def _publish(self, stage: str, rels: list[str], prefix: str) -> list[str]:
-        """Move staged files into data/ under a unique prefix; return new
-        relative paths (relative to data/)."""
+        """Publish staged files into data/ under a unique prefix via the
+        AtomicStore; return new relative paths (relative to data/)."""
         out = []
         for rel in rels:
             # keep partition dirs (they encode partition values), uniquify
             # the leaf name so concurrent/replayed commits never collide.
             d, leaf = os.path.split(rel)
             new_rel = os.path.join(d, f"{prefix}-{leaf}")
-            dst = os.path.join(self.data_dir, new_rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.replace(os.path.join(stage, rel), dst)
+            self.store.publish_file(
+                os.path.join(stage, rel), "data/" + new_rel.replace(os.sep, "/")
+            )
             out.append(new_rel)
         shutil.rmtree(stage, ignore_errors=True)
         return out
@@ -146,16 +176,12 @@ class TableIO:
             all_files=all_files,
             summary=summary,
         )
-        manifest = os.path.join(self.manifest_dir, f"v{v:08d}.json")
-        tmp = manifest + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(snap.__dict__, f)
-        os.replace(tmp, manifest)
+        self.store.write_text_atomic(f"_manifests/v{v:08d}.json", json.dumps(snap.__dict__))
         # the atomic commit point:
-        tmp_ptr = self.current_ptr + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp_ptr, "w") as f:
-            f.write(str(v))
-        os.replace(tmp_ptr, self.current_ptr)
+        self.store.write_text_atomic("_current", str(v))
+        b = summary.get("batch_id")
+        if b and self._batch_ids is not None:
+            self._batch_ids.add(b)
         return snap
 
     def append(self, df: DataFrame, summary: dict | None = None) -> Snapshot:
@@ -243,14 +269,11 @@ class TableIO:
             if s:
                 keep.update(s.all_files)
         deleted = []
-        for root, _dirs, files in os.walk(self.data_dir, topdown=False):
-            for fn in files:
-                rel = os.path.relpath(os.path.join(root, fn), self.data_dir)
-                if fn.endswith(".parquet") and rel not in keep:
-                    os.remove(os.path.join(root, fn))
-                    deleted.append(rel)
-            if root != self.data_dir and not os.listdir(root):
-                os.rmdir(root)
+        for key in self.store.list("data"):
+            rel = key[len("data/"):]
+            if rel.endswith(".parquet") and rel not in keep:
+                self.store.delete(key)
+                deleted.append(rel)
         return deleted
 
     # -- read paths -----------------------------------------------------------

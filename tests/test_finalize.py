@@ -1,0 +1,113 @@
+"""Append-mode exactness under crash replay + partial finalization.
+
+Round-3 additions (VERDICT r02 #2, ADVICE r02 medium): the snapshot
+batch-id ledger closes the commit-then-crash-before-ack double-count
+window, and ``finalize`` collapses accumulated per-batch partials so the
+read path degenerates to a scan."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mq_to_db_spark.config import EngineConfig
+from mq_to_db_spark.fixtures.generator import TRANSCRIPT_SCHEMA, generate_transcripts_pdf
+from mq_to_db_spark.plans.pipeline import RollupPipeline
+
+CFG = EngineConfig(conv_buckets=4, shuffle_partitions=4)
+
+
+def _halves(spark):
+    pdf = generate_transcripts_pdf(2000, seed=33)
+    half = len(pdf) // 2
+    return (
+        spark.createDataFrame(pdf.iloc[:half], schema=TRANSCRIPT_SCHEMA),
+        spark.createDataFrame(pdf.iloc[half:], schema=TRANSCRIPT_SCHEMA),
+        spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA),
+    )
+
+
+def _read(pipe, spark, dim="global", tier="1h"):
+    pdf = pipe.read_rollup(spark, dim, tier).toPandas()
+    return pdf.sort_values(list(pdf.columns)[:2], ignore_index=True)
+
+
+def test_append_replay_after_crash_window_is_exact(spark, tmp_path):
+    """Crash AFTER two tier commits but BEFORE the batch-scoped markers,
+    then replay the same batch_id (what foreachBatch recovery does):
+    the replayed appends must be skipped per-table via the snapshot
+    ledger — the read-side merge must NOT double-count (ADVICE r02
+    medium: TableIO.append was not idempotent)."""
+    b1, b2, full = _halves(spark)
+    pipe = RollupPipeline(str(tmp_path / "wh"), CFG)
+    pipe.run(spark, b1, batch_id="s-0", mode="append")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        pipe.run(
+            spark, b2, batch_id="s-1", mode="append",
+            fail_after_commit_of="rollup_global_1h",
+        )
+    # crash window: some tier tables carry s-1 partials, no markers exist
+    assert pipe.tables["rollup_global_1m"].has_batch("s-1")
+    assert pipe.committed_units("s-1") == set()
+    # recovery replay of the SAME micro-batch
+    pipe.run(spark, b2, batch_id="s-1", mode="append")
+
+    ref = RollupPipeline(str(tmp_path / "wh2"), CFG)
+    ref.run(spark, full, batch_id="oracle")
+    for dim, tier in (("global", "1m"), ("global", "1h"), ("conv", "1d")):
+        pd.testing.assert_frame_equal(
+            _read(pipe, spark, dim, tier), _read(ref, spark, dim, tier),
+            check_dtype=False,
+        )
+
+
+def test_finalize_collapses_partials_scan_only_read(spark, tmp_path):
+    """N append batches → finalize → read_rollup returns the identical
+    result through a plain scan (no Aggregate node in the plan), and a
+    later append flips the read back to the merging path."""
+    b1, b2, _full = _halves(spark)
+    pipe = RollupPipeline(str(tmp_path / "wh"), CFG)
+    pipe.run(spark, b1, batch_id="s-0", mode="append")
+    pipe.run(spark, b2, batch_id="s-1", mode="append")
+
+    before = {
+        (d, t): _read(pipe, spark, d, t)
+        for d in ("global", "conv", "tool")
+        for t in ("1m", "1h", "1d")
+    }
+    pipe.finalize(spark)
+    for (d, t), want in before.items():
+        got_df = pipe.read_rollup(spark, d, t)
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "Aggregate" not in plan, (d, t, plan)
+        got = got_df.toPandas()
+        got = got.sort_values(list(got.columns)[:2], ignore_index=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # a fresh micro-batch clears the finalized flag → merge path resumes
+    b3 = spark.createDataFrame(
+        generate_transcripts_pdf(500, seed=99), schema=TRANSCRIPT_SCHEMA
+    )
+    pipe.run(spark, b3, batch_id="s-2", mode="append")
+    plan = pipe.read_rollup(spark, "global", "1h")._jdf.queryExecution().executedPlan().toString()
+    assert "Aggregate" in plan
+    # and finalize is idempotent: run twice, same result
+    pipe.finalize(spark, dims=["global"], tiers=["1h"])
+    once = _read(pipe, spark, "global", "1h")
+    pipe.finalize(spark, dims=["global"], tiers=["1h"])
+    pd.testing.assert_frame_equal(_read(pipe, spark, "global", "1h"), once, check_dtype=False)
+
+
+def test_atomic_store_roundtrip(tmp_path):
+    from mq_to_db_spark.sources.store import LocalAtomicStore
+
+    st = LocalAtomicStore(str(tmp_path / "root"))
+    st.write_text_atomic("a/b/one.json", "1")
+    st.write_text_atomic("two.json", "2")
+    assert st.exists("a/b/one.json") and not st.exists("missing")
+    assert st.read_text("a/b/one.json") == "1"
+    assert st.list() == ["a/b/one.json", "two.json"]
+    assert st.list("a") == ["a/b/one.json"]
+    st.delete("a/b/one.json")
+    assert st.list() == ["two.json"]
+    # overwrite is atomic-replace, not append
+    st.write_text_atomic("two.json", "22")
+    assert st.read_text("two.json") == "22"

@@ -172,11 +172,9 @@ def test_streaming_pipeline_append_mode_effectively_once(spark, tmp_path):
     q.awaitTermination(120)
 
     # two genuine micro-batches ran (batch-scoped ack markers for both)
-    import os
-
     scopes = {
         fn.split("__", 1)[0]
-        for fn in os.listdir(pipe.ckpt_dir)
+        for fn in pipe.markers.list()
         if "__" in fn and fn.endswith(".json")
     }
     assert scopes == {"stream-000000", "stream-000001"}, scopes
