@@ -53,6 +53,8 @@ _PUBLIC = {
     "range_locf": "mq_to_db_spark.operators.rangewin",
     "IcebergTableIO": "mq_to_db_spark.sources.iceberg",
     "run_streaming_pipeline": "mq_to_db_spark.streaming.stream",
+    # storage seam (round 3)
+    "LocalAtomicStore": "mq_to_db_spark.sources.store",
 }
 
 

@@ -449,6 +449,7 @@ class RollupPipeline:
         spark: SparkSession,
         dims: list[str] | None = None,
         tiers: list[str] | None = None,
+        dates: list | None = None,
     ) -> dict[str, object]:
         """Collapse accumulated per-batch partials into ONE finalized row
         per (bucket, series) — the MERGE-INTO analogue for append /
@@ -468,11 +469,24 @@ class RollupPipeline:
         unit, and retention (the only consumer of the partition layout
         besides pruning) cuts on ``date`` alone.
 
-        Scale note: the rewrite touches tier-sized data only (never raw);
-        at 100 TB raw a 1m tier is ~10⁻³ of it, and an incremental
-        variant would overwrite only partitions whose partial count grew
-        — the snapshot ledger has the per-batch file lists to drive that.
+        Scale note: the rewrite touches tier-sized data only (never raw) —
+        at 100 TB raw a 1m tier is ~10⁻³ of it — and ``dates`` bounds it
+        further: ``finalize(dates=[...])`` is the **incremental** variant
+        that merges and atomically replaces ONLY the listed date
+        partitions (``TableIO.overwrite_where`` — one snapshot, delete +
+        add together; date-filtered reads are partition-pruned scans).
+        A steady-state deployment finalizes yesterday's date once the
+        stream's watermark passes midnight and never rewrites it again.
+        Incremental runs don't set the ``finalized`` flag (older dates
+        may still hold multiple partials), so reads keep the merging
+        path — just over collapsed row counts.
         """
+        if dates is not None:
+            dvals = [
+                d if isinstance(d, dt.date) else dt.date.fromisoformat(str(d))
+                for d in dates
+            ]
+            dset = {d.isoformat() for d in dvals}
         out: dict[str, object] = {}
         for dim in dims or list(DIMENSIONS):
             keys = DIMENSIONS[dim]
@@ -481,9 +495,11 @@ class RollupPipeline:
                 tbl = self.tables[name]
                 if not tbl.exists():
                     continue
+                src = tbl.read(spark)
+                if dates is not None:
+                    src = src.filter(F.col("date").isin(dvals))
                 merged = (
-                    tbl.read(spark)
-                    .groupBy("bucket_start", *keys)
+                    src.groupBy("bucket_start", *keys)
                     .agg(*_merge_aggs())
                     .withColumn("date", F.to_date("bucket_start"))
                     .withColumn(
@@ -493,7 +509,14 @@ class RollupPipeline:
                         else F.lit(0),
                     )
                 )
-                out[name] = tbl.overwrite_all(merged, summary={"finalized": True})
+                if dates is None:
+                    out[name] = tbl.overwrite_all(merged, summary={"finalized": True})
+                else:
+                    out[name] = tbl.overwrite_where(
+                        merged,
+                        lambda pv, ds=dset: pv.get("date", "") in ds,
+                        summary={"finalize_dates": sorted(dset)},
+                    )
         return out
 
     # -- retention ------------------------------------------------------------

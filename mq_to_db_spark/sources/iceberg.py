@@ -182,6 +182,36 @@ class IcebergTableIO:
         self._writer(df, summary).overwrite(F.lit(True))
         return self.snapshot()
 
+    def overwrite_where(self, df, predicate, summary: dict | None = None) -> IcebergSnapshot:
+        """Atomic replace-where via Iceberg's native
+        ``overwrite(condition)`` — one snapshot, delete + append
+        together.  ``predicate`` is the same ``dict[str, str] -> bool``
+        callable the parquet TableIO takes; it is evaluated against the
+        table's current distinct partition tuples and compiled into the
+        overwrite condition (an OR of partition-equality conjunctions,
+        which Iceberg resolves as a metadata delete)."""
+        self._ensure_table(df)
+        from pyspark.sql import functions as F
+
+        parts = (
+            self.spark.table(self.table)
+            .select(*self.partition_cols)
+            .distinct()
+            .collect()
+        )
+        doomed = [
+            r for r in parts
+            if predicate({c: str(r[c]) for c in self.partition_cols})
+        ]
+        cond = F.lit(False)
+        for r in doomed:
+            c_and = F.lit(True)
+            for c in self.partition_cols:
+                c_and = c_and & (F.col(c) == F.lit(r[c]))
+            cond = cond | c_and
+        self._writer(df, summary).overwrite(cond)
+        return self.snapshot()
+
     def delete_partitions(self, predicate, summary: dict | None = None) -> IcebergSnapshot:
         """Metadata-only partition expiry.  ``predicate`` is the same
         ``dict[str, str] -> bool`` callable the parquet TableIO takes;

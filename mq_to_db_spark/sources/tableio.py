@@ -211,6 +211,24 @@ class TableIO:
         added = self._publish(stage, rels, uuid.uuid4().hex[:8])
         return self._commit("overwrite_all", added, removed, summary or {})
 
+    def overwrite_where(self, df, predicate, summary: dict | None = None) -> Snapshot:
+        """Atomic replace-where (Iceberg ``overwrite(condition)``): ONE
+        snapshot removes every file whose hive partition values match
+        ``predicate`` (a ``dict[str, str] -> bool`` callable) AND adds
+        ``df``'s files.  The caller guarantees ``df`` holds the full
+        replacement row-set for the matched region — this is the
+        incremental-finalization primitive (rewrite only the partitions
+        whose partial count grew, not the whole table)."""
+        stage, rels = self._stage(df)
+        prev = self.snapshot()
+        removed = (
+            [f for f in prev.all_files if predicate(partition_values(f))]
+            if prev
+            else []
+        )
+        added = self._publish(stage, rels, uuid.uuid4().hex[:8])
+        return self._commit("overwrite_where", added, removed, summary or {})
+
     def delete_partitions(self, predicate, summary: dict | None = None) -> Snapshot:
         """Metadata-only partition drop (retention expiry — the Iceberg
         ``DROP PARTITION`` / delete-where-on-partition-cols analogue):

@@ -111,3 +111,43 @@ def test_atomic_store_roundtrip(tmp_path):
     # overwrite is atomic-replace, not append
     st.write_text_atomic("two.json", "22")
     assert st.read_text("two.json") == "22"
+
+
+def test_incremental_finalize_single_date(spark, tmp_path):
+    """finalize(dates=[...]) rewrites ONLY the listed date partitions
+    (one atomic overwrite_where snapshot): the listed date collapses to
+    one row per (bucket, series), other dates keep their per-batch
+    partials, and the merged read is unchanged — the steady-state
+    'finalize yesterday once the watermark passes midnight' job."""
+    b1, b2, _full = _halves(spark)
+    pipe = RollupPipeline(str(tmp_path / "wh"), CFG)
+    pipe.run(spark, b1, batch_id="s-0", mode="append")
+    pipe.run(spark, b2, batch_id="s-1", mode="append")
+
+    tbl = pipe.tables["rollup_global_1h"]
+    dates = sorted(
+        r.date.isoformat()
+        for r in tbl.read(spark).select("date").distinct().collect()
+    )
+    assert len(dates) >= 2
+    target, untouched = dates[0], dates[1]
+
+    raw = tbl.read(spark)
+    partials_untouched_before = raw.filter(F.col("date") == untouched).count()
+    want = _read(pipe, spark, "global", "1h")
+
+    pipe.finalize(spark, dims=["global"], tiers=["1h"], dates=[target])
+
+    raw2 = tbl.read(spark)
+    # target date: exactly one row per bucket_start now
+    per_bucket = (
+        raw2.filter(F.col("date") == target)
+        .groupBy("bucket_start").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert per_bucket == 1
+    # untouched date keeps its per-batch partials (no hidden rewrite)
+    assert raw2.filter(F.col("date") == untouched).count() == partials_untouched_before
+    # merged read identical; still the merging path (no finalized flag)
+    pd.testing.assert_frame_equal(_read(pipe, spark, "global", "1h"), want, check_dtype=False)
+    assert not (tbl.snapshot().summary or {}).get("finalized")
+    assert tbl.snapshot().operation == "overwrite_where"
