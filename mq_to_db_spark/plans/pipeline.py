@@ -418,6 +418,8 @@ class RollupPipeline:
         dim: str,
         tier: str,
         gap_filled: bool = False,
+        start_date: dt.date | str | None = None,
+        end_date: dt.date | str | None = None,
     ) -> DataFrame:
         """Final (cross-unit merged) rollup for a dimension/tier.
 
@@ -431,10 +433,20 @@ class RollupPipeline:
         per (bucket, series) — the read is then a plain scan+project (no
         Aggregate node), which is the whole point: without finalization a
         long-running streaming append accumulates one partial row per
-        micro-batch and every dashboard read re-merges all of them."""
+        micro-batch and every dashboard read re-merges all of them.
+
+        ``start_date`` / ``end_date`` (inclusive) cut on the ``date``
+        partition column BEFORE the merge — a dashboard's "last 7 days"
+        panel then reads 7 partition directories, not the table (the
+        filter lands on the hive partition value, so Catalyst prunes at
+        file-listing time)."""
         keys = DIMENSIONS[dim]
         tbl = self.tables[f"rollup_{dim}_{tier}"]
         df = tbl.read(spark)
+        if start_date is not None:
+            df = df.filter(F.col("date") >= F.lit(str(start_date)).cast("date"))
+        if end_date is not None:
+            df = df.filter(F.col("date") <= F.lit(str(end_date)).cast("date"))
         snap = tbl.snapshot()
         if snap is not None and (snap.summary or {}).get("finalized"):
             final = df.select("bucket_start", *keys, *AGG_COL_NAMES)
@@ -450,6 +462,7 @@ class RollupPipeline:
         dims: list[str] | None = None,
         tiers: list[str] | None = None,
         dates: list | None = None,
+        vacuum: bool = False,
     ) -> dict[str, object]:
         """Collapse accumulated per-batch partials into ONE finalized row
         per (bucket, series) — the MERGE-INTO analogue for append /
@@ -517,6 +530,31 @@ class RollupPipeline:
                         lambda pv, ds=dset: pv.get("date", "") in ds,
                         summary={"finalize_dates": sorted(dset)},
                     )
+                if vacuum:
+                    # reclaim the superseded partial files (two-phase, like
+                    # Iceberg expire_snapshots: readers pinned to older
+                    # snapshots stay valid until this runs)
+                    tbl.vacuum()
+        return out
+
+    def compact(self, spark: SparkSession, min_files: int = 2) -> dict[str, int]:
+        """Small-file hygiene across every engine table: rewrite each
+        logical partition holding ≥ ``min_files`` data files into one
+        (``TableIO.compact`` / Iceberg ``rewrite_data_files``).  Streaming
+        append mode needs this on a cadence — each micro-batch adds its
+        own files, and a month of 1-minute triggers is ~43k files per
+        table without it.  Complements :meth:`finalize`: compact merges
+        FILES (bytes layout), finalize merges ROWS (partials).  Returns
+        files-rewritten per table (0 = nothing needed)."""
+        out: dict[str, int] = {}
+        for name, tbl in {
+            **self.tables,
+            "dead_letter": self.dead_letter,
+            "lineage": self.lineage,
+            "job_metrics": self.metrics,
+        }.items():
+            snap = tbl.compact(spark, min_files=min_files)
+            out[name] = int((snap.summary or {}).get("compaction", 0)) if snap else 0
         return out
 
     # -- retention ------------------------------------------------------------
