@@ -182,6 +182,8 @@ def run(sf_dir: str = SF_DIR, cpus: int = CPUS, include_scaling_meta: bool = Tru
         "dedup_exact",
         "minhash_pairs",
         "ann_cosine_topk",
+        "embedding_neardup",
+        "knn_join_lsh",
     ):
         key = f"q_{name}"
         _materialize(qs[name](spark, WARM_DIR))

@@ -258,19 +258,25 @@ def connected_components(
     """Exact connected components over an undirected pair list →
     ``(id, component)`` with component = min id in the cluster.
 
-    Bounded min-label propagation: each round every node adopts the
-    minimum label among itself and its neighbors, so convergence takes
-    O(diameter) rounds — duplicate clusters are near-cliques (diameter
-    2-3 in practice), and the loop early-exits when a round changes
-    nothing.  A graph whose diameter exceeds ``max_iter`` raises rather
-    than silently returning non-converged labels (raise > warn: a wrong
-    drop-set corrupts the dedup output downstream; for adversarial
-    long-chain graphs use more rounds, or the large-star/small-star
-    alternation [Kiveris et al., SoCC'14] which bounds rounds
-    logarithmically).  Each round is one shuffle on the edge list;
-    ``localCheckpoint`` truncates the growing lineage (on a real cluster
-    use ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
-    fault-tolerant truncation)."""
+    Min-label propagation WITH pointer-jumping: each round every node
+    (1) adopts the minimum label among itself and its neighbors
+    (HashMin hooking), then (2) shortcuts to its label's label
+    (``component ← label(component)``), so reachable-label distance
+    roughly doubles per round and convergence takes **O(log diameter)**
+    rounds — not the O(diameter) of plain propagation that a long
+    duplicate chain would hit at 100 TB (cf. the star algorithms of
+    Kiveris et al., SoCC'14, which achieve the same bound).  Duplicate
+    clusters are near-cliques (1-2 rounds in practice); the loop
+    early-exits when a round changes nothing, and a graph that still
+    hasn't converged after ``max_iter`` rounds raises rather than
+    silently returning wrong labels (raise > warn: a wrong drop-set
+    corrupts the dedup output downstream).  Each round is two
+    shuffle-joins over the edge/label lists; ``localCheckpoint``
+    truncates the growing lineage (on a real cluster use
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()`` for
+    fault-tolerant truncation).  Labels only ever decrease and are
+    bounded by the true component minimum, so shortcutting never
+    changes the fixpoint — only how fast it is reached."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -282,14 +288,27 @@ def connected_components(
     )
     converged = False
     for _ in range(max_iter):
+        # (1) hooking: min over own label and neighbors' labels
         nbr_min = (
             edges.join(labels, edges.src == labels.id)
             .select(F.col("dst").alias("id"), "component")
         )
-        new_labels = (
+        hooked = (
             labels.union(nbr_min)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+        )
+        # (2) pointer jump: component ← component's own label (labels
+        # cover every node, components are node ids ⇒ inner-join-safe
+        # via left join + coalesce for self-rooted labels)
+        jump = hooked.select(
+            F.col("id").alias("component"), F.col("component").alias("_jump")
+        )
+        new_labels = (
+            hooked.join(jump, "component", "left")
+            .select(
+                "id", F.coalesce("_jump", F.col("component")).alias("component")
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -307,7 +326,7 @@ def connected_components(
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
-            "(component diameter exceeds max_iter); raise max_iter"
+            "(log2(component diameter) exceeds max_iter); raise max_iter"
         )
     return labels
 
