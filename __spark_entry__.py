@@ -579,6 +579,153 @@ def q_transcript_pipeline(spark, sf_dir):
     return gapfill(tiers["1h"], "1h", policy="zero")
 
 
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+SPLIT_SEED = 7
+STRAT_RATES = {"en": 0.5, "de": 0.25}
+STRAT_DEFAULT = 0.05
+STRAT_SEED = 11
+PACK_BUDGET = 512
+PACK_SHARDS = 4
+PACK_SEED = 5
+
+#: DuckDB replay of operators.sampling.hash_u60 (60-bit md5 uniform)
+_U60_SQL = "('0x' || substring(md5('{seed}:' || CAST({col} AS VARCHAR)), 1, 15))::BIGINT"
+
+#: token count, byte-identical to functions.text.token_count_ws (cf. the
+#: token_counts oracle)
+_TOK_SQL = (
+    "CASE WHEN text IS NULL OR trim(text) = '' THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+
+
+def q_sample_split(spark, sf_dir):
+    """Deterministic train/val/test split of the documents corpus:
+    60-bit md5 coin vs cumulative literal thresholds — a pure
+    projection (no shuffle, no RNG state), so membership is identical
+    on any cluster/partitioning and the oracle replays it exactly."""
+    from mq_to_db_spark.operators.sampling import assign_split
+
+    return assign_split(
+        _docs(spark, sf_dir), "doc_id", dict(SPLIT_WEIGHTS), seed=SPLIT_SEED
+    ).select("doc_id", "split")
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Per-language Bernoulli sampling (stratified rates as a literal
+    CASE — config, not a rate-table join); exact hash-replay oracle."""
+    from mq_to_db_spark.operators.sampling import sample_stratified
+
+    return sample_stratified(
+        _docs(spark, sf_dir), "doc_id", "lang", dict(STRAT_RATES),
+        default_rate=STRAT_DEFAULT, seed=STRAT_SEED,
+    ).select("doc_id", "lang")
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Next-fit sequence packing of documents into 512-token bins,
+    4 hash shards (operators/packing.py): the sequential pack runs per
+    shard over (id, tokens) pairs only; the oracle walks the same
+    shards with a recursive CTE carrying (fill, bin, pos)."""
+    from mq_to_db_spark.functions.text import token_count_ws
+    from mq_to_db_spark.operators.packing import pack_sequences
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id", token_count_ws("text").alias("n_tokens")
+    )
+    return pack_sequences(
+        toks, "doc_id", "n_tokens", budget=PACK_BUDGET,
+        n_shards=PACK_SHARDS, seed=PACK_SEED,
+    )
+
+
+def q_top_users_1h(spark, sf_dir):
+    """Exact per-hour heavy hitters: events roll into the (hour, user)
+    count tier first (mergeable partial aggs — the rank shuffles tier
+    rows, never raw events), then top-5 by count with deterministic
+    ties (count desc, user asc)."""
+    from mq_to_db_spark.operators.topk import top_k_per_window
+
+    tier = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket_start"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return top_k_per_window(tier, ["bucket_start"], "user_id", "n_events", k=5)
+
+
+def _sample_split_oracle() -> str:
+    from mq_to_db_spark.operators.sampling import _threshold
+
+    u = _U60_SQL.format(seed=SPLIT_SEED, col="doc_id")
+    names = list(SPLIT_WEIGHTS)
+    cum = 0.0
+    branches = []
+    for name in names[:-1]:
+        cum += SPLIT_WEIGHTS[name]
+        # identical float accumulation as assign_split ⇒ identical ints
+        branches.append(f"WHEN u < {_threshold(cum)} THEN '{name}'")
+    return f"""
+        SELECT doc_id,
+               CASE {' '.join(branches)} ELSE '{names[-1]}' END AS split
+        FROM (SELECT doc_id, {u} AS u FROM documents)
+    """
+
+
+def _sample_stratified_oracle() -> str:
+    from mq_to_db_spark.operators.sampling import _threshold
+
+    u = _U60_SQL.format(seed=STRAT_SEED, col="doc_id")
+    branches = " ".join(
+        f"WHEN lang = '{v}' THEN {_threshold(r)}" for v, r in STRAT_RATES.items()
+    )
+    return f"""
+        SELECT doc_id, lang
+        FROM (SELECT doc_id, lang, {u} AS u FROM documents)
+        WHERE u < CASE {branches} ELSE {_threshold(STRAT_DEFAULT)} END
+    """
+
+
+def _pack_sequences_oracle() -> str:
+    u = _U60_SQL.format(seed=PACK_SEED, col="doc_id")
+    return f"""
+        WITH RECURSIVE base AS (
+            SELECT doc_id AS id,
+                   CAST(h % {PACK_SHARDS} AS INTEGER) AS shard,
+                   tok AS doc_tokens,
+                   row_number() OVER (
+                       PARTITION BY h % {PACK_SHARDS} ORDER BY doc_id
+                   ) AS rn
+            FROM (SELECT doc_id, {u} AS h, {_TOK_SQL} AS tok FROM documents)
+        ),
+        pack AS (
+            SELECT shard, rn, id, doc_tokens,
+                   doc_tokens AS fill,
+                   CAST(0 AS BIGINT) AS bin,
+                   0 AS pos
+            FROM base WHERE rn = 1
+            UNION ALL
+            SELECT b.shard, b.rn, b.id, b.doc_tokens,
+                   CASE WHEN p.fill + b.doc_tokens > {PACK_BUDGET}
+                        THEN b.doc_tokens ELSE p.fill + b.doc_tokens END,
+                   CASE WHEN p.fill + b.doc_tokens > {PACK_BUDGET}
+                        THEN p.bin + 1 ELSE p.bin END,
+                   CASE WHEN p.fill + b.doc_tokens > {PACK_BUDGET}
+                        THEN 0 ELSE p.pos + 1 END
+            FROM pack p JOIN base b ON b.shard = p.shard AND b.rn = p.rn + 1
+        )
+        SELECT id, shard, CAST(bin AS BIGINT) AS bin,
+               CAST(pos AS INTEGER) AS pos_in_bin,
+               CAST(doc_tokens AS BIGINT) AS doc_tokens,
+               CAST(sum(doc_tokens) OVER (PARTITION BY shard, bin) AS BIGINT)
+                   AS bin_tokens
+        FROM pack
+    """
+
+
 # --------------------------------------------------------------------------
 
 
@@ -623,6 +770,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_lsh": q_knn_join_lsh,
         "winnow_pairs": q_winnow_pairs,
         "transcript_pipeline": q_transcript_pipeline,
+        "sample_split": q_sample_split,
+        "sample_stratified": q_sample_stratified,
+        "pack_sequences": q_pack_sequences,
+        "top_users_1h": q_top_users_1h,
     }
 
 
@@ -1301,5 +1452,24 @@ def oracle_sql() -> dict[str, str]:
             FROM p2 a JOIN p2 b USING (f)
             WHERE a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 5
+        """,
+        "sample_split": _sample_split_oracle(),
+        "sample_stratified": _sample_stratified_oracle(),
+        "pack_sequences": _pack_sequences_oracle(),
+        "top_users_1h": """
+            WITH tier AS (
+                SELECT date_trunc('hour', ts) AS bucket_start, user_id,
+                       count(*) AS n_events
+                FROM events GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT bucket_start, user_id, n_events,
+                       CAST(row_number() OVER (
+                           PARTITION BY bucket_start
+                           ORDER BY n_events DESC, user_id ASC
+                       ) AS INTEGER) AS rank
+                FROM tier
+            )
+            SELECT * FROM ranked WHERE rank <= 5
         """,
     }

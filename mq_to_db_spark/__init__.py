@@ -55,6 +55,14 @@ _PUBLIC = {
     "run_streaming_pipeline": "mq_to_db_spark.streaming.stream",
     # storage seam (round 3)
     "LocalAtomicStore": "mq_to_db_spark.sources.store",
+    # training-data plane: sampling / packing / heavy hitters (round 3)
+    "sample_bernoulli": "mq_to_db_spark.operators.sampling",
+    "assign_split": "mq_to_db_spark.operators.sampling",
+    "sample_stratified": "mq_to_db_spark.operators.sampling",
+    "hash_u60": "mq_to_db_spark.operators.sampling",
+    "pack_sequences": "mq_to_db_spark.operators.packing",
+    "top_k_per_window": "mq_to_db_spark.operators.topk",
+    "top_tools_hourly": "mq_to_db_spark.operators.topk",
 }
 
 

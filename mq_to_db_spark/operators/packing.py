@@ -1,0 +1,104 @@
+"""Sequence packing: next-fit token-budget bin assignment.
+
+LLM pre-training concatenates documents into fixed-length context
+windows ("packing"); the batch-side question is *which documents share
+a window*.  Packing is inherently sequential — bin state resets when
+the running token sum crosses the budget, which no closed-form window
+expression computes — so the parallel unit must be an explicitly
+bounded shard, not the whole corpus:
+
+  * each document is hashed (the sampling plane's 60-bit coin,
+    :func:`~mq_to_db_spark.operators.sampling.hash_u60`) into one of
+    ``n_shards`` shards — deterministic, partition-independent;
+  * within a shard documents are ordered by id and packed next-fit
+    (greedy: append to the open bin unless it would overflow, then
+    open a new bin; a document alone larger than the budget gets its
+    own oversized bin, flagged downstream by ``doc_tokens > budget``);
+  * shards pack in parallel via ``applyInPandas`` — one shuffle on the
+    shard key, a numpy pass per shard.
+
+At 100 TB, ``n_shards`` is the scale dial: pick shards ≈ several ×
+cluster cores so each shard's (id, tokens) pairs — 16 bytes/doc, not
+the text — fit comfortably in an executor; packing quality is
+unaffected because windows never span shards by construction.  The
+text itself is re-joined by id *after* assignment, so the sequential
+stage moves only 8-byte ids and token counts.
+
+Deterministic end-to-end ⇒ exact ANSI-SQL replay: the driver contract
+reproduces the assignment in DuckDB with a recursive CTE that walks
+each shard in id order carrying (fill, bin).
+
+Reference parity: no counterpart in christiangda/mq-to-db (delivery
+batches are transport framing, not token windows); part of the
+engine's training-data plane.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mq_to_db_spark.operators.sampling import hash_u60
+
+PACK_SCHEMA = (
+    "id long, shard int, bin long, pos_in_bin int, doc_tokens long, bin_tokens long"
+)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    n_shards: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Assign every document a ``(shard, bin)`` packing slot.
+
+    Returns ``(id, shard, bin, pos_in_bin, doc_tokens, bin_tokens)``
+    where ``bin`` is the 0-based next-fit bin within the shard (id
+    order), ``pos_in_bin`` the document's 0-based position inside its
+    bin, and ``bin_tokens`` the bin's total fill (every row of a bin
+    carries the same value — the join-free way to filter under-full or
+    oversized windows downstream).
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+
+    slim = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.pmod(hash_u60(id_col, seed), F.lit(n_shards)).cast("int").alias("shard"),
+        F.coalesce(F.col(tokens_col).cast("long"), F.lit(0)).alias("doc_tokens"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        toks = pdf["doc_tokens"].to_numpy()
+        n = len(toks)
+        bins = [0] * n
+        pos = [0] * n
+        fill = 0
+        b = -1
+        p = 0
+        for i in range(n):
+            t = int(toks[i])
+            if b < 0 or fill + t > budget:
+                b += 1
+                fill = 0
+                p = 0
+            bins[i] = b
+            pos[i] = p
+            fill += t
+            p += 1
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        pdf["pos_in_bin"] = pd.Series(pos, dtype="int32")
+        pdf["bin_tokens"] = pdf.groupby("bin")["doc_tokens"].transform("sum")
+        return pdf[["id", "shard", "bin", "pos_in_bin", "doc_tokens", "bin_tokens"]]
+
+    return (
+        slim.groupBy("shard")
+        .applyInPandas(_pack, schema=PACK_SCHEMA)
+    )

@@ -1,0 +1,131 @@
+"""Deterministic hash-based sampling and dataset splitting.
+
+A training-data pipeline samples and splits corpora constantly
+(hold-outs, ablations, mixture tuning), and at 100 TB the only sane
+mechanism is a *content-addressed* decision: hash a stable id into a
+uniform number and compare against literal thresholds.  No RNG state,
+no shuffle, no driver coordination — the decision is a pure projection
+that Catalyst pushes into the scan, every executor agrees on it, and
+re-running the job (or running it on an overlapping delivery batch)
+yields byte-identical membership.  ``df.sample()`` is unsuitable for
+this: its per-partition RNG makes membership depend on partitioning.
+
+The uniform source is the engine's DuckDB-reproducible 60-bit hash
+(``conv(substring(md5(...),1,15),16,10)``, cf. functions/text
+fingerprints): u ∈ [0, 2^60) with the seed mixed into the hashed
+string, so every (seed, id) pair is an independent draw and the
+contract oracles replay the exact membership in ANSI SQL.
+
+Reference parity: the reference (christiangda/mq-to-db) has no sampling
+plane — consumers forward every delivery (internal/consumer/rmq.go) —
+so these operators extend the engine for its training-data mission
+rather than mirroring a reference behavior.
+
+Scale notes:
+  * all three operators are pure narrow projections/filters — zero
+    shuffles, zero joins; stratified rates are a literal CASE, not a
+    rate-table join (a handful of strata is config, not data);
+  * ``md5`` is JVM codegen (no Python); one hash per row regardless of
+    how many thresholds consume it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: 2^60 — the hash is 15 hex chars = 60 bits, uniform on [0, 2^60)
+HASH_SPACE = 1 << 60
+
+
+def hash_u60(id_col: str | Column, seed: int = 42) -> Column:
+    """60-bit uniform hash of ``seed:id`` — the sampling coin.
+
+    DuckDB replay: ``('0x' || substring(md5(seed || ':' || CAST(id AS
+    VARCHAR)), 1, 15))::BIGINT`` (15 hex chars keep it inside a signed
+    64-bit, cf. the fingerprint oracles in the driver contract).
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    key = F.concat_ws(":", F.lit(str(seed)), c.cast("string"))
+    return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+
+
+def _threshold(rate: float) -> int:
+    """Integer threshold for P(u60 < t) = rate, exact in both engines."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return int(rate * HASH_SPACE)
+
+
+def sample_bernoulli(
+    df: DataFrame, id_col: str, rate: float, seed: int = 42
+) -> DataFrame:
+    """Keep each row independently with probability ``rate``.
+
+    Deterministic in (seed, id): the same ids survive on any cluster,
+    any partitioning, any day.  Pure filter — pushed to the scan.
+    """
+    return df.where(hash_u60(id_col, seed) < F.lit(_threshold(rate)))
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Partition rows into named splits (train/val/test by default).
+
+    ``weights`` maps split name → probability mass; masses must sum to
+    1 (±1e-9).  Each row lands in exactly one split via cumulative
+    thresholds over the same 60-bit coin, so splits are disjoint,
+    exhaustive, and stable under re-runs — the property a train/test
+    split must have for a 100 TB corpus that is re-materialized
+    incrementally (a document never migrates between splits).
+    """
+    if weights is None:
+        weights = {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    u = hash_u60(id_col, seed)
+    expr = None
+    cum = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = u < F.lit(_threshold(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # last split takes the remainder — immune to float edge rounding
+    expr = F.lit(names[-1]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    return df.withColumn(out_col, expr)
+
+
+def sample_stratified(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (e.g. per-language rates).
+
+    ``rates`` maps stratum value → keep probability; strata not listed
+    use ``default_rate``.  The rate table is configuration, not data,
+    so it compiles to a literal CASE on the stratum column — no
+    broadcast join, no shuffle, still one hash per row.
+    """
+    u = hash_u60(id_col, seed)
+    expr = None
+    for value, rate in rates.items():
+        cond = F.col(stratum_col) == F.lit(value)
+        t = F.lit(_threshold(rate))
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    expr = (
+        F.lit(_threshold(default_rate))
+        if expr is None
+        else expr.otherwise(F.lit(_threshold(default_rate)))
+    )
+    return df.where(u < expr)

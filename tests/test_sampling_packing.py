@@ -1,0 +1,184 @@
+"""Sampling / splitting / packing / top-k operator tests.
+
+Covers the training-data plane added in round 3: deterministic
+hash-based sampling (operators/sampling.py), next-fit sequence packing
+(operators/packing.py), and exact per-window heavy hitters
+(operators/topk.py).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mq_to_db_spark.operators.packing import pack_sequences
+from mq_to_db_spark.operators.sampling import (
+    HASH_SPACE,
+    assign_split,
+    hash_u60,
+    sample_bernoulli,
+    sample_stratified,
+)
+from mq_to_db_spark.operators.topk import top_k_per_window, top_tools_hourly
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    langs = ["en", "de", "fr", "es"]
+    rows = [
+        (i, langs[i % 4], (i * 37) % 900 + 5)  # tokens in [5, 904]
+        for i in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long").cache()
+    df.count()
+    return df
+
+
+def test_hash_u60_range_and_determinism(spark, docs):
+    u = docs.select(hash_u60("doc_id", seed=7).alias("u"))
+    lo, hi = u.agg(F.min("u"), F.max("u")).first()
+    assert 0 <= lo and hi < HASH_SPACE
+    a = sorted(r.u for r in u.collect())
+    b = sorted(r.u for r in docs.select(hash_u60("doc_id", seed=7).alias("u")).collect())
+    assert a == b
+    # different seed ⇒ different draws
+    c = sorted(
+        r.u for r in docs.select(hash_u60("doc_id", seed=8).alias("u")).collect()
+    )
+    assert a != c
+
+
+def test_sample_bernoulli_rate_and_stability(spark, docs):
+    kept = sample_bernoulli(docs, "doc_id", rate=0.25, seed=42)
+    n = kept.count()
+    # binomial(4000, 0.25): sd ≈ 27 — allow 5 sd
+    assert abs(n - 1000) < 140
+    ids1 = {r.doc_id for r in kept.select("doc_id").collect()}
+    # repartitioning must not change membership (content-addressed)
+    ids2 = {
+        r.doc_id
+        for r in sample_bernoulli(docs.repartition(13), "doc_id", 0.25, 42)
+        .select("doc_id")
+        .collect()
+    }
+    assert ids1 == ids2
+    # nested property: rate 0.1 ⊂ rate 0.25 at the same seed
+    ids_small = {
+        r.doc_id
+        for r in sample_bernoulli(docs, "doc_id", 0.1, 42).select("doc_id").collect()
+    }
+    assert ids_small <= ids1
+
+
+def test_sample_bernoulli_no_shuffle(spark, docs):
+    plan = sample_bernoulli(docs, "doc_id", 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_assign_split_disjoint_exhaustive(spark, docs):
+    out = assign_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=1)
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 4000  # every row in exactly one split
+    assert abs(counts["train"] - 3200) < 200
+    assert abs(counts["val"] - 400) < 150
+    # stability: a doc never migrates between splits across runs
+    m1 = {(r.doc_id, r.split) for r in out.select("doc_id", "split").collect()}
+    m2 = {
+        (r.doc_id, r.split)
+        for r in assign_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, 1)
+        .select("doc_id", "split")
+        .collect()
+    }
+    assert m1 == m2
+
+
+def test_assign_split_rejects_bad_weights(spark, docs):
+    with pytest.raises(ValueError):
+        assign_split(docs, "doc_id", {"a": 0.5, "b": 0.6})
+
+
+def test_sample_stratified_rates(spark, docs):
+    out = sample_stratified(
+        docs, "doc_id", "lang", {"en": 1.0, "de": 0.5, "fr": 0.0}, default_rate=0.0
+    )
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("en") == 1000  # rate 1.0 keeps all
+    assert "fr" not in counts and "es" not in counts  # 0.0 + default 0.0
+    assert abs(counts.get("de", 0) - 500) < 110
+
+
+def _replay_pack(rows, budget):
+    """Reference next-fit packing per shard, id order."""
+    out = {}
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["id"])):
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        fill, b, p = 0, -1, 0
+        for r in rs:
+            t = r["doc_tokens"]
+            if b < 0 or fill + t > budget:
+                b, fill, p = b + 1, 0, 0
+            out[r["id"]] = (shard, b, p)
+            fill += t
+            p += 1
+    return out
+
+
+def test_pack_sequences_matches_reference_replay(spark, docs):
+    budget = 2048
+    packed = pack_sequences(docs, "doc_id", "n_tokens", budget=budget, n_shards=4)
+    rows = [r.asDict() for r in packed.collect()]
+    assert len(rows) == 4000  # no doc lost or duplicated
+    assert len({r["id"] for r in rows}) == 4000
+    expect = _replay_pack(rows, budget)
+    for r in rows:
+        assert (r["shard"], r["bin"], r["pos_in_bin"]) == expect[r["id"]]
+    # bin_tokens consistent and within budget (no doc here exceeds it)
+    from collections import defaultdict
+
+    fills = defaultdict(int)
+    for r in rows:
+        fills[(r["shard"], r["bin"])] += r["doc_tokens"]
+    for r in rows:
+        assert r["bin_tokens"] == fills[(r["shard"], r["bin"])]
+        assert r["bin_tokens"] <= budget
+
+
+def test_pack_sequences_oversized_doc_gets_own_bin(spark):
+    df = spark.createDataFrame(
+        [(1, 100), (2, 5000), (3, 200)], "doc_id long, n_tokens long"
+    )
+    rows = {r.id: r for r in pack_sequences(df, "doc_id", "n_tokens", 1024, n_shards=1).collect()}
+    big = rows[2]
+    assert big.bin_tokens == 5000  # oversized doc alone in its bin
+    assert rows[1].bin != big.bin and rows[3].bin != big.bin
+    assert big.pos_in_bin == 0
+
+
+def test_top_k_per_window_ties_and_rank(spark):
+    tier = spark.createDataFrame(
+        [
+            ("h1", "a", 10),
+            ("h1", "b", 10),
+            ("h1", "c", 5),
+            ("h2", "z", 1),
+        ],
+        "bucket string, tool string, n long",
+    )
+    out = top_k_per_window(tier, ["bucket"], "tool", "n", k=2)
+    got = {(r.bucket, r.tool): r.rank for r in out.collect()}
+    # tie at 10 breaks by key asc: a before b; c excluded by k=2
+    assert got == {("h1", "a"): 1, ("h1", "b"): 2, ("h2", "z"): 1}
+
+
+def test_top_tools_hourly(spark, transcripts):
+    out = top_tools_hourly(transcripts, k=3)
+    pdf = out.toPandas()
+    assert (pdf["rank"] <= 3).all()
+    assert (pdf.groupby("bucket_start")["rank"].min() == 1).all()
+    # per bucket, n_calls non-increasing with rank
+    for _, g in pdf.groupby("bucket_start"):
+        g = g.sort_values("rank")
+        assert (g["n_calls"].diff().dropna() <= 0).all()
