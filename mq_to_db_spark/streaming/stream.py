@@ -131,6 +131,7 @@ def run_streaming_pipeline(
     pipeline,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    finalize_every_n_batches: int | None = None,
 ):
     """The reference's full ingest loop in streaming form: each
     micro-batch of delivered turns runs the COMPLETE RollupPipeline batch
@@ -146,12 +147,29 @@ def run_streaming_pipeline(
 
     Effectively-once end to end: streaming-source checkpoint (which files
     were delivered) × batch-scoped unit acks (which work was committed).
+
+    ``finalize_every_n_batches=N`` bounds append-mode read amplification
+    while the stream flows: after every Nth micro-batch the pipeline's
+    :meth:`finalize` collapses all accumulated per-batch partials to one
+    row per (bucket, series) in a single atomic ``overwrite_all``
+    snapshot per tier table.  Purely an optimization of the read path —
+    ``read_rollup``'s merge is exact with or without it — so a crash
+    between batch-commit and finalize changes nothing (the next Nth
+    batch finalizes the backlog), and a replayed batch that skips all
+    its units still re-finalizes idempotently.  The cadence trades
+    rewrite cost (tier-sized, never raw) against scan-only reads between
+    appends.
     """
 
     def _batch(df, batch_id):
         pipeline.run(
             df.sparkSession, df, batch_id=f"stream-{int(batch_id):06d}", mode="append"
         )
+        if (
+            finalize_every_n_batches
+            and (int(batch_id) + 1) % finalize_every_n_batches == 0
+        ):
+            pipeline.finalize(df.sparkSession)
 
     return run_stream_foreach_batch(
         spark, input_path, checkpoint_path, _batch, available_now,

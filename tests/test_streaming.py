@@ -205,3 +205,50 @@ def test_streaming_pipeline_append_mode_effectively_once(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got2.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_streaming_pipeline_periodic_finalize(spark, tmp_path):
+    """finalize_every_n_batches collapses partials inline with the
+    stream: after the 2nd micro-batch triggers finalize, read_rollup is
+    a plain scan (no Aggregate node) and still equals the batch-mode
+    oracle exactly."""
+    import pandas as pd
+
+    from mq_to_db_spark.config import EngineConfig
+    from mq_to_db_spark.fixtures.generator import (
+        TRANSCRIPT_SCHEMA,
+        generate_transcripts_pdf,
+    )
+    from mq_to_db_spark.plans.pipeline import RollupPipeline
+    from mq_to_db_spark.streaming.stream import run_streaming_pipeline
+
+    pdf = generate_transcripts_pdf(2400, seed=33)
+    half = len(pdf) // 2
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    pdf.iloc[:half].to_parquet(in_dir / "part-0.parquet", index=False)
+    pdf.iloc[half:].to_parquet(in_dir / "part-1.parquet", index=False)
+
+    pipe = RollupPipeline(
+        str(tmp_path / "wh"), EngineConfig(conv_buckets=4, shuffle_partitions=4)
+    )
+    q = run_streaming_pipeline(
+        spark, str(in_dir), str(tmp_path / "ckpt"), pipe,
+        available_now=True, max_files_per_trigger=1,
+        finalize_every_n_batches=2,
+    )
+    q.awaitTermination(120)
+
+    got_df = pipe.read_rollup(spark, "global", "1h")
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "Aggregate" not in plan, plan  # finalized → scan-only read
+
+    pipe2 = RollupPipeline(
+        str(tmp_path / "wh2"), EngineConfig(conv_buckets=4, shuffle_partitions=4)
+    )
+    pipe2.run(spark, spark.createDataFrame(pdf, schema=TRANSCRIPT_SCHEMA), batch_id="oracle")
+    want = pipe2.read_rollup(spark, "global", "1h").orderBy("bucket_start").toPandas()
+    got = got_df.orderBy("bucket_start").toPandas()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
