@@ -657,6 +657,74 @@ def q_top_users_1h(spark, sf_dir):
     return top_k_per_window(tier, ["bucket_start"], "user_id", "n_events", k=5)
 
 
+EXPORT_SEED = 13          # split coin for the training-export capstone
+EXPORT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+EXPORT_PACK_SEED = 17
+EXPORT_BUDGET = 256
+EXPORT_SHARDS = 2
+
+
+def q_training_export(spark, sf_dir):
+    """End-to-end training-export capstone: quality-filter → exact dedup
+    (md5 fingerprint, min-id representative) → deterministic train split
+    → next-fit packing into 256-token windows.  Every stage is
+    content-addressed, so the full five-stage DAG replays bit-exactly in
+    SQL (the oracle chains the curation CTEs, the split threshold, and
+    the recursive packing walk).  One narrow pipeline end to end except
+    the dedup groupBy and the pack's shard exchange."""
+    from mq_to_db_spark.functions.text import (
+        fingerprint_md5,
+        quality_features,
+        token_count_ws,
+    )
+    from mq_to_db_spark.operators.packing import pack_sequences
+    from mq_to_db_spark.operators.sampling import assign_split
+
+    d = _docs(spark, sf_dir)
+    f = quality_features("text")
+    kept = d.filter((f["q_len"] >= 30) & (f["q_punct_ratio"] <= 0.2))
+    deduped = (
+        kept.withColumn("fp", fingerprint_md5("text"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"), F.min_by("text", "doc_id").alias("text"))
+    )
+    train = assign_split(
+        deduped, "doc_id", dict(EXPORT_WEIGHTS), seed=EXPORT_SEED
+    ).where(F.col("split") == "train")
+    toks = train.select("doc_id", token_count_ws("text").alias("n_tokens"))
+    return pack_sequences(
+        toks, "doc_id", "n_tokens", budget=EXPORT_BUDGET,
+        n_shards=EXPORT_SHARDS, seed=EXPORT_PACK_SEED,
+    )
+
+
+def _training_export_oracle() -> str:
+    from mq_to_db_spark.operators.sampling import _threshold
+
+    u_split = _U60_SQL.format(seed=EXPORT_SEED, col="doc_id")
+    t_train = _threshold(EXPORT_WEIGHTS["train"])
+    return f"""
+        WITH RECURSIVE kept AS (
+            SELECT doc_id, text
+            FROM documents
+            WHERE coalesce(length(text), 0) >= 30
+              AND len(regexp_extract_all(text, '[^\\w\\s]'))
+                  / greatest(coalesce(length(text), 0), 1) <= 0.2
+        ),
+        deduped AS (
+            SELECT md5({_NORM_SQL}) AS fp,
+                   min(doc_id) AS doc_id,
+                   arg_min(text, doc_id) AS text
+            FROM kept GROUP BY 1
+        ),
+        train AS (
+            SELECT doc_id, text FROM deduped
+            WHERE {u_split} < {t_train}
+        ),
+        {_pack_cte_sql("train", EXPORT_PACK_SEED, EXPORT_SHARDS, EXPORT_BUDGET)}
+    """
+
+
 def _sample_split_oracle() -> str:
     from mq_to_db_spark.operators.sampling import _threshold
 
@@ -689,17 +757,21 @@ def _sample_stratified_oracle() -> str:
     """
 
 
-def _pack_sequences_oracle() -> str:
-    u = _U60_SQL.format(seed=PACK_SEED, col="doc_id")
-    return f"""
-        WITH RECURSIVE base AS (
+def _pack_cte_sql(source: str, seed: int, n_shards: int, budget: int) -> str:
+    """Shared recursive-CTE replay of operators.packing.pack_sequences
+    over a relation ``source`` with columns (doc_id, text): hash-shard,
+    walk each shard in id order carrying (fill, bin, pos).  The caller
+    embeds this after a ``WITH RECURSIVE`` prefix defining ``source``
+    (or uses the base table directly)."""
+    u = _U60_SQL.format(seed=seed, col="doc_id")
+    return f"""base AS (
             SELECT doc_id AS id,
-                   CAST(h % {PACK_SHARDS} AS INTEGER) AS shard,
+                   CAST(h % {n_shards} AS INTEGER) AS shard,
                    tok AS doc_tokens,
                    row_number() OVER (
-                       PARTITION BY h % {PACK_SHARDS} ORDER BY doc_id
+                       PARTITION BY h % {n_shards} ORDER BY doc_id
                    ) AS rn
-            FROM (SELECT doc_id, {u} AS h, {_TOK_SQL} AS tok FROM documents)
+            FROM (SELECT doc_id, {u} AS h, {_TOK_SQL} AS tok FROM {source})
         ),
         pack AS (
             SELECT shard, rn, id, doc_tokens,
@@ -709,11 +781,11 @@ def _pack_sequences_oracle() -> str:
             FROM base WHERE rn = 1
             UNION ALL
             SELECT b.shard, b.rn, b.id, b.doc_tokens,
-                   CASE WHEN p.fill + b.doc_tokens > {PACK_BUDGET}
+                   CASE WHEN p.fill + b.doc_tokens > {budget}
                         THEN b.doc_tokens ELSE p.fill + b.doc_tokens END,
-                   CASE WHEN p.fill + b.doc_tokens > {PACK_BUDGET}
+                   CASE WHEN p.fill + b.doc_tokens > {budget}
                         THEN p.bin + 1 ELSE p.bin END,
-                   CASE WHEN p.fill + b.doc_tokens > {PACK_BUDGET}
+                   CASE WHEN p.fill + b.doc_tokens > {budget}
                         THEN 0 ELSE p.pos + 1 END
             FROM pack p JOIN base b ON b.shard = p.shard AND b.rn = p.rn + 1
         )
@@ -722,8 +794,13 @@ def _pack_sequences_oracle() -> str:
                CAST(doc_tokens AS BIGINT) AS doc_tokens,
                CAST(sum(doc_tokens) OVER (PARTITION BY shard, bin) AS BIGINT)
                    AS bin_tokens
-        FROM pack
-    """
+        FROM pack"""
+
+
+def _pack_sequences_oracle() -> str:
+    return "WITH RECURSIVE " + _pack_cte_sql(
+        "documents", PACK_SEED, PACK_SHARDS, PACK_BUDGET
+    )
 
 
 # --------------------------------------------------------------------------
@@ -774,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "pack_sequences": q_pack_sequences,
         "top_users_1h": q_top_users_1h,
+        "training_export": q_training_export,
     }
 
 
@@ -1453,6 +1531,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 5
         """,
+        "training_export": _training_export_oracle(),
         "sample_split": _sample_split_oracle(),
         "sample_stratified": _sample_stratified_oracle(),
         "pack_sequences": _pack_sequences_oracle(),

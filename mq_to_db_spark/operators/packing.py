@@ -46,6 +46,31 @@ PACK_SCHEMA = (
 )
 
 
+def next_fit_assign(tokens, budget: int) -> tuple[list[int], list[int]]:
+    """Pure next-fit core: token counts (in final order) → parallel
+    lists ``(bin, pos_in_bin)``.  Greedy: append to the open bin unless
+    it would overflow, then open a new one; a document alone larger
+    than the budget gets its own oversized bin.  Separated out so the
+    sequential invariants are property-testable without a Spark job."""
+    n = len(tokens)
+    bins = [0] * n
+    pos = [0] * n
+    fill = 0
+    b = -1
+    p = 0
+    for i in range(n):
+        t = int(tokens[i])
+        if b < 0 or fill + t > budget:
+            b += 1
+            fill = 0
+            p = 0
+        bins[i] = b
+        pos[i] = p
+        fill += t
+        p += 1
+    return bins, pos
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
@@ -76,23 +101,7 @@ def pack_sequences(
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
-        toks = pdf["doc_tokens"].to_numpy()
-        n = len(toks)
-        bins = [0] * n
-        pos = [0] * n
-        fill = 0
-        b = -1
-        p = 0
-        for i in range(n):
-            t = int(toks[i])
-            if b < 0 or fill + t > budget:
-                b += 1
-                fill = 0
-                p = 0
-            bins[i] = b
-            pos[i] = p
-            fill += t
-            p += 1
+        bins, pos = next_fit_assign(pdf["doc_tokens"].to_numpy(), budget)
         pdf["bin"] = pd.Series(bins, dtype="int64")
         pdf["pos_in_bin"] = pd.Series(pos, dtype="int32")
         pdf["bin_tokens"] = pdf.groupby("bin")["doc_tokens"].transform("sum")

@@ -182,3 +182,66 @@ def test_top_tools_hourly(spark, transcripts):
     for _, g in pdf.groupby("bucket_start"):
         g = g.sort_values("rank")
         assert (g["n_calls"].diff().dropna() <= 0).all()
+
+
+# ---------------------------------------------------------------------------
+# property tests (pure cores — no Spark job per example)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mq_to_db_spark.operators.packing import next_fit_assign
+from mq_to_db_spark.operators.sampling import _threshold
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    tokens=st.lists(st.integers(min_value=0, max_value=5000), max_size=200),
+    budget=st.integers(min_value=1, max_value=4096),
+)
+def test_next_fit_invariants(tokens, budget):
+    bins, pos = next_fit_assign(tokens, budget)
+    assert len(bins) == len(pos) == len(tokens)
+    if not tokens:
+        return
+    # bins are 0-based, consecutive, non-decreasing
+    assert bins[0] == 0 and pos[0] == 0
+    for i in range(1, len(tokens)):
+        assert bins[i] - bins[i - 1] in (0, 1)
+        assert pos[i] == (pos[i - 1] + 1 if bins[i] == bins[i - 1] else 0)
+    # every bin within budget unless it is a single oversized doc;
+    # and next-fit tightness: a new bin only opens when the doc would
+    # NOT have fit in the previous bin's remaining space
+    fills = {}
+    for t, b in zip(tokens, bins):
+        fills[b] = fills.get(b, 0) + t
+    counts = {}
+    for b in bins:
+        counts[b] = counts.get(b, 0) + 1
+    for b, f in fills.items():
+        assert f <= budget or counts[b] == 1
+    for i in range(1, len(tokens)):
+        if bins[i] != bins[i - 1]:
+            assert fills[bins[i - 1]] + tokens[i] > budget
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False), min_size=1, max_size=6
+    ).filter(lambda ws: sum(ws) > 0)
+)
+def test_cumulative_thresholds_monotone_and_bounded(ws):
+    total = sum(ws)
+    ws = [w / total for w in ws]  # normalize to a valid weight vector
+    cum = 0.0
+    prev = 0
+    for w in ws:
+        cum += w
+        t = _threshold(min(cum, 1.0))
+        assert prev <= t <= (1 << 60)
+        prev = t
+    # rate edges: 0 keeps nothing (u >= 0 always), 1 keeps everything
+    assert _threshold(0.0) == 0
+    assert _threshold(1.0) == 1 << 60
