@@ -61,6 +61,7 @@ _PUBLIC = {
     "sample_stratified": "mq_to_db_spark.operators.sampling",
     "hash_u60": "mq_to_db_spark.operators.sampling",
     "pack_sequences": "mq_to_db_spark.operators.packing",
+    "write_training_shards": "mq_to_db_spark.operators.packing",
     "top_k_per_window": "mq_to_db_spark.operators.topk",
     "top_tools_hourly": "mq_to_db_spark.operators.topk",
 }

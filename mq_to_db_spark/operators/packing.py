@@ -111,3 +111,38 @@ def pack_sequences(
         slim.groupBy("shard")
         .applyInPandas(_pack, schema=PACK_SCHEMA)
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    seed: int = 42,
+) -> None:
+    """Deterministic sharded export — the training pipeline's last mile.
+
+    Rows land in ``path/shard=K/`` with ``K = hash(id) % n_shards`` and
+    are laid out *within* each shard in ascending hash order: a
+    content-addressed global shuffle, so the training order is fully
+    randomized w.r.t. any data attribute yet byte-reproducible across
+    re-runs and clusters (unlike ``df.orderBy(rand())``).  Each shard
+    value hashes to exactly one task under ``repartition(n_shards,
+    shard)``, so every shard directory is written by a single task as
+    one contiguous sorted run — no cross-file order ambiguity.
+
+    At 100 TB pick ``n_shards`` for the target file size (total bytes /
+    ~512 MB); the exchange moves each row once, and the per-task sort
+    spills via Spark's external sorter if a shard exceeds memory.
+    """
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    h = hash_u60(id_col, seed)
+    out = (
+        df.withColumn("shard", F.pmod(h, F.lit(n_shards)).cast("int"))
+        .withColumn("_ord", h)
+        .repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "_ord")
+        .drop("_ord")
+    )
+    out.write.partitionBy("shard").mode("overwrite").parquet(path)

@@ -47,6 +47,10 @@ def hash_u60(id_col: str | Column, seed: int = 42) -> Column:
     """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     key = F.concat_ws(":", F.lit(str(seed)), c.cast("string"))
+    # NULL ids all hash the key "seed:" (concat_ws skips nulls) and so
+    # sample/split together — ids are expected non-null (validate
+    # upstream); kept total rather than null-propagating so a split
+    # stays exhaustive even on dirty input.
     return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
 
 

@@ -245,3 +245,54 @@ def test_cumulative_thresholds_monotone_and_bounded(ws):
     # rate edges: 0 keeps nothing (u >= 0 always), 1 keeps everything
     assert _threshold(0.0) == 0
     assert _threshold(1.0) == 1 << 60
+
+
+def test_top_k_rank_pushdown_in_plan(spark, docs):
+    """The physical plan must apply WindowGroupLimit BELOW the window
+    exchange (partial top-k per map task), so at scale only ~k rows per
+    window per input partition cross the wire — the plan shape the
+    tier-ranking design relies on."""
+    tier = docs.select("lang", "doc_id", "n_tokens")
+    out = top_k_per_window(tier, ["lang"], "doc_id", "n_tokens", k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan, plan  # map-side partial top-k present
+
+
+def test_write_training_shards_deterministic_layout(spark, docs, tmp_path):
+    """Sharded export: membership = hash % n_shards, within-shard order
+    = ascending hash (reproducible training order), nothing lost, and a
+    second write yields identical content."""
+    import glob
+
+    from mq_to_db_spark.operators.packing import write_training_shards
+
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(docs, p1, "doc_id", n_shards=4, seed=3)
+    write_training_shards(docs, p2, "doc_id", n_shards=4, seed=3)
+
+    back = spark.read.parquet(p1)
+    assert back.count() == 4000
+    # membership: shard == hash % 4 for every row
+    bad = back.withColumn(
+        "expect", F.pmod(hash_u60("doc_id", 3), F.lit(4)).cast("int")
+    ).where(F.col("shard") != F.col("expect")).count()
+    assert bad == 0
+    # one file per shard dir; file row-order ascending by hash
+    for k in range(4):
+        files = glob.glob(f"{p1}/shard={k}/*.parquet")
+        assert len(files) == 1, files
+        pdf = spark.read.parquet(files[0]).toPandas()
+        import pandas as pd
+
+        hs = [
+            r.u
+            for r in spark.createDataFrame(pdf[["doc_id"]])
+            .select(hash_u60("doc_id", 3).alias("u"))
+            .collect()
+        ]
+        assert hs == sorted(hs)
+    # reproducible: same rows in the same shards both times
+    a = spark.read.parquet(p1).orderBy("doc_id").toPandas()
+    b = spark.read.parquet(p2).orderBy("doc_id").toPandas()
+    assert a.equals(b)
