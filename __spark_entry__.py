@@ -698,6 +698,93 @@ def q_training_export(spark, sf_dir):
     )
 
 
+def q_repetition_features(spark, sf_dir):
+    """Gopher/MassiveText repetition-filter signals per document:
+    duplicate-line / duplicate-word fractions plus bullet- and
+    ellipsis-line shares (functions/text.py with_repetition_features).
+    Pure narrow projection — the line/word arrays materialize once, all
+    five ratios are array expressions over them; no shuffle, no UDF."""
+    from mq_to_db_spark.functions.text import REPETITION_COLS, with_repetition_features
+
+    return with_repetition_features(_docs(spark, sf_dir), "text").select(
+        "doc_id", *REPETITION_COLS
+    )
+
+
+def q_chunk_spans(spark, sf_dir):
+    """Sliding context-window chunking (operators/packing.py
+    chunk_spans): overlapping (window=32, stride=24) token spans per
+    document — the long-doc half of the packing story.  sequence +
+    posexplode, whole-stage codegen, zero shuffle."""
+    from mq_to_db_spark.functions.text import token_count_ws
+    from mq_to_db_spark.operators.packing import chunk_spans
+
+    docs = _docs(spark, sf_dir).withColumn("n_tok", token_count_ws("text"))
+    return chunk_spans(docs, "doc_id", "n_tok", window=32, stride=24).select(
+        "doc_id",
+        "chunk_idx",
+        F.col("start").alias("chunk_start"),
+        F.col("end").alias("chunk_end"),
+        "chunk_len",
+    )
+
+
+def q_counter_increase(spark, sf_dir):
+    """Prometheus-semantics reset-aware counter increase/rate per 1h
+    bucket (operators/counters.py): a sample below its predecessor means
+    the counter restarted, so the sample's whole value contributes —
+    the engine-side analogue of the dashboard's increase()/rate() over
+    the reference's monotonic counters.  Values are floor-scaled to
+    integer micro-units first so the lag/sum replay is bit-exact across
+    engines.  Keyed path: ONE exchange (the lag window hash-partitions
+    on event_type; the bucket agg reuses that partitioning)."""
+    from mq_to_db_spark.operators.counters import counter_increase
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1e6).cast("long").alias("v"),
+    )
+    return counter_increase(
+        ev, ["event_type"], ts_col="ts", value_col="v", tier="1h",
+        tiebreak=("event_id",),
+    )
+
+
+def q_downsample_ohlc(spark, sf_dir):
+    """OHLC downsample per (event_type, 1h) — the Grafana panel-
+    resolution read path as a first-class operator (operators/
+    downsample.py): open/close via min_by/max_by on (ts, event_id)
+    inside the same single hash aggregation as high/low/count/sum.
+    One exchange, no window sort, fully re-aggregable outputs."""
+    from mq_to_db_spark.operators.downsample import downsample_ohlc
+
+    return downsample_ohlc(
+        _events(spark, sf_dir), ["event_type"], ts_col="ts",
+        value_col="value", tier="1h", tiebreak=("event_id",),
+    )
+
+
+def q_contamination(spark, sf_dir):
+    """Train/eval decontamination hits (operators/contamination.py):
+    docs sharing ≥1 distinct word 5-gram with the eval slice
+    (doc_id % 10 == 0).  The eval n-gram set is a DISTINCT int64-hash
+    set, broadcast; the corpus probe is a broadcast LEFT SEMI join, so
+    corpus rows never shuffle.  The oracle replays the same n-grams as
+    strings (hash-join ≡ string-join up to xxhash64 collisions)."""
+    from mq_to_db_spark.operators.contamination import contamination_hits
+
+    docs = _docs(spark, sf_dir)
+    return contamination_hits(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        id_col="doc_id",
+        text_col="text",
+        n=5,
+    )
+
+
 def _training_export_oracle() -> str:
     from mq_to_db_spark.operators.sampling import _threshold
 
@@ -852,6 +939,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "top_users_1h": q_top_users_1h,
         "training_export": q_training_export,
+        "repetition_features": q_repetition_features,
+        "chunk_spans": q_chunk_spans,
+        "counter_increase": q_counter_increase,
+        "downsample_ohlc": q_downsample_ohlc,
+        "contamination": q_contamination,
     }
 
 
@@ -1550,5 +1642,128 @@ def oracle_sql() -> dict[str, str]:
                 FROM tier
             )
             SELECT * FROM ranked WHERE rank <= 5
+        """,
+        # repetition: line array = split on \n, trim, drop empties; word
+        # array = split on \s+, drop empties (leading separators produce
+        # '' tokens; DuckDB/Java trim both strip spaces only)
+        "repetition_features": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       list_filter(list_transform(
+                           string_split(coalesce(text, ''), chr(10)),
+                           x -> trim(x)), x -> x <> '') AS l,
+                       list_filter(
+                           string_split_regex(coalesce(text, ''), '\s+'),
+                           x -> x <> '') AS w
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(l) AS INTEGER) AS r_lines,
+                   round((len(l) - len(list_distinct(l)))
+                         / greatest(len(l), 1), 6) AS r_dup_line_ratio,
+                   round((len(w) - len(list_distinct(w)))
+                         / greatest(len(w), 1), 6) AS r_dup_word_ratio,
+                   round(len(list_filter(l, x -> regexp_matches(x, '^[-*•]')))
+                         / greatest(len(l), 1), 6) AS r_bullet_line_ratio,
+                   round(len(list_filter(l, x -> regexp_matches(x, '(\.\.\.|…)$')))
+                         / greatest(len(l), 1), 6) AS r_ellipsis_line_ratio
+            FROM base
+        """,
+        "chunk_spans": f"""
+            WITH t AS (
+                SELECT doc_id, CAST({_TOK_SQL} AS BIGINT) AS tok FROM documents
+            ),
+            s AS (
+                SELECT doc_id, tok, unnest(range(0, tok, 24)) AS cs
+                FROM t WHERE tok > 0
+            )
+            SELECT doc_id,
+                   CAST(cs // 24 AS INTEGER) AS chunk_idx,
+                   cs AS chunk_start,
+                   least(cs + 32, tok) AS chunk_end,
+                   least(cs + 32, tok) - cs AS chunk_len
+            FROM s
+        """,
+        # counters: identical lag replay over integer micro-units — the
+        # reset rule (v < prev → contribute v) is Prometheus increase()
+        "counter_increase": """
+            WITH s AS (
+                SELECT event_type, ts, event_id,
+                       CAST(floor(value * 1000000.0) AS BIGINT) AS v
+                FROM events
+            ),
+            lagged AS (
+                SELECT event_type, date_trunc('hour', ts) AS bucket_start, v,
+                       lag(v) OVER (
+                           PARTITION BY event_type ORDER BY ts, event_id
+                       ) AS pv
+                FROM s
+            ),
+            agg AS (
+                SELECT event_type, bucket_start,
+                       CAST(sum(CASE WHEN pv IS NULL THEN 0
+                                     WHEN v >= pv THEN v - pv
+                                     ELSE v END) AS BIGINT) AS increase,
+                       CAST(count(*) AS BIGINT) AS n_samples
+                FROM lagged GROUP BY 1, 2
+            )
+            SELECT event_type, bucket_start, increase, n_samples,
+                   round(increase / 3600, 6) AS rate_per_sec
+            FROM agg
+        """,
+        # OHLC: open/close via first/last value in (ts, event_id) order
+        # (DuckDB arg_min can't take a struct key → window + group-by)
+        "downsample_ohlc": """
+            WITH b AS (
+                SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+                       ts, event_id, value
+                FROM events
+            ),
+            w AS (
+                SELECT event_type, bucket_start, value,
+                       first_value(value) OVER (
+                           PARTITION BY event_type, bucket_start
+                           ORDER BY ts, event_id) AS o,
+                       last_value(value) OVER (
+                           PARTITION BY event_type, bucket_start
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND UNBOUNDED FOLLOWING) AS c
+                FROM b
+            )
+            SELECT event_type, bucket_start,
+                   min(o) AS open, max(value) AS high, min(value) AS low,
+                   min(c) AS close, CAST(count(*) AS BIGINT) AS n_samples,
+                   round(sum(value), 6) AS value_sum
+            FROM w GROUP BY 1, 2
+        """,
+        # contamination: string n-grams replay the int64-hash semi join
+        # exactly (same normalization + sub-n whole-text clamp as the
+        # minhash oracles; word counts differ ⇒ strings differ, so the
+        # clamp never collides with a regular 5-gram)
+        "contamination": f"""
+            WITH norm AS (
+                SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
+                FROM documents WHERE text IS NOT NULL
+            ),
+            sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(words) < 5 THEN [array_to_string(words, ' ')]
+                            ELSE list_distinct([array_to_string(words[i:i+4], ' ')
+                                  for i in range(1, len(words) - 3)])
+                       END AS ngs
+                FROM norm
+            ),
+            ev AS (
+                SELECT DISTINCT ng FROM (
+                    SELECT unnest(ngs) AS ng FROM sh WHERE doc_id % 10 = 0
+                )
+            ),
+            co AS (
+                SELECT doc_id, unnest(ngs) AS ng FROM sh WHERE doc_id % 10 <> 0
+            )
+            SELECT co.doc_id AS id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM co SEMI JOIN ev ON co.ng = ev.ng
+            GROUP BY 1
         """,
     }

@@ -64,6 +64,14 @@ _PUBLIC = {
     "write_training_shards": "mq_to_db_spark.operators.packing",
     "top_k_per_window": "mq_to_db_spark.operators.topk",
     "top_tools_hourly": "mq_to_db_spark.operators.topk",
+    # counters / downsampling / chunking / decontamination (round 3)
+    "counter_increase": "mq_to_db_spark.operators.counters",
+    "counter_rate": "mq_to_db_spark.operators.counters",
+    "downsample_ohlc": "mq_to_db_spark.operators.downsample",
+    "chunk_spans": "mq_to_db_spark.operators.packing",
+    "contamination_hits": "mq_to_db_spark.operators.contamination",
+    "decontaminate": "mq_to_db_spark.operators.contamination",
+    "with_repetition_features": "mq_to_db_spark.functions.text",
 }
 
 

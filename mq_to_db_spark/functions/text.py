@@ -124,6 +124,64 @@ def quality_score(col) -> Column:
     ).alias("quality_score")
 
 
+# -- repetition / boilerplate signals (Gopher-style filters) ------------------
+
+
+#: output columns of with_repetition_features, in order
+REPETITION_COLS = (
+    "r_lines",
+    "r_dup_line_ratio",
+    "r_dup_word_ratio",
+    "r_bullet_line_ratio",
+    "r_ellipsis_line_ratio",
+)
+
+
+def with_repetition_features(df, text_col: str):
+    """Append within-document repetition / boilerplate signals (the
+    Gopher/MassiveText repetition-filter family): duplicate-line and
+    duplicate-word fractions plus bullet / ellipsis line shares.
+
+    Narrow projection — no explode, no shuffle, no UDF: the line and
+    word arrays are each materialized ONCE (two ``withColumn`` stages,
+    so the split/trim chains are not re-evaluated per feature — CASE
+    branches defeat codegen subexpression elimination otherwise) and the
+    five features are cheap array expressions over them.  The array
+    higher-order functions (``filter``) run interpreted, but on the
+    already-split arrays — one pass per doc.  Ratios round to 6 decimals
+    for cross-engine replay stability.
+
+    Empty/NULL docs yield 0 lines and 0.0 for every ratio.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))  # NULL → '' (size(NULL) is -1)
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    # split on runs of whitespace, then drop empty tokens: leading /
+    # trailing separators produce '' entries, and Spark's trim() strips
+    # only spaces (not \n), so whitespace-only docs would otherwise
+    # yield phantom words
+    words = F.filter(F.split(c, r"\s+"), lambda x: x != "")
+    out = df.withColumn("_rl", lines).withColumn("_rw", words)
+    n_lines = F.size("_rl")
+    n_words = F.size("_rw")
+    safe_lines = F.greatest(n_lines, F.lit(1)).cast("double")
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+    dup_lines = (n_lines - F.size(F.array_distinct("_rl"))).cast("double")
+    dup_words = (n_words - F.size(F.array_distinct("_rw"))).cast("double")
+    bullet = F.size(F.filter("_rl", lambda x: x.rlike(r"^[-*•]"))).cast("double")
+    ellip = F.size(F.filter("_rl", lambda x: x.rlike(r"(\.\.\.|…)$"))).cast("double")
+    empty = c.isNull() | (F.trim(c) == "")
+    return (
+        out.withColumn("r_lines", F.when(empty, F.lit(0)).otherwise(n_lines))
+        .withColumn("r_dup_line_ratio", F.round(dup_lines / safe_lines, 6))
+        .withColumn("r_dup_word_ratio", F.round(dup_words / safe_words, 6))
+        .withColumn("r_bullet_line_ratio", F.round(bullet / safe_lines, 6))
+        .withColumn("r_ellipsis_line_ratio", F.round(ellip / safe_lines, 6))
+        .drop("_rl", "_rw")
+    )
+
+
 # -- fingerprinting -----------------------------------------------------------
 
 

@@ -146,3 +146,46 @@ def write_training_shards(
         .drop("_ord")
     )
     out.write.partitionBy("shard").mode("overwrite").parquet(path)
+
+
+def chunk_spans(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    window: int,
+    stride: int | None = None,
+) -> DataFrame:
+    """Sliding context-window spans per document: one output row per
+    chunk with ``(id, chunk_idx, start, end, chunk_len)``, where chunks
+    start every ``stride`` tokens (default: ``window``, i.e. disjoint)
+    and the last chunk clamps to the document end.
+
+    The other half of the packing story: packing concatenates *short*
+    docs into one window; chunking slices *long* docs across windows
+    (overlapping when ``stride < window`` so no span of ``window -
+    stride`` tokens is ever split across chunk boundaries unseen).
+
+    Pure narrow op: ``sequence(0, n-1, stride)`` + ``explode`` — the
+    span arithmetic is whole-stage codegen, there is no shuffle, and
+    the expansion factor is bounded by ``ceil(n_tokens / stride)``.
+    Zero-token docs produce no chunks.
+    """
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    stride = window if stride is None else stride
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
+    n = F.col(n_tokens_col).cast("long")
+    starts = F.sequence(F.lit(0).cast("long"), n - 1, F.lit(stride).cast("long"))
+    out = (
+        df.filter(n > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(starts).alias("chunk_idx", "start"),
+            n.alias("_n"),
+        )
+        .withColumn("end", F.least(F.col("start") + window, F.col("_n")))
+        .withColumn("chunk_len", F.col("end") - F.col("start"))
+        .drop("_n")
+    )
+    return out

@@ -22,6 +22,20 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def numeric_order_col(df: DataFrame, order_col: str) -> Column:
+    """``order_col`` as a monotonic DOUBLE suitable for ``width_bucket``
+    ranging.  Temporal columns go through an epoch cast — a plain
+    ``.cast('double')`` raises on TIMESTAMP_NTZ (the type parquet
+    timestamps read back as), and DATE can't cast to double at all.
+    NTZ→LTZ interprets in the session timezone (UTC), which is monotonic
+    and deterministic — all this is used for is range bucketing."""
+    dt = dict(df.dtypes).get(order_col, "")
+    c = F.col(order_col)
+    if dt.startswith("timestamp") or dt == "date":
+        return c.cast("timestamp_ltz").cast("double")
+    return c.cast("double")
+
+
 def range_locf(
     df: DataFrame,
     order_col: str,
@@ -44,7 +58,7 @@ def range_locf(
     spark = df.sparkSession
     if n_buckets is None:
         n_buckets = max(spark.sparkContext.defaultParallelism, 1) * 4
-    od = F.col(order_col).cast("double")
+    od = numeric_order_col(df, order_col)
     order_exprs = (
         [F.col(order_col).desc(), *[F.col(t).desc() for t in tiebreak]]
         if reverse

@@ -296,3 +296,66 @@ def test_write_training_shards_deterministic_layout(spark, docs, tmp_path):
     a = spark.read.parquet(p1).orderBy("doc_id").toPandas()
     b = spark.read.parquet(p2).orderBy("doc_id").toPandas()
     assert a.equals(b)
+
+
+def test_chunk_spans_overlap_and_clamp(spark):
+    """Sliding-window chunking: stride < window overlaps, the last chunk
+    clamps to the doc end, zero-token docs vanish."""
+    import pytest
+
+    from mq_to_db_spark.operators.packing import chunk_spans
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 8), (3, 0), (4, 2)], "doc_id long, n_tok long"
+    )
+    got = {
+        (r.doc_id, r.chunk_idx): (r.start, r.end, r.chunk_len)
+        for r in chunk_spans(df, "doc_id", "n_tok", window=4, stride=3).collect()
+    }
+    assert got == {
+        (1, 0): (0, 4, 4),
+        (1, 1): (3, 7, 4),
+        (1, 2): (6, 10, 4),
+        (1, 3): (9, 10, 1),
+        (2, 0): (0, 4, 4),
+        (2, 1): (3, 7, 4),
+        (2, 2): (6, 8, 2),
+        (4, 0): (0, 2, 2),
+    }
+    # default stride == window: disjoint exact cover
+    disjoint = {
+        (r.doc_id, r.chunk_idx): (r.start, r.end)
+        for r in chunk_spans(df, "doc_id", "n_tok", window=4).collect()
+    }
+    assert disjoint == {
+        (1, 0): (0, 4),
+        (1, 1): (4, 8),
+        (1, 2): (8, 10),
+        (2, 0): (0, 4),
+        (2, 1): (4, 8),
+        (4, 0): (0, 2),
+    }
+    with pytest.raises(ValueError):
+        chunk_spans(df, "doc_id", "n_tok", window=0)
+    with pytest.raises(ValueError):
+        chunk_spans(df, "doc_id", "n_tok", window=4, stride=-1)
+
+
+def test_chunk_spans_coverage_property(spark):
+    """Every token index lands in ≥1 chunk; consecutive chunks overlap by
+    exactly window - stride (until the clamped tail)."""
+    from mq_to_db_spark.operators.packing import chunk_spans
+
+    df = spark.createDataFrame([(i, 3 + 7 * i) for i in range(12)], "doc_id long, n long")
+    rows = chunk_spans(df, "doc_id", "n", window=16, stride=11).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.start, r.end))
+    for i in range(12):
+        n = 3 + 7 * i
+        chunks = sorted(by_doc.get(i, []))
+        covered = set()
+        for _, s, e in chunks:
+            assert 0 <= s < e <= n
+            covered |= set(range(s, e))
+        assert covered == set(range(n)), i

@@ -185,3 +185,41 @@ def test_winnow_shared_substring_guarantee(spark):
     }
     overlap = len(f2[10] & f2[11]) / len(f2[10] | f2[11])
     assert overlap >= 0.5, overlap
+
+
+def test_repetition_features(spark):
+    """Gopher-style repetition signals: duplicate line/word fractions,
+    bullet and ellipsis line shares, NULL/empty/whitespace-only → zeros."""
+    from mq_to_db_spark.functions.text import REPETITION_COLS, with_repetition_features
+
+    rows = [
+        (1, "hello world\nhello world\nunique line"),
+        (2, "- item one\n* item two\nplain"),
+        (3, "trailing...\nand more…\nnope"),
+        (4, ""),
+        (5, None),
+        (6, "  \n  \n"),
+        (7, "one two three"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = with_repetition_features(df, "text")
+    assert [c for c in out.columns if c.startswith("r_")] == list(REPETITION_COLS)
+    got = {
+        r.doc_id: (
+            r.r_lines,
+            r.r_dup_line_ratio,
+            r.r_dup_word_ratio,
+            r.r_bullet_line_ratio,
+            r.r_ellipsis_line_ratio,
+        )
+        for r in out.collect()
+    }
+    third = round(1 / 3, 6)
+    two_thirds = round(2 / 3, 6)
+    assert got[1] == (3, third, round(2 / 6, 6), 0.0, 0.0)
+    # words: ['-','item','one','*','item','two','plain'] → 'item' dup → 1/7
+    assert got[2] == (3, 0.0, round(1 / 7, 6), two_thirds, 0.0)
+    assert got[3] == (3, 0.0, 0.0, 0.0, two_thirds)
+    for empty_id in (4, 5, 6):
+        assert got[empty_id] == (0, 0.0, 0.0, 0.0, 0.0), empty_id
+    assert got[7] == (1, 0.0, 0.0, 0.0, 0.0)

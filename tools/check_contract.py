@@ -61,7 +61,8 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     return errs
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
+def main(sf_dir: str = "/root/testdata/sf0.01", only: str = "") -> int:
+    """``only``: comma-separated query names — run just those (iteration)."""
     import __spark_entry__ as entry
     from mq_to_db_spark.session import get_spark
 
@@ -71,6 +72,9 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> int:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = entry.queries(), entry.oracle_sql()
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        qs = {n: f for n, f in qs.items() if n in wanted}
     n_fail = 0
     for name, fn in qs.items():
         try:
