@@ -766,6 +766,50 @@ def q_downsample_ohlc(spark, sf_dir):
     )
 
 
+#: DDSketch relative accuracy for the contract sketch query
+SKETCH_ALPHA = 0.05
+
+
+def q_quantile_sketch_1h(spark, sf_dir):
+    """Mergeable DDSketch quantiles per (event_type, 1h) window
+    (operators/sketch.py): logarithmic relative-error buckets whose
+    merge is bucket-wise count addition — re-aggregable across the
+    1m/1h/1d cascade, unlike exact percentiles.  Two hash aggregations
+    (idx counts → map assembly), no UDF/window; q50/q95 extracted with
+    one higher-order `aggregate` pass per row.  The oracle replays the
+    full index mapping + cumulative walk in SQL."""
+    from mq_to_db_spark.operators.sketch import (
+        quantile_sketch_rollup,
+        sketch_quantile,
+    )
+
+    sk = quantile_sketch_rollup(
+        _events(spark, sf_dir), "1h", ["event_type"], alpha=SKETCH_ALPHA
+    )
+    out = sketch_quantile(
+        sketch_quantile(sk, 0.5, SKETCH_ALPHA), 0.95, SKETCH_ALPHA
+    )
+    return out.select("event_type", "bucket_start", "zero_count", "n", "q50", "q95")
+
+
+def q_rolling_stats_1h(spark, sf_dir):
+    """Rolling 24h mean/stddev + trailing-baseline z-score anomaly flag
+    over the hourly count tier (operators/rolling.py) — the dashboard's
+    moving-average overlay and 'unusual hour' check as one operator.
+    Consumes TIER rows only (bounded by calendar), one exchange."""
+    from mq_to_db_spark.operators.rolling import rolling_stats
+
+    tier = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return rolling_stats(
+        tier, ["event_type"], order_col="bucket_start",
+        value_col="n_events", window=24,
+    )
+
+
 def q_contamination(spark, sf_dir):
     """Train/eval decontamination hits (operators/contamination.py):
     docs sharing ≥1 distinct word 5-gram with the eval slice
@@ -884,6 +928,65 @@ def _pack_cte_sql(source: str, seed: int, n_shards: int, budget: int) -> str:
         FROM pack"""
 
 
+def _quantile_sketch_oracle() -> str:
+    """DuckDB replay of the FULL DDSketch algorithm at alpha=0.05: the
+    same logarithmic index (ln(v) over the same ln(gamma) literal the
+    Spark side embeds), per-(type, hour, idx) counts, zero bucket,
+    cumulative walk to rank floor(q·(n-1)), midpoint estimate
+    2·gamma^idx/(gamma+1) — the approximation itself is verified, not a
+    recall proxy."""
+    import math
+
+    g = (1 + SKETCH_ALPHA) / (1 - SKETCH_ALPHA)
+    lng = math.log(g)
+    walk_case = """
+            CASE WHEN m.zero_count > floor({q} * (m.n - 1)) THEN 0.0
+                 ELSE round(2 * power({g}, q{tag}.idx) / ({g} + 1), 6)
+            END AS q{tag}"""
+    return f"""
+        WITH s AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+                   CASE WHEN value > 0
+                        THEN CAST(ceil(ln(value) / {lng!r}) AS INTEGER)
+                   END AS idx
+            FROM events WHERE value IS NOT NULL
+        ),
+        counts AS (
+            SELECT event_type, bucket_start, idx, count(*) AS cnt
+            FROM s GROUP BY 1, 2, 3
+        ),
+        meta AS (
+            SELECT event_type, bucket_start,
+                   CAST(coalesce(sum(cnt) FILTER (WHERE idx IS NULL), 0)
+                        AS BIGINT) AS zero_count,
+                   CAST(sum(cnt) AS BIGINT) AS n
+            FROM counts GROUP BY 1, 2
+        ),
+        walk AS (
+            SELECT c.event_type, c.bucket_start, c.idx, m.n,
+                   m.zero_count + sum(c.cnt) OVER (
+                       PARTITION BY c.event_type, c.bucket_start
+                       ORDER BY c.idx) AS cum
+            FROM counts c JOIN meta m USING (event_type, bucket_start)
+            WHERE c.idx IS NOT NULL
+        ),
+        q50 AS (
+            SELECT event_type, bucket_start, min(idx) AS idx
+            FROM walk WHERE cum > floor(0.5 * (n - 1)) GROUP BY 1, 2
+        ),
+        q95 AS (
+            SELECT event_type, bucket_start, min(idx) AS idx
+            FROM walk WHERE cum > floor(0.95 * (n - 1)) GROUP BY 1, 2
+        )
+        SELECT m.event_type, m.bucket_start, m.zero_count, m.n,
+            {walk_case.format(q=0.5, g=g, tag=50)},
+            {walk_case.format(q=0.95, g=g, tag=95)}
+        FROM meta m
+        LEFT JOIN q50 USING (event_type, bucket_start)
+        LEFT JOIN q95 USING (event_type, bucket_start)
+    """
+
+
 def _pack_sequences_oracle() -> str:
     return "WITH RECURSIVE " + _pack_cte_sql(
         "documents", PACK_SEED, PACK_SHARDS, PACK_BUDGET
@@ -944,6 +1047,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counter_increase": q_counter_increase,
         "downsample_ohlc": q_downsample_ohlc,
         "contamination": q_contamination,
+        "quantile_sketch_1h": q_quantile_sketch_1h,
+        "rolling_stats_1h": q_rolling_stats_1h,
     }
 
 
@@ -1765,5 +1870,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT co.doc_id AS id, CAST(count(*) AS BIGINT) AS n_hits
             FROM co SEMI JOIN ev ON co.ng = ev.ng
             GROUP BY 1
+        """,
+        "quantile_sketch_1h": _quantile_sketch_oracle(),
+        # rolling stats: identical frames (23 PRECEDING..CURRENT and
+        # 24 PRECEDING..1 PRECEDING), z-score from the ROUNDED value so
+        # the anomaly threshold compares the same number on both engines
+        "rolling_stats_1h": """
+            WITH tier AS (
+                SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1, 2
+            ),
+            w AS (
+                SELECT event_type, bucket_start, n_events,
+                       round(avg(n_events) OVER win_inc, 6) AS roll_avg,
+                       round(stddev_samp(n_events) OVER win_inc, 6) AS roll_std,
+                       avg(n_events) OVER win_prev AS pavg,
+                       stddev_samp(n_events) OVER win_prev AS pstd
+                FROM tier
+                WINDOW win_inc AS (PARTITION BY event_type ORDER BY bucket_start
+                                   ROWS BETWEEN 23 PRECEDING AND CURRENT ROW),
+                       win_prev AS (PARTITION BY event_type ORDER BY bucket_start
+                                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT event_type, bucket_start, n_events, roll_avg, roll_std,
+                   CASE WHEN pstd > 0
+                        THEN round((n_events - pavg) / pstd, 6) END AS zscore,
+                   coalesce(
+                       CASE WHEN pstd > 0
+                            THEN abs(round((n_events - pavg) / pstd, 6)) > 3.0
+                       END, false) AS is_anomaly
+            FROM w
         """,
     }
