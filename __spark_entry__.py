@@ -810,6 +810,26 @@ def q_rolling_stats_1h(spark, sf_dir):
     )
 
 
+def q_ewma_1h(spark, sf_dir):
+    """EWMA smoothing (alpha=0.3) of the hourly count tier per
+    event_type (operators/ewma.py) — the one operator no window frame
+    can express (each output depends on ALL prior inputs).  Keyed path:
+    one grouped Arrow scan per series using pandas' C `ewm` kernel
+    (verified bit-identical to the plain recurrence); the oracle replays
+    the exact recurrence as a recursive CTE."""
+    from mq_to_db_spark.operators.ewma import ewma
+
+    tier = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return ewma(
+        tier, ["event_type"], ts_col="bucket_start", value_col="n_events",
+        alpha=0.3, out_col="ewma",
+    )
+
+
 def q_contamination(spark, sf_dir):
     """Train/eval decontamination hits (operators/contamination.py):
     docs sharing ≥1 distinct word 5-gram with the eval slice
@@ -1049,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "quantile_sketch_1h": q_quantile_sketch_1h,
         "rolling_stats_1h": q_rolling_stats_1h,
+        "ewma_1h": q_ewma_1h,
     }
 
 
@@ -1901,5 +1922,34 @@ def oracle_sql() -> dict[str, str]:
                             THEN abs(round((n_events - pavg) / pstd, 6)) > 3.0
                        END, false) AS is_anomaly
             FROM w
+        """,
+        # ewma: the exact recurrence s_1 = x_1; s_t = 0.3·x_t + 0.7·s_{t-1}
+        # walked as a recursive CTE in series order — same association as
+        # the engine's scan (a·x + (1-a)·s), rounded at 6
+        "ewma_1h": """
+            WITH RECURSIVE tier AS (
+                SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1, 2
+            ),
+            ordered AS (
+                SELECT event_type, bucket_start, n_events,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY bucket_start
+                       ) AS rn
+                FROM tier
+            ),
+            rec AS (
+                SELECT event_type, bucket_start, n_events, rn,
+                       CAST(n_events AS DOUBLE) AS s
+                FROM ordered WHERE rn = 1
+                UNION ALL
+                SELECT o.event_type, o.bucket_start, o.n_events, o.rn,
+                       0.3 * o.n_events + 0.7 * r.s
+                FROM rec r JOIN ordered o
+                  ON o.event_type = r.event_type AND o.rn = r.rn + 1
+            )
+            SELECT event_type, bucket_start, n_events, round(s, 6) AS ewma
+            FROM rec
         """,
     }

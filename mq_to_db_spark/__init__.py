@@ -76,6 +76,7 @@ _PUBLIC = {
     "cascade_quantile_sketch": "mq_to_db_spark.operators.sketch",
     "sketch_quantile": "mq_to_db_spark.operators.sketch",
     "rolling_stats": "mq_to_db_spark.operators.rolling",
+    "ewma": "mq_to_db_spark.operators.ewma",
 }
 
 

@@ -1,0 +1,156 @@
+"""Exponentially weighted moving average over series — a sequential
+recurrence parallelized by affine-scan decomposition.
+
+The reference's dashboard smooths its rate panels at read time (Grafana
+`exponentialMovingAverage`-style transforms); this makes that a
+first-class engine operator with exact recurrence semantics:
+
+    s_1 = x_1
+    s_t = alpha * x_t + (1 - alpha) * s_{t-1}
+
+EWMA is the canonical "Spark can't window this" operator: each output
+depends on ALL previous inputs, so no frame-bounded window expresses it.
+But each step is an *affine* map ``s → (1-alpha)·s + alpha·x``, and
+affine maps compose associatively — the classic parallel-scan structure:
+
+  * **keyed path**: one ``applyInPandas`` per key; pandas' C-implemented
+    ``ewm(adjust=False)`` runs the scan vectorized (verified bit-identical
+    to the plain recurrence).  Parallelism = number of keys; a series
+    lives in one task (the compression.py chunk-grain caveat applies —
+    EWMA is meant for TIER rows, which the calendar bounds).
+  * **keyless path** (one global series, still potentially huge): rows
+    are ``width_bucket``-range-partitioned on ts; each bucket scans
+    locally with a virtual zero initial state, a tiny per-bucket spine
+    ``(B = local final, n = count, first value)`` is collected, the
+    bucket-to-bucket recurrence ``s_out = B + (1-alpha)^n · s_in`` runs
+    driver-side over that spine (hundreds of rows — same cost class as
+    rangewin.py's extent probe), and a broadcast join finalizes every
+    row as ``s = local + (1-alpha)^pos · s_in`` in pure codegen.  The
+    carry factor ``(1-alpha)^pos`` underflows to 0 for deep rows —
+    mathematically true too (influence decays geometrically), so the
+    decomposition loses nothing.
+
+Outputs round to 6 decimals: the affine recombination and a straight
+recurrence replay (the DuckDB recursive-CTE oracle) agree to ~1e-13.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, IntegerType, StructType
+
+from mq_to_db_spark.operators.rangewin import numeric_order_col
+
+
+def ewma(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    tiebreak: tuple[str, ...] = (),
+    out_col: str = "ewma",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Append ``out_col``: the EWMA of ``value_col`` in ``(ts_col,
+    *tiebreak)`` order per ``keys`` series (or globally if ``keys`` is
+    empty, via the range-partitioned scan)."""
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if keys:
+        return _ewma_keyed(df, keys, ts_col, value_col, alpha, tiebreak, out_col)
+    return _ewma_keyless(df, ts_col, value_col, alpha, tiebreak, out_col, n_buckets)
+
+
+def _scan_schema(df: DataFrame, extra: list) -> StructType:
+    schema = StructType(list(df.schema.fields))
+    for name, dtype in extra:
+        schema = schema.add(name, dtype)
+    return schema
+
+
+def _ewma_keyed(df, keys, ts_col, value_col, alpha, tiebreak, out_col):
+    order = [ts_col, *tiebreak]
+    schema = _scan_schema(df, [(out_col, DoubleType())])
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, ignore_index=True)
+        pdf[out_col] = (
+            pdf[value_col].astype("float64").ewm(alpha=alpha, adjust=False).mean().round(6)
+        )
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(scan, schema)
+
+
+def _ewma_keyless(df, ts_col, value_col, alpha, tiebreak, out_col, n_buckets):
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = max(spark.sparkContext.defaultParallelism, 1) * 4
+    od = numeric_order_col(df, ts_col)
+    ext = df.agg(F.min(od).alias("mn"), F.max(od).alias("mx")).first()
+    if ext.mn is None or ext.mn == ext.mx or n_buckets <= 1:
+        # degenerate extent: single scan task is unavoidable and fine
+        tagged = df.withColumn("_rb", F.lit(1))
+    else:
+        tagged = df.withColumn(
+            "_rb",
+            F.width_bucket(od, F.lit(ext.mn), F.lit(ext.mx), F.lit(n_buckets)).cast(
+                "int"
+            ),
+        )
+    order = [ts_col, *tiebreak]
+    schema = _scan_schema(tagged, [("_loc", DoubleType()), ("_pos", IntegerType())])
+
+    def local_scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, ignore_index=True)
+        # virtual zero initial state: prepend 0, scan, drop the seed row —
+        # exactly s_t = alpha·x_t + (1-alpha)·s_{t-1} with s_0 = 0
+        seeded = pd.concat(
+            [pd.Series([0.0]), pdf[value_col].astype("float64")], ignore_index=True
+        )
+        pdf["_loc"] = (
+            seeded.ewm(alpha=alpha, adjust=False).mean().iloc[1:].to_numpy()
+        )
+        pdf["_pos"] = range(1, len(pdf) + 1)
+        return pdf
+
+    loc = tagged.groupBy("_rb").applyInPandas(local_scan, schema)
+    loc = loc.localCheckpoint(eager=False)  # scan once, reuse for spine + finalize
+    order_key = F.struct(od.alias("o"), *[F.col(t) for t in tiebreak])
+    spine = (
+        loc.groupBy("_rb")
+        .agg(
+            F.max_by("_loc", order_key).alias("B"),
+            F.count(F.lit(1)).alias("n"),
+            F.min_by(F.col(value_col).cast("double"), order_key).alias("first_val"),
+        )
+        .orderBy("_rb")
+        .collect()
+    )
+    # bucket-to-bucket recurrence over the tiny spine (driver-side):
+    # the FIRST bucket's incoming state is its own first value (that makes
+    # s_1 == x_1, the raw-first-sample convention); afterwards
+    # s_in[k+1] = s_out[k] = B_k + (1-alpha)^n_k · s_in[k]
+    carries = []
+    s_in = None
+    for row in spine:
+        s_in = row.first_val if s_in is None else s_in
+        carries.append((row._rb, float(s_in)))
+        s_in = row.B + (1.0 - alpha) ** row.n * s_in
+    carry_df = spark.createDataFrame(carries, "_rb int, _carry double")
+    return (
+        loc.join(F.broadcast(carry_df), "_rb", "left")
+        .withColumn(
+            out_col,
+            F.round(
+                F.col("_loc")
+                + F.pow(F.lit(1.0 - alpha), F.col("_pos")) * F.col("_carry"),
+                6,
+            ),
+        )
+        .drop("_rb", "_loc", "_pos", "_carry")
+    )

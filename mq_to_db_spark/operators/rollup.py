@@ -190,8 +190,10 @@ def cascade(df_finer: DataFrame, coarser_tier: str, keys: list[str] | None = Non
     """
     keys = list(keys or [])
     # Note: text_len_p90 (if present on the finer tier) is intentionally not
-    # merged — quantiles are not exactly mergeable; callers wanting tier
-    # quantiles recompute from raw via rollup_from_raw(..., with_p90=True).
+    # merged — EXACT quantiles are not mergeable; callers either recompute
+    # from raw via rollup_from_raw(..., with_p90=True) or keep a mergeable
+    # DDSketch alongside the tier (operators/sketch.py, which cascades
+    # bucket-wise like these counts).
     return (
         df_finer.withColumn("bucket_start", bucket_col(coarser_tier, "bucket_start"))
         .groupBy("bucket_start", *keys)

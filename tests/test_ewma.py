@@ -1,0 +1,105 @@
+"""EWMA scan (operators/ewma.py): exact recurrence vs a pure-python
+replay, keyed/keyless parity (affine range-partitioned scan + spine
+carry), and plan checks (keyless finalize is codegen, scan runs
+per-bucket)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mq_to_db_spark.operators.ewma import ewma
+
+ALPHA = 0.3
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _fixture(spark, n=500):
+    base = pd.Timestamp("2024-02-01 00:00:00")
+    rows = []
+    for s in ("a", "b"):
+        v = 100.0 if s == "a" else 7.0
+        for i in range(n):
+            v = (v * 31 + 17 + i) % 997
+            rows.append((s, base + pd.Timedelta(minutes=i), i, float(v)))
+    pdf = pd.DataFrame(rows, columns=["series", "ts", "sid", "value"])
+    return spark.createDataFrame(pdf), pdf
+
+
+def _replay(values, alpha=ALPHA):
+    out, s = [], None
+    for x in values:
+        s = x if s is None else alpha * x + (1 - alpha) * s
+        out.append(round(s, 6))
+    return out
+
+
+def test_keyed_matches_recurrence(spark):
+    df, pdf = _fixture(spark)
+    out = ewma(df, ["series"], value_col="value", alpha=ALPHA, tiebreak=("sid",))
+    rows = sorted(out.collect(), key=lambda r: (r.series, r.ts, r.sid))
+    by_series = {}
+    for r in rows:
+        by_series.setdefault(r.series, []).append(r.ewma)
+    for s, g in pdf.groupby("series"):
+        want = _replay(g.sort_values(["ts", "sid"]).value.tolist())
+        assert by_series[s] == want, s
+
+
+def test_keyless_matches_keyed(spark):
+    """Range-partitioned keyless scan (virtual-zero local scans + spine
+    carry recurrence + codegen finalize) equals the single-series keyed
+    scan to the 6-decimal contract rounding."""
+    df, pdf = _fixture(spark)
+    one = df.filter(F.col("series") == "a").drop("series")
+    keyless = ewma(one, [], value_col="value", alpha=ALPHA, tiebreak=("sid",), n_buckets=16)
+    got = {r.sid: r.ewma for r in keyless.collect()}
+    want = dict(
+        zip(
+            pdf[pdf.series == "a"].sort_values(["ts", "sid"]).sid,
+            _replay(pdf[pdf.series == "a"].sort_values(["ts", "sid"]).value.tolist()),
+        )
+    )
+    assert len(got) == len(want)
+    bad = [k for k in want if abs(got[k] - want[k]) > 2e-6]
+    assert not bad, (len(bad), bad[:5])
+
+
+def test_keyless_single_row_and_degenerate(spark):
+    one = spark.createDataFrame(
+        [(pd.Timestamp("2024-01-01 00:00:00").to_pydatetime(), 42.5)],
+        "ts timestamp, value double",
+    )
+    out = ewma(one, [], alpha=ALPHA).collect()
+    assert len(out) == 1 and out[0].ewma == 42.5  # s_1 = x_1
+
+
+def test_alpha_validation(spark):
+    df, _ = _fixture(spark, n=4)
+    with pytest.raises(ValueError):
+        ewma(df, ["series"], alpha=0.0)
+    with pytest.raises(ValueError):
+        ewma(df, ["series"], alpha=1.5)
+
+
+def test_keyed_plan_is_grouped_pandas_scan(spark):
+    df, _ = _fixture(spark)
+    plan = _plan(ewma(df, ["series"], value_col="value", alpha=ALPHA))
+    assert "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_keyless_finalize_is_codegen_broadcast(spark):
+    """The keyless finalize must be expression-only over a broadcast
+    join of the tiny spine carries — no window, no second scan.  (The
+    per-bucket pandas scan itself sits behind the localCheckpoint
+    lineage cut, so it shows as the ExistingRDD leaf here; its grouping
+    is covered by the keyless/keyed parity test.)"""
+    df, _ = _fixture(spark)
+    one = df.filter(F.col("series") == "a").drop("series")
+    plan = _plan(ewma(one, [], value_col="value", alpha=ALPHA, n_buckets=8))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
