@@ -103,3 +103,41 @@ def test_keyless_finalize_is_codegen_broadcast(spark):
     plan = _plan(ewma(one, [], value_col="value", alpha=ALPHA, n_buckets=8))
     assert "BroadcastHashJoin" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_ewma_hypothesis_keyless_parity(spark):
+    """Random series: the range-partitioned keyless decomposition equals
+    the plain recurrence within the 6-decimal rounding for arbitrary
+    lengths, alphas, and bucket counts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(
+            st.floats(min_value=-1e4, max_value=1e4, allow_nan=False),
+            min_size=1,
+            max_size=120,
+        ),
+        st.floats(min_value=0.05, max_value=0.95),
+        st.integers(min_value=2, max_value=9),
+    )
+    def check(values, alpha, n_buckets):
+        base = pd.Timestamp("2024-01-01")
+        pdf = pd.DataFrame(
+            {
+                "ts": [base + pd.Timedelta(minutes=i) for i in range(len(values))],
+                "sid": range(len(values)),
+                "value": values,
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        out = ewma(
+            df, [], value_col="value", alpha=alpha, tiebreak=("sid",),
+            n_buckets=n_buckets,
+        )
+        got = {r.sid: r.ewma for r in out.collect()}
+        want = dict(zip(pdf.sid, _replay(values, alpha)))
+        assert all(abs(got[k] - want[k]) <= 2e-6 for k in want), (alpha, n_buckets)
+
+    check()

@@ -135,3 +135,67 @@ def test_sketch_plan_no_udf_no_window(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Window" not in plan, plan
     assert plan.count("Exchange") == 2, plan  # (k,b,idx) agg + (k,b) agg
+
+
+def test_partial_merge_associativity(spark):
+    """Streaming-append semantics: sketches built from ARBITRARY row
+    splits of the same window (micro-batches) merge via
+    cascade_quantile_sketch(to_tier=same tier) into exactly the sketch
+    of the union — the property that lets sketch partials flow through
+    the append-mode pipeline like count/sum."""
+    df, _ = _fixture(spark, n_per_hour=120, hours=6)
+    # split by an arbitrary non-temporal predicate (simulates batches)
+    h = F.abs(F.xxhash64("series", "ts", "value"))
+    part1, part2 = df.filter(h % 3 == 0), df.filter(h % 3 != 0)
+    sk1 = quantile_sketch_rollup(part1, "1h", ["series"], alpha=ALPHA)
+    sk2 = quantile_sketch_rollup(part2, "1h", ["series"], alpha=ALPHA)
+    merged = cascade_quantile_sketch(sk1.unionByName(sk2), "1h", ["series"])
+    direct = quantile_sketch_rollup(df, "1h", ["series"], alpha=ALPHA)
+
+    def norm(sk):
+        return {
+            (r.series, r.bucket_start): (
+                r.zero_count, r.n, tuple(sorted(r.sketch.items()))
+            )
+            for r in sk.collect()
+        }
+
+    assert norm(merged) == norm(direct)
+
+
+def test_sketch_guarantee_hypothesis():
+    """Pure-math property (no Spark): for random value sets and alphas,
+    the bucket-midpoint estimate of every rank is within ±alpha of the
+    true order statistic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.floats(min_value=1e-6, max_value=1e9, allow_nan=False),
+            min_size=1,
+            max_size=50,
+        ),
+        st.floats(min_value=0.005, max_value=0.3),
+        st.floats(min_value=0.0, max_value=1.0),
+    )
+    def check(values, alpha, q):
+        g = (1 + alpha) / (1 - alpha)
+        counts = {}
+        for v in values:
+            idx = math.ceil(math.log(v) / math.log(g))
+            counts[idx] = counts.get(idx, 0) + 1
+        n = len(values)
+        r = math.floor(q * (n - 1))
+        cum, found = 0, None
+        for idx in sorted(counts):
+            cum += counts[idx]
+            if cum > r:
+                found = idx
+                break
+        est = 2 * g**found / (g + 1)
+        true = sorted(values)[r]
+        assert abs(est - true) <= alpha * true * (1 + 1e-9), (est, true, alpha)
+
+    check()
