@@ -192,6 +192,31 @@ def run(sf_dir: str = SF_DIR, cpus: int = CPUS, include_scaling_meta: bool = Tru
         timed(key, lambda n=name: _materialize(qs[n](spark, sf_dir)))
         spark.catalog.clearCache()
 
+    # -- round-3 operator additions: timed the same way, but kept OUT of
+    # the headline total so `value` stays comparable across BENCH_r{N}
+    extended: dict[str, float] = {}
+
+    def timed_ext(name, fn):
+        t0 = time.perf_counter()
+        fn()
+        extended[name] = round(time.perf_counter() - t0, 3)
+
+    for name in (
+        "counter_increase",
+        "downsample_ohlc",
+        "quantile_sketch_1h",
+        "rolling_stats_1h",
+        "ewma_1h",
+        "contamination",
+        "repetition_features",
+    ):
+        key = f"q_{name}"
+        _materialize(qs[name](spark, WARM_DIR))
+        _materialize(qs[name](spark, sf_dir))
+        spark.catalog.clearCache()
+        timed_ext(key, lambda n=name: _materialize(qs[n](spark, sf_dir)))
+        spark.catalog.clearCache()
+
     rollup_sec = timings["rollup_cascade_3dim"]
     total = round(sum(timings.values()), 3)
     result = {
@@ -199,6 +224,7 @@ def run(sf_dir: str = SF_DIR, cpus: int = CPUS, include_scaling_meta: bool = Tru
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extended_queries": extended,
         "sf": sf,
         "cpus": cpus,
         "turns_ingested": int(n_turns),

@@ -77,6 +77,7 @@ _PUBLIC = {
     "sketch_quantile": "mq_to_db_spark.operators.sketch",
     "rolling_stats": "mq_to_db_spark.operators.rolling",
     "ewma": "mq_to_db_spark.operators.ewma",
+    "cascade_histogram": "mq_to_db_spark.operators.rollup",
 }
 
 

@@ -81,13 +81,17 @@ def hashed_shingle_sets(
     # match, mirroring the string path's full-text shingle exactly.
     return (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        # null filter BEFORE the _wh projection: the predicate that pushes
+        # to the scan is the cheap isnotnull, never an inlined copy of the
+        # split/hash chain.  (A size(_wh) > 0 guard would be vacuous —
+        # split() returns at least [''] for any non-null string.)
+        .filter(F.col("text").isNotNull())
         .withColumn(
             "_wh",
             F.expr(
                 "transform(split(" + _NORM_TEXT_SQL.format(col="text") + ", ' '), w -> xxhash64(w))"
             ),
         )
-        .filter(F.col("text").isNotNull() & (F.size("_wh") > 0))
         .withColumn(
             "shingles",
             F.expr(

@@ -456,3 +456,19 @@ def fixed_bucket_histogram(
         .count()
         .withColumnRenamed("count", "n")
     )
+
+
+def cascade_histogram(
+    hist: DataFrame, to_tier: str, keys: list[str] | None = None
+) -> DataFrame:
+    """Merge fine-tier fixed-bucket histograms into ``to_tier`` windows:
+    per-``le`` count addition — exact, order-independent (bucket edges
+    are part of the row key, so histograms cascade like every other
+    re-aggregable tier column).  Input is the output shape of
+    :func:`fixed_bucket_histogram`."""
+    keys = list(keys or [])
+    return (
+        hist.withColumn("bucket_start", bucket_col(to_tier, "bucket_start"))
+        .groupBy("bucket_start", *keys, "le")
+        .agg(F.sum("n").alias("n"))
+    )

@@ -56,6 +56,19 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # InferFiltersFromGenerate injects `size(arr)>0 AND isnotnull(arr)`
+        # below every explode; predicate pushdown then inlines the
+        # generator expression into that filter, and for computed arrays
+        # whose definition nests shared subexpressions inside CASE branches
+        # (shingle sets, posting lists, winnow fingerprints) conditional
+        # branches are ineligible for codegen subexpression elimination —
+        # measured 35× slowdown (27.3s → 0.78s exploding 5k docs' shingle
+        # sets).  The rule only helps push emptiness pruning to sources,
+        # which explode's own execution already handles; excluded.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, str(v))

@@ -259,3 +259,21 @@ def test_hll_distinct_sketch_cascade_accuracy(spark, transcripts):
     a = {r.bucket_start: r.n_distinct_est for r in distinct_estimate(d1).collect()}
     b = {r.bucket_start: r.n_distinct_est for r in distinct_estimate(direct_d).collect()}
     assert a == b
+
+
+def test_histogram_cascade_exact(spark, transcripts):
+    """1h histograms merged to 1d equal histograms computed at 1d
+    directly — per-le count addition (C4 joins the mergeable family)."""
+    from mq_to_db_spark.operators.rollup import cascade_histogram, fixed_bucket_histogram
+    from pyspark.sql import functions as F
+
+    df = transcripts.withColumn("text_len", F.length("text").cast("double"))
+    edges = [10.0, 50.0, 200.0, 1000.0]
+    hourly = fixed_bucket_histogram(df, "text_len", edges, "1h", ["role"])
+    merged = cascade_histogram(hourly, "1d", ["role"])
+    direct = fixed_bucket_histogram(df, "text_len", edges, "1d", ["role"])
+
+    def norm(h):
+        return {(r.bucket_start, r.role, r.le): r.n for r in h.collect()}
+
+    assert norm(merged) == norm(direct)
