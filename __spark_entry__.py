@@ -849,6 +849,94 @@ def q_contamination(spark, sf_dir):
     )
 
 
+def q_time_weighted_1h(spark, sf_dir):
+    """Time-weighted average (TimescaleDB-hyperfunction analogue,
+    operators/timeweight.py): per (event_type, hour), LOCF-weighted mean
+    of the gauge `value` — each sample weighted by how long it stayed the
+    latest observation, clamped to the bucket end.  One window shuffle on
+    (event_type, bucket) + one agg reusing that partitioning.  The
+    integral accumulates DECIMAL×BIGINT-µs (exact), so the oracle
+    comparison is hash-exact, not just approximate."""
+    from mq_to_db_spark.operators.timeweight import time_weighted_avg
+
+    out = time_weighted_avg(
+        _events(spark, sf_dir),
+        ["event_type"],
+        ts_col="ts",
+        value_col="value",
+        bucket="1 hour",
+        tiebreak=["event_id"],
+    )
+    return out.select(
+        "event_type", "bucket_start", "n_samples", F.round("twa", 6).alias("twa")
+    )
+
+
+def q_state_durations_1d(spark, sf_dir):
+    """State-duration aggregation (state_agg analogue,
+    operators/timeweight.py): per (day, event_type), total time users
+    spent "in" each event type — a state ends at the user's next event;
+    the final open state is excluded.  Durations accumulate as exact
+    BIGINT µs (order-independent sums → hash-exact oracle)."""
+    from mq_to_db_spark.operators.timeweight import state_durations
+
+    out = state_durations(
+        _events(spark, sf_dir),
+        key="user_id",
+        ts_col="ts",
+        state_col="event_type",
+        tiebreak=["event_id"],
+        bucket="1 day",
+    )
+    return out.select(
+        "bucket_start",
+        "event_type",
+        "n_entries",
+        F.round("duration_sec", 6).alias("duration_sec"),
+    )
+
+
+def q_concurrency_10m(spark, sf_dir):
+    """Concurrency curve (operators/concurrency.py): active user sessions
+    (30-min-gap sessionization) sampled every 10 minutes.  Spark side is
+    the sweep line — boundary ±1 events, one hash agg per distinct
+    instant, range-partitioned running sum (rangewin.range_running_sum),
+    as-of join onto the grid; every shuffle carries ≤16-byte rows.  The
+    oracle is the naive grid×interval join (O(n·m), fine at sf0.01) —
+    engine-independent semantics, scalable plan only on the Spark side."""
+    from mq_to_db_spark.operators.concurrency import concurrency_at_grid, time_grid
+    from mq_to_db_spark.operators.sessionize import sessionize
+
+    ev = _events(spark, sf_dir).select("user_id", "event_id", "ts")
+    sess = sessionize(ev, gap="30 minutes", key="user_id", order_cols=["ts", "event_id"])
+    grid = time_grid(_events(spark, sf_dir), "ts", "10 minutes", align="day")
+    return concurrency_at_grid(
+        sess, grid, grid_col="grid_ts", start_col="session_start", end_col="session_end"
+    )
+
+
+def q_series_corr_1d(spark, sf_dir):
+    """Cross-series Pearson correlation (operators/correlate.py): per
+    day, corr between the zero-filled hourly click and error counts.
+    ONE conditional-aggregation scan builds both series (no self-join),
+    zero-fill against the dense hour grid, then the moment-form corr —
+    five exact BIGINT sums, final double formula identical on both
+    engines (built-in streaming `corr` is summation-order dependent)."""
+    from mq_to_db_spark.operators.correlate import bucketed_pair_series, series_corr
+
+    pair = bucketed_pair_series(
+        _events(spark, sf_dir),
+        "ts",
+        "1h",
+        F.count_if(F.col("event_type") == "click"),
+        F.count_if(F.col("event_type") == "error"),
+    )
+    out = series_corr(pair, "day")
+    return out.select(
+        "group_start", "n_buckets", F.round("corr_ab", 6).alias("corr_ab")
+    )
+
+
 def _training_export_oracle() -> str:
     from mq_to_db_spark.operators.sampling import _threshold
 
@@ -1070,6 +1158,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketch_1h": q_quantile_sketch_1h,
         "rolling_stats_1h": q_rolling_stats_1h,
         "ewma_1h": q_ewma_1h,
+        "time_weighted_1h": q_time_weighted_1h,
+        "state_durations_1d": q_state_durations_1d,
+        "concurrency_10m": q_concurrency_10m,
+        "series_corr_1d": q_series_corr_1d,
     }
 
 
@@ -1951,5 +2043,92 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_type, bucket_start, n_events, round(s, 6) AS ewma
             FROM rec
+        """,
+        "time_weighted_1h": """
+            WITH t AS (
+                SELECT event_type, date_trunc('hour', ts) AS bucket_start, ts, value,
+                       lead(ts) OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                      ORDER BY ts, event_id) AS nxt
+                FROM events
+            )
+            SELECT event_type, bucket_start, count(*) AS n_samples,
+                   round(sum(value::DECIMAL(20,6)
+                             * datediff('microsecond', ts,
+                                        coalesce(nxt, bucket_start + INTERVAL 1 HOUR)))::DOUBLE
+                         / sum(datediff('microsecond', ts,
+                                        coalesce(nxt, bucket_start + INTERVAL 1 HOUR)))::DOUBLE,
+                         6) AS twa
+            FROM t GROUP BY 1, 2
+        """,
+        "state_durations_1d": """
+            WITH t AS (
+                SELECT user_id, event_type, ts,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+                FROM events
+            )
+            SELECT date_trunc('day', ts) AS bucket_start, event_type,
+                   count(*) AS n_entries,
+                   round(sum(datediff('microsecond', ts, nxt)) / 1000000.0, 6)
+                       AS duration_sec
+            FROM t WHERE nxt IS NOT NULL GROUP BY 1, 2
+        """,
+        "concurrency_10m": """
+            WITH flagged AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                            THEN 0 ELSE 1 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            tagged AS (
+                SELECT user_id, ts,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM flagged
+            ),
+            sess AS (
+                SELECT min(ts) AS s, max(ts) AS e
+                FROM tagged GROUP BY user_id, session_id
+            ),
+            ext AS (SELECT date_trunc('day', min(ts)) AS lo, max(ts) AS hi FROM events),
+            grid AS (
+                SELECT unnest(generate_series(lo, hi, INTERVAL 10 MINUTE)) AS grid_ts
+                FROM ext
+            )
+            SELECT g.grid_ts, count(sess.s) AS active
+            FROM grid g LEFT JOIN sess
+              ON sess.s <= g.grid_ts AND g.grid_ts <= sess.e
+            GROUP BY 1
+        """,
+        "series_corr_1d": """
+            WITH hourly AS (
+                SELECT date_trunc('hour', ts) AS b,
+                       count(*) FILTER (event_type = 'click') AS a,
+                       count(*) FILTER (event_type = 'error') AS bb
+                FROM events GROUP BY 1
+            ),
+            ext AS (SELECT min(b) AS lo, max(b) AS hi FROM hourly),
+            grid AS (
+                SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS g FROM ext
+            ),
+            filled AS (
+                SELECT g, coalesce(a, 0) AS a, coalesce(bb, 0) AS bb
+                FROM grid LEFT JOIN hourly ON b = g
+            ),
+            mom AS (
+                SELECT date_trunc('day', g) AS group_start, count(*) AS n,
+                       sum(a) AS sa, sum(bb) AS sb, sum(a * bb) AS sab,
+                       sum(a * a) AS saa, sum(bb * bb) AS sbb
+                FROM filled GROUP BY 1
+            )
+            SELECT group_start, n AS n_buckets,
+                   round((n::DOUBLE * sab::DOUBLE - sa::DOUBLE * sb::DOUBLE)
+                         / nullif(sqrt(n::DOUBLE * saa::DOUBLE - sa::DOUBLE * sa::DOUBLE)
+                                  * sqrt(n::DOUBLE * sbb::DOUBLE - sb::DOUBLE * sb::DOUBLE),
+                                  0.0),
+                         6) AS corr_ab
+            FROM mom
         """,
     }

@@ -78,6 +78,14 @@ _PUBLIC = {
     "rolling_stats": "mq_to_db_spark.operators.rolling",
     "ewma": "mq_to_db_spark.operators.ewma",
     "cascade_histogram": "mq_to_db_spark.operators.rollup",
+    # hyperfunctions: time-weighted / state / sweep-line / correlation (round 3)
+    "time_weighted_avg": "mq_to_db_spark.operators.timeweight",
+    "state_durations": "mq_to_db_spark.operators.timeweight",
+    "sweepline_counts": "mq_to_db_spark.operators.concurrency",
+    "concurrency_at_grid": "mq_to_db_spark.operators.concurrency",
+    "bucketed_pair_series": "mq_to_db_spark.operators.correlate",
+    "series_corr": "mq_to_db_spark.operators.correlate",
+    "range_running_sum": "mq_to_db_spark.operators.rangewin",
 }
 
 

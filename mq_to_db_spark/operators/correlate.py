@@ -1,0 +1,99 @@
+"""Cross-series correlation over bucketed rollups.
+
+The reference's dashboards plot metric families side by side (e.g.
+consumed vs stored messages, mq-to-db.json "Processed Messages" panels)
+and leave the correlation to the viewer's eye; this operator computes it:
+Pearson correlation between two bucketed series, grouped by a coarser
+window — e.g. "per day, how correlated are hourly click volume and hourly
+error volume?".
+
+Plan shape: ONE partial-aggregated groupBy builds both hourly series in a
+single scan (conditional aggregation — no self-join of two filtered
+scans), a zero-fill against the dense bucket grid (missing buckets are
+real zeros for count series, and silently dropping them biases the
+correlation), then a second small aggregation with Spark's built-in
+``corr`` (co-moment form, numerically stable, partial-aggregable).  Two
+shuffles total, both on tier-sized data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .gapfill import time_grid
+
+
+def bucketed_pair_series(
+    df: DataFrame,
+    ts_col: str,
+    tier: str,
+    series_a: Column,
+    series_b: Column,
+    zero_fill: bool = True,
+) -> DataFrame:
+    """One scan → ``(bucket_start, a, b)``: both series as conditional
+    aggregates of the same groupBy (``tier`` is a rollup tier key, e.g.
+    ``"1h"``).  ``series_a`` / ``series_b`` are aggregate Columns (e.g.
+    ``F.count_if(...)``).  With ``zero_fill``, buckets where neither
+    series observed anything appear as (0, 0) — left-joined against the
+    dense tier grid, the same grid the gap-fill operator generates."""
+    from .rollup import bucket_col
+
+    bucketed = (
+        df.groupBy(bucket_col(tier, ts_col).alias("bucket_start"))
+        .agg(series_a.alias("a"), series_b.alias("b"))
+    )
+    if not zero_fill:
+        return bucketed
+    grid = time_grid(bucketed, tier, [])
+    return grid.join(bucketed, "bucket_start", "left").select(
+        "bucket_start",
+        F.coalesce("a", F.lit(0)).alias("a"),
+        F.coalesce("b", F.lit(0)).alias("b"),
+    )
+
+
+def series_corr(
+    pair: DataFrame,
+    group_unit: str = "day",
+    bucket_col: str = "bucket_start",
+    a_col: str = "a",
+    b_col: str = "b",
+    out_col: str = "corr_ab",
+) -> DataFrame:
+    """Pearson correlation of the two series per ``date_trunc(group_unit)``
+    of the fine bucket column, plus the sample count.  NULL when either
+    series is constant within the group (zero variance) — ANSI ``corr``
+    semantics.
+
+    Computed from the five raw moments (n, Σa, Σb, Σab, Σa², Σb²) rather
+    than the built-in ``corr``: for integer series the moments are EXACT
+    (BIGINT partial aggregation, order-independent), and the final
+    double-arithmetic formula is then bit-identical across engines —
+    the built-ins' streaming co-moment updates are summation-order
+    dependent in their last bits, which breaks hash-exact oracle
+    comparison.  Same plan shape either way: one partial-aggregated
+    hash aggregate."""
+    a, b = F.col(a_col), F.col(b_col)
+    g = pair.groupBy(F.date_trunc(group_unit, bucket_col).alias("group_start")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(a).alias("_sa"),
+        F.sum(b).alias("_sb"),
+        F.sum(a * b).alias("_sab"),
+        F.sum(a * a).alias("_saa"),
+        F.sum(b * b).alias("_sbb"),
+    )
+    n = F.col("_n").cast("double")
+    sa, sb = F.col("_sa").cast("double"), F.col("_sb").cast("double")
+    sab = F.col("_sab").cast("double")
+    saa, sbb = F.col("_saa").cast("double"), F.col("_sbb").cast("double")
+    cov = n * sab - sa * sb
+    var_a = n * saa - sa * sa
+    var_b = n * sbb - sb * sb
+    corr = cov / F.nullif(F.sqrt(var_a) * F.sqrt(var_b), F.lit(0.0))
+    return g.select(
+        "group_start",
+        F.col("_n").alias("n_buckets"),
+        corr.alias(out_col),
+    )

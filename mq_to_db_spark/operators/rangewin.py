@@ -12,8 +12,9 @@ the same semantics at full parallelism:
      per-bucket agg + a prefix-LOCF over the (n_buckets)-row spine — the
      one place a single partition is trivially fine.
 
-Used by the keyless as-of join (operators/asof.py) and keyless gap-fill
-interpolation (operators/gapfill.py).
+Used by the keyless as-of join (operators/asof.py), keyless gap-fill
+interpolation (operators/gapfill.py), and the concurrency sweep-line's
+global running sum (operators/concurrency.py).
 """
 
 from __future__ import annotations
@@ -104,5 +105,63 @@ def range_locf(
     return (
         filled.join(F.broadcast(carry), "_rb", "left")
         .withColumn(out_col, F.coalesce(F.col(out_col), F.col("_carry")))
+        .drop("_rb", "_carry")
+    )
+
+
+def range_running_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    tiebreak: tuple[str, ...] = (),
+    out_col: str = "running_sum",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Global cumulative ``SUM(value_col) OVER (ORDER BY order_col,
+    *tiebreak ROWS UNBOUNDED PRECEDING..CURRENT)`` executed
+    range-partitioned — the prefix-sum sibling of :func:`range_locf`.
+
+    Same three-step shape: width_bucket ranging over the [min, max]
+    extent, a per-bucket running sum (hash shuffle, full parallelism),
+    then a broadcast prefix carry holding the SUM of every earlier
+    bucket's total (computed on the tiny n_buckets-row spine).  NULL
+    ``value_col`` rows contribute 0; NULL ``order_col`` rows receive no
+    carry.  Used by the concurrency sweep-line, where a naive keyless
+    window would drag every boundary event through one task."""
+    spark = df.sparkSession
+    if n_buckets is None:
+        n_buckets = max(spark.sparkContext.defaultParallelism, 1) * 4
+    od = numeric_order_col(df, order_col)
+    order_exprs = [F.col(order_col), *[F.col(t) for t in tiebreak]]
+    ext = df.agg(F.min(od).alias("mn"), F.max(od).alias("mx")).first()
+    if ext is None or ext.mn is None or ext.mn == ext.mx or n_buckets <= 1:
+        w = (
+            W.partitionBy(F.lit(1))
+            .orderBy(*order_exprs)
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        return df.withColumn(out_col, F.sum(value_col).over(w))
+    rb = F.width_bucket(od, F.lit(ext.mn), F.lit(ext.mx), F.lit(n_buckets)).cast("int")
+    tagged = df.withColumn("_rb", rb)
+    w_in = (
+        W.partitionBy("_rb")
+        .orderBy(*order_exprs)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    partial = tagged.withColumn(out_col, F.sum(value_col).over(w_in))
+    totals = tagged.groupBy("_rb").agg(F.sum(value_col).alias("_tot"))
+    spine = spark.range(1, n_buckets + 2).select(F.col("id").cast("int").alias("_rb"))
+    w_carry = W.orderBy("_rb").rowsBetween(W.unboundedPreceding, -1)
+    carry = (
+        spine.join(totals, "_rb", "left")
+        .withColumn("_carry", F.sum("_tot").over(w_carry))
+        .select("_rb", "_carry")
+    )
+    return (
+        partial.join(F.broadcast(carry), "_rb", "left")
+        .withColumn(
+            out_col,
+            F.coalesce(F.col(out_col), F.lit(0)) + F.coalesce(F.col("_carry"), F.lit(0)),
+        )
         .drop("_rb", "_carry")
     )
