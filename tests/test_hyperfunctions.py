@@ -258,3 +258,82 @@ def test_series_corr_agrees_with_pandas_float(spark):
     got = series_corr(pair, "day").first().corr_ab
     pdf = pd.DataFrame(rows, columns=["t", "a", "b"])
     assert got == pytest.approx(pdf.a.corr(pdf.b), rel=1e-9)
+
+
+# ---------------------------------------------------------------- properties
+
+
+def test_range_running_sum_hypothesis(spark):
+    """Random value sequences with duplicate order keys: the
+    range-partitioned prefix sum equals pandas cumsum under the same
+    (t, i) total order, for any bucket count."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=30),  # order key, dups likely
+                st.integers(min_value=-100, max_value=100),
+            ),
+            min_size=1,
+            max_size=80,
+        ),
+        st.integers(min_value=1, max_value=12),
+    )
+    def check(pairs, n_buckets):
+        pdf = pd.DataFrame(
+            {
+                "t": [float(t) for t, _ in pairs],
+                "i": range(len(pairs)),
+                "v": [v for _, v in pairs],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        got = (
+            range_running_sum(df, "t", "v", tiebreak=("i",), out_col="rs", n_buckets=n_buckets)
+            .orderBy("t", "i")
+            .toPandas()
+        )
+        want = pdf.sort_values(["t", "i"]).v.cumsum().tolist()
+        assert got.rs.tolist() == want
+
+    check()
+
+
+def test_sweepline_hypothesis_matches_brute(spark):
+    """Random interval sets (zero-length, nested, duplicated, touching):
+    sweep-line concurrency at random grid instants equals the brute
+    interval-overlap count."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=500),
+                st.integers(min_value=0, max_value=120),
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        st.lists(st.integers(min_value=0, max_value=700), min_size=1, max_size=25),
+        st.integers(min_value=2, max_value=8),
+    )
+    def check(raw, instants, n_buckets):
+        intervals = [(_ts(s), _ts(s + d)) for s, d in raw]
+        df = spark.createDataFrame(intervals, "start_ts timestamp, end_ts timestamp")
+        grid_instants = sorted({_ts(m) for m in instants})
+        grid = spark.createDataFrame(
+            [(g,) for g in grid_instants], "grid_ts timestamp"
+        )
+        got = (
+            concurrency_at_grid(df, grid, n_buckets=n_buckets)
+            .orderBy("grid_ts")
+            .toPandas()
+        )
+        assert got.active.tolist() == _brute_concurrency(intervals, grid_instants)
+
+    check()
