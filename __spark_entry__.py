@@ -937,6 +937,64 @@ def q_series_corr_1d(spark, sf_dir):
     )
 
 
+def q_uptime_1h(spark, sf_dir):
+    """Heartbeat→uptime aggregation (heartbeat_agg analogue,
+    operators/intervals.py): each event keeps its event_type "live" for
+    10 minutes; covers merge into islands (gaps-and-islands window) and
+    islands are clipped to hour buckets — exact BIGINT-µs overlaps, so
+    the per-bucket uptime seconds hash-match the DuckDB replay.  Plan:
+    one window shuffle on the key, island agg reuses its partitioning,
+    sequence/explode clip (no shuffle), one final (key, bucket) agg."""
+    from mq_to_db_spark.operators.intervals import heartbeat_agg
+
+    return heartbeat_agg(
+        _events(spark, sf_dir),
+        ["event_type"],
+        ts_col="ts",
+        tolerance="10 minutes",
+        bucket="1 hour",
+        tiebreak=["event_id"],
+    )
+
+
+def q_twa_interp_1h(spark, sf_dir):
+    """Carried (interpolated) time-weighted average (TimescaleDB
+    interpolated_average analogue, operators/intervals.py): LOCF hold
+    intervals cross bucket edges, so sample-free hours report the carried
+    value with n_samples=0 instead of disappearing.  DECIMAL×BIGINT-µs
+    integral ⇒ hash-exact oracle; contrast q_time_weighted_1h (the
+    within-bucket variant with no carry)."""
+    from mq_to_db_spark.operators.intervals import interpolated_time_weighted_avg
+
+    return interpolated_time_weighted_avg(
+        _events(spark, sf_dir),
+        ["event_type"],
+        ts_col="ts",
+        value_col="value",
+        bucket="1 hour",
+        tiebreak=["event_id"],
+    )
+
+
+def q_lttb_1h(spark, sf_dir):
+    """Largest-Triangle-One-Bucket downsample (operators/downsample.py,
+    Steinarsson 2013 §4.2): per (event_type, hour) keep the point whose
+    triangle with its immediate neighbors has the largest area; series
+    endpoints always kept.  The area uses neighbor *deltas* (≤2^40
+    doubles), so the IEEE product — and therefore the argmax — is
+    bit-identical in DuckDB's replay.  One window shuffle + one agg."""
+    from mq_to_db_spark.operators.downsample import downsample_lttb
+
+    return downsample_lttb(
+        _events(spark, sf_dir),
+        ["event_type"],
+        ts_col="ts",
+        value_col="value",
+        tier="1h",
+        tiebreak=("event_id",),
+    )
+
+
 def _training_export_oracle() -> str:
     from mq_to_db_spark.operators.sampling import _threshold
 
@@ -1160,6 +1218,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_1h": q_ewma_1h,
         "time_weighted_1h": q_time_weighted_1h,
         "state_durations_1d": q_state_durations_1d,
+        "uptime_1h": q_uptime_1h,
+        "twa_interp_1h": q_twa_interp_1h,
+        "lttb_1h": q_lttb_1h,
         "concurrency_10m": q_concurrency_10m,
         "series_corr_1d": q_series_corr_1d,
     }
@@ -2072,6 +2133,106 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(datediff('microsecond', ts, nxt)) / 1000000.0, 6)
                        AS duration_sec
             FROM t WHERE nxt IS NOT NULL GROUP BY 1, 2
+        """,
+        # full-algorithm replay: gaps-and-islands merge (gap ≤ 10 min),
+        # islands clipped to hour buckets in exact BIGINT µs
+        "uptime_1h": """
+            WITH hb AS (
+                SELECT event_type, ts, event_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                    > 600000000
+                            THEN 1 ELSE 0 END AS new_i
+                FROM events
+                WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+            ),
+            tagged AS (
+                SELECT event_type, ts,
+                       sum(new_i) OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS iid
+                FROM hb
+            ),
+            isl AS (
+                SELECT event_type, epoch_us(min(ts)) AS s_us,
+                       epoch_us(max(ts)) + 600000000 AS e_us
+                FROM tagged GROUP BY event_type, iid
+            ),
+            ex AS (
+                SELECT event_type, s_us, e_us,
+                       unnest(generate_series((s_us // 3600000000) * 3600000000,
+                                              ((e_us - 1) // 3600000000) * 3600000000,
+                                              3600000000)) AS b_us
+                FROM isl
+            )
+            SELECT event_type, make_timestamp(b_us) AS bucket_start,
+                   count(*) AS n_live_intervals,
+                   round(sum(least(e_us, b_us + 3600000000)
+                             - greatest(s_us, b_us)) / 1000000.0, 6) AS uptime_sec
+            FROM ex GROUP BY 1, 2
+        """,
+        # LOCF hold to the key's next sample (any bucket); last sample
+        # clamped to the end of its own bucket; explode across buckets
+        "twa_interp_1h": """
+            WITH t AS (
+                SELECT event_type, value, epoch_us(ts) AS s_us,
+                       epoch_us(lead(ts) OVER (PARTITION BY event_type
+                                               ORDER BY ts, event_id)) AS nxt_us
+                FROM events
+            ),
+            s AS (
+                SELECT event_type, value, s_us,
+                       coalesce(nxt_us,
+                                (s_us // 3600000000 + 1) * 3600000000) AS e_us
+                FROM t
+            ),
+            ex AS (
+                SELECT event_type, value, s_us, e_us,
+                       unnest(generate_series((s_us // 3600000000) * 3600000000,
+                                              ((e_us - 1) // 3600000000) * 3600000000,
+                                              3600000000)) AS b_us
+                FROM s WHERE e_us > s_us
+            )
+            SELECT event_type, make_timestamp(b_us) AS bucket_start,
+                   sum(CASE WHEN s_us >= b_us THEN 1 ELSE 0 END)::BIGINT
+                       AS n_samples,
+                   round(sum(value::DECIMAL(20,6)
+                             * (least(e_us, b_us + 3600000000)
+                                - greatest(s_us, b_us)))::DOUBLE
+                         / sum(least(e_us, b_us + 3600000000)
+                               - greatest(s_us, b_us))::DOUBLE,
+                         6) AS twa_interp
+            FROM ex GROUP BY 1, 2
+        """,
+        # neighbor-delta triangle area (BIGINT µs × DOUBLE — same IEEE
+        # products as the Spark expression); endpoints area=+inf;
+        # ties → latest (ts, event_id)
+        "lttb_1h": """
+            WITH t AS (
+                SELECT event_type, ts, value, event_id, epoch_us(ts) AS x,
+                       lag(epoch_us(ts)) OVER w AS xp, lag(value) OVER w AS yp,
+                       lead(epoch_us(ts)) OVER w AS xn, lead(value) OVER w AS yn
+                FROM events
+                WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+            ),
+            a AS (
+                SELECT event_type, ts, value, event_id, x,
+                       date_trunc('hour', ts) AS bucket_start,
+                       CASE WHEN xp IS NULL OR xn IS NULL THEN 'infinity'::DOUBLE
+                            ELSE abs((x - xp) * (yn - yp) - (xn - xp) * (value - yp))
+                       END AS area2
+                FROM t
+            ),
+            r AS (
+                SELECT *, row_number() OVER (PARTITION BY event_type, bucket_start
+                                             ORDER BY area2 DESC, x DESC,
+                                                      event_id DESC) AS rn,
+                       count(*) OVER (PARTITION BY event_type, bucket_start)
+                           AS n_samples
+                FROM a
+            )
+            SELECT event_type, bucket_start, ts, value, n_samples
+            FROM r WHERE rn = 1
         """,
         "concurrency_10m": """
             WITH flagged AS (

@@ -209,6 +209,13 @@ def run(sf_dir: str = SF_DIR, cpus: int = CPUS, include_scaling_meta: bool = Tru
         "ewma_1h",
         "contamination",
         "repetition_features",
+        "time_weighted_1h",
+        "state_durations_1d",
+        "concurrency_10m",
+        "series_corr_1d",
+        "uptime_1h",
+        "twa_interp_1h",
+        "lttb_1h",
     ):
         key = f"q_{name}"
         _materialize(qs[name](spark, WARM_DIR))

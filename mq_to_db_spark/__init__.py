@@ -86,6 +86,11 @@ _PUBLIC = {
     "bucketed_pair_series": "mq_to_db_spark.operators.correlate",
     "series_corr": "mq_to_db_spark.operators.correlate",
     "range_running_sum": "mq_to_db_spark.operators.rangewin",
+    # interval↔bucket attribution + LTOB downsampling (round 3)
+    "heartbeat_agg": "mq_to_db_spark.operators.intervals",
+    "interpolated_time_weighted_avg": "mq_to_db_spark.operators.intervals",
+    "explode_bucket_overlaps": "mq_to_db_spark.operators.intervals",
+    "downsample_lttb": "mq_to_db_spark.operators.downsample",
 }
 
 

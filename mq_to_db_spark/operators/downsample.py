@@ -27,10 +27,11 @@ Scale design — this is the *cheapest possible* plan for the semantics:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from mq_to_db_spark.operators.rollup import bucket_col
+from mq_to_db_spark.operators.timeweight import _epoch_micros
 
 
 def downsample_ohlc(
@@ -58,4 +59,67 @@ def downsample_ohlc(
             F.count(F.lit(1)).alias("n_samples"),
             F.round(F.sum(value), 6).alias("value_sum"),
         )
+    )
+
+
+def downsample_lttb(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tier: str = "1h",
+    tiebreak: tuple[str, ...] = (),
+) -> DataFrame:
+    """Largest-Triangle downsampling, one-bucket variant (LTOB,
+    Steinarsson 2013 §4.2): per ``(keys…, bucket)`` keep the single point
+    whose triangle with its *immediate neighbors* in the key's global
+    ``(ts, *tiebreak)`` order has the largest area — the point a plot at
+    bucket resolution would visually lose the least by keeping.  The
+    key's first and last points have no triangle and are always kept
+    (area = +∞), matching the LTTB family's fixed-endpoint rule.
+
+    The area is ``|dx1·dy2 − dx2·dy1|`` over *neighbor deltas* (BIGINT-µs
+    time deltas, not absolute epochs, so the doubles stay ≤ ~2^40 and the
+    IEEE product is bit-identical across engines — the DuckDB oracle
+    replays the same delta formula and hash-matches).  Ties break to the
+    latest ``(ts, *tiebreak)``, deterministic.
+
+    Scale: ONE window shuffle on the keys (lag/lead sort reuses it), then
+    a ``max_by`` hash aggregation whose grouping reuses the same
+    partitioning (keys ⊂ group keys ⇒ no second exchange for the partial
+    agg) — no per-row Python, no self-join.
+
+    Output: keys + ``bucket_start`` + ``ts`` + ``value`` (the selected
+    point) + ``n_samples`` (bucket population before downsampling).
+    """
+    w = W.partitionBy(*keys).orderBy(ts_col, *tiebreak)
+    x = _epoch_micros(F.col(ts_col))
+    y = F.col(value_col)
+    xp, yp = F.lag(x).over(w), F.lag(y).over(w)
+    xn, yn = F.lead(x).over(w), F.lead(y).over(w)
+    # deltas relative to the PREVIOUS point; cross product = 2×area
+    area2 = F.when(
+        xp.isNull() | xn.isNull(), F.lit(float("inf"))
+    ).otherwise(F.abs((x - xp) * (yn - yp) - (xn - xp) * (y - yp)))
+    order_key = F.struct(
+        area2.alias("a"), x.alias("x"), *[F.col(t) for t in tiebreak]
+    )
+    pick = F.struct(F.col(ts_col).alias("ts"), y.alias("value"))
+    bucket = bucket_col(tier, ts_col)
+    out = (
+        df.select(*keys, F.col(ts_col), y, *[F.col(t) for t in tiebreak])
+        .withColumn("_ok", order_key)
+        .withColumn("_pick", pick)
+        .groupBy(*keys, bucket.alias("bucket_start"))
+        .agg(
+            F.max_by("_pick", "_ok").alias("_sel"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+    return out.select(
+        *keys,
+        "bucket_start",
+        F.col("_sel.ts").alias(ts_col),
+        F.col("_sel.value").alias(value_col),
+        "n_samples",
     )

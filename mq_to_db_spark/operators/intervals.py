@@ -1,0 +1,193 @@
+"""Interval↔bucket attribution: heartbeat liveness and carried LOCF integrals.
+
+Two TimescaleDB-hyperfunction analogues the round-2 surface still lacked,
+both built on one shared primitive — **clip an interval table to tumbling
+tier buckets** — expressed as a Catalyst ``sequence``+``explode`` over
+exact BIGINT epoch-microsecond arithmetic (the same exactness discipline
+as :mod:`mq_to_db_spark.operators.timeweight`: every per-bucket weight is
+an integer µs, so sums are order-independent and the DuckDB oracles
+hash-match bit-for-bit).
+
+  * :func:`heartbeat_agg` — ``heartbeat_agg``/uptime analogue: each
+    heartbeat keeps its key live for ``tolerance``; overlapping covers
+    merge into liveness islands (gaps-and-islands: one ``lag`` window +
+    running sum, the :func:`~mq_to_db_spark.operators.sessionize.
+    with_session_id` pattern); islands are clipped to buckets for exact
+    per-bucket uptime seconds.  The reference only ever exposes liveness
+    as a point-in-time ``up`` gauge scraped every 5 s
+    (/root/reference/docker-compose/prometheus/prometheus.yml:10); this
+    is the historical-table form of the same question.
+  * :func:`interpolated_time_weighted_avg` — the *carried* variant of
+    :func:`~mq_to_db_spark.operators.timeweight.time_weighted_avg`
+    (TimescaleDB's ``interpolated_average``): a sample's LOCF hold
+    interval runs to the key's next sample even across bucket edges, so
+    a bucket with no samples still averages the carried value instead of
+    going NULL.  The hold of a key's last sample is clamped to the end
+    of the bucket containing it (no unbounded extrapolation).
+
+Scale design shared by both: ONE window shuffle on the key for the
+``lag``/``lead`` (per-key sequences bounded, same skew envelope as the
+rollup stage), the island/hold groupBy reuses that hash partitioning
+(keys ⊂ grouping keys ⇒ no second exchange), then the bucket explode is
+a projection whose output cardinality is the dense-series size — exactly
+the gap-fill materialization cost — followed by one partial-aggregated
+groupBy on (keys, bucket).  No per-row Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from mq_to_db_spark.operators.timeweight import _epoch_micros
+
+_UNIT_US = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 7 * 86_400_000_000,
+}
+
+
+def duration_us(spec: str) -> int:
+    """``"15 minutes"`` → 900000000 µs.  Fixed-width units only (no
+    month/year — tumbling buckets must be arithmetic, the same
+    restriction ``F.window`` has)."""
+    parts = spec.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"expected '<n> <unit>', got {spec!r}")
+    n, unit = int(parts[0]), parts[1].lower().rstrip("s")
+    if unit not in _UNIT_US:
+        raise ValueError(f"unsupported unit {unit!r} (fixed-width only)")
+    if n <= 0:
+        raise ValueError(f"duration must be positive, got {spec!r}")
+    return n * _UNIT_US[unit]
+
+
+def explode_bucket_overlaps(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket: str,
+    out_bucket: str = "bucket_start",
+    out_us: str = "_ov_us",
+) -> DataFrame:
+    """One output row per (input interval × tumbling bucket it overlaps),
+    carrying the exact overlap in BIGINT µs.  Intervals are half-open
+    ``[start, end)``; empty/negative intervals are dropped.  Buckets
+    align to the epoch origin, matching ``F.window``/``date_trunc``.
+
+    This is a projection + ``explode`` — no shuffle; output rows =
+    Σ buckets-spanned, i.e. the dense-series cardinality downstream
+    aggregations need anyway."""
+    width = duration_us(bucket)
+    s_us = _epoch_micros(F.col(start_col))
+    e_us = _epoch_micros(F.col(end_col))
+    live = df.filter(e_us > s_us).withColumn("_s_us", s_us).withColumn("_e_us", e_us)
+    first_b = (F.col("_s_us") - F.pmod("_s_us", F.lit(width))).cast("long")
+    last_b = ((F.col("_e_us") - 1) - F.pmod(F.col("_e_us") - 1, F.lit(width))).cast(
+        "long"
+    )
+    exploded = live.withColumn(
+        "_b_us", F.explode(F.sequence(first_b, last_b, F.lit(width)))
+    )
+    overlap = F.least(F.col("_e_us"), F.col("_b_us") + width) - F.greatest(
+        F.col("_s_us"), F.col("_b_us")
+    )
+    return (
+        exploded.withColumn(
+            out_bucket, F.timestamp_micros(F.col("_b_us")).cast("timestamp_ntz")
+        )
+        .withColumn(out_us, overlap)
+        .drop("_s_us", "_e_us", "_b_us")
+    )
+
+
+def heartbeat_agg(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    tolerance: str = "10 minutes",
+    bucket: str = "1 hour",
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Per (keys, bucket) uptime from a heartbeat stream: a heartbeat at
+    ``t`` keeps the key live over ``[t, t + tolerance)``; covers whose
+    gap is ≤ tolerance merge into one liveness island (so the union of
+    covers, exactly).  Output: keys + ``bucket_start`` +
+    ``n_live_intervals`` (islands overlapping the bucket) +
+    ``uptime_sec`` (exact µs, rounded to 6 dp once per group).
+    """
+    tiebreak = tiebreak or []
+    tol = duration_us(tolerance)
+    w = W.partitionBy(*keys).orderBy(ts_col, *tiebreak)
+    prev_us = F.lag(_epoch_micros(F.col(ts_col))).over(w)
+    new_island = F.when(
+        prev_us.isNull() | (_epoch_micros(F.col(ts_col)) - prev_us > tol), 1
+    ).otherwise(0)
+    tagged = df.withColumn(
+        "_iid",
+        F.sum(new_island).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    islands = tagged.groupBy(*keys, "_iid").agg(
+        F.min(ts_col).alias("_is"),
+        F.timestamp_micros(_epoch_micros(F.max(ts_col)) + tol)
+        .cast("timestamp_ntz")
+        .alias("_ie"),
+    )
+    clipped = explode_bucket_overlaps(islands, "_is", "_ie", bucket)
+    return clipped.groupBy(*keys, "bucket_start").agg(
+        F.count(F.lit(1)).alias("n_live_intervals"),
+        F.round(F.sum("_ov_us") / F.lit(1_000_000.0), 6).alias("uptime_sec"),
+    )
+
+
+def interpolated_time_weighted_avg(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "1 hour",
+    tiebreak: list[str] | None = None,
+    out_col: str = "twa_interp",
+    exact: bool = True,
+) -> DataFrame:
+    """LOCF time-weighted average with carry across bucket edges: sample
+    *i* holds ``[ts_i, next_ts_i)`` where *next* is the key's next sample
+    under the total ``(ts, *tiebreak)`` order — in ANY bucket — and the
+    key's last sample is clamped to the end of its own bucket.  Every
+    bucket a hold interval touches gets the exact µs-weighted
+    contribution, so a bucket between two sparse samples reports the
+    carried value rather than NULL (TimescaleDB ``interpolated_average``
+    semantics).
+
+    Output: keys + ``bucket_start`` + ``n_samples`` (samples *observed*
+    in the bucket with positive hold; 0 for carried-only buckets) +
+    ``out_col``.  ``exact=True`` accumulates DECIMAL(20,6)×BIGINT-µs —
+    order-independent, hash-exact vs the DuckDB oracle.
+    """
+    tiebreak = tiebreak or []
+    width = duration_us(bucket)
+    w = W.partitionBy(*keys).orderBy(ts_col, *tiebreak)
+    s_us = _epoch_micros(F.col(ts_col))
+    own_bucket_end = (s_us - F.pmod(s_us, F.lit(width)) + width).cast("long")
+    hold_end_us = F.coalesce(_epoch_micros(F.lead(ts_col).over(w)), own_bucket_end)
+    spans = df.select(
+        *keys,
+        F.col(ts_col),
+        F.col(value_col),
+        F.timestamp_micros(hold_end_us).cast("timestamp_ntz").alias("_hold_end"),
+    )
+    clipped = explode_bucket_overlaps(spans, ts_col, "_hold_end", bucket)
+    v = F.col(value_col)
+    if exact:
+        v = v.cast("decimal(20,6)")
+    integral = F.sum(v * F.col("_ov_us")).cast("double")
+    is_sample = F.col(ts_col) >= F.col("bucket_start")
+    return clipped.groupBy(*keys, "bucket_start").agg(
+        F.sum(is_sample.cast("long")).alias("n_samples"),
+        F.round(integral / F.sum("_ov_us").cast("double"), 6).alias(out_col),
+    )

@@ -90,3 +90,76 @@ def test_ohlc_plan_single_agg_no_window(spark):
     plan = _plan(downsample_ohlc(df, ["series"], tier="1h", tiebreak=("sid",)))
     assert plan.count("Exchange") == 1, plan
     assert "Window" not in plan, plan
+
+
+# ------------------------------------------------------------------ LTOB
+
+
+def _brute_ltob(pdf: pd.DataFrame, freq: str = "h"):
+    """Per (series, bucket) keep the max-area point; endpoints area=inf;
+    ties → latest (ts, sid)."""
+    want = {}
+    for s, g in pdf.groupby("series", sort=False):
+        g = g.sort_values(["ts", "sid"]).reset_index(drop=True)
+        x = g.ts.astype("int64") // 1_000
+        y = g.value.astype(float)
+        areas = []
+        for i in range(len(g)):
+            if i == 0 or i == len(g) - 1:
+                areas.append(float("inf"))
+            else:
+                dx1, dy1 = x[i] - x[i - 1], y[i] - y[i - 1]
+                dx2, dy2 = x[i + 1] - x[i - 1], y[i + 1] - y[i - 1]
+                areas.append(abs(dx1 * dy2 - dx2 * dy1))
+        g = g.assign(area=areas, x=x)
+        for b, gb in g.groupby(g.ts.dt.floor(freq), sort=False):
+            top = gb.sort_values(["area", "x", "sid"], ascending=False).iloc[0]
+            want[(s, b)] = (top.ts, float(top.value), len(gb))
+    return want
+
+
+def test_lttb_matches_naive(spark):
+    from mq_to_db_spark.operators.downsample import downsample_lttb
+
+    df, pdf = _fixture(spark)
+    got = {
+        (r.series, r.bucket_start): (r.ts, r.value, r.n_samples)
+        for r in downsample_lttb(
+            df, ["series"], tier="1h", tiebreak=("sid",)
+        ).collect()
+    }
+    assert got == _brute_ltob(pdf)
+
+
+def test_lttb_keeps_endpoints_and_extremes(spark):
+    from mq_to_db_spark.operators.downsample import downsample_lttb
+
+    # flat series with one spike: the spike's bucket must select the spike
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    rows = [("z", base + pd.Timedelta(minutes=10 * i), i, 5.0) for i in range(30)]
+    rows[14] = ("z", rows[14][1], 14, 500.0)  # spike mid-series
+    pdf = pd.DataFrame(rows, columns=["series", "ts", "sid", "value"])
+    df = spark.createDataFrame(pdf)
+    sel = {
+        r.bucket_start: (r.ts, r.value)
+        for r in downsample_lttb(df, ["series"], tier="1h", tiebreak=("sid",)).collect()
+    }
+    # endpoints always kept in their buckets
+    assert sel[base.to_pydatetime()][0] == base.to_pydatetime()
+    last = rows[-1][1]
+    assert sel[last.floor("h").to_pydatetime()][0] == last.to_pydatetime()
+    spike_ts = rows[14][1]
+    assert sel[spike_ts.floor("h").to_pydatetime()] == (
+        spike_ts.to_pydatetime(),
+        500.0,
+    )
+
+
+def test_lttb_plan_one_window_one_agg(spark):
+    from mq_to_db_spark.operators.downsample import downsample_lttb
+
+    df, _ = _fixture(spark)
+    plan = _plan(downsample_lttb(df, ["series"], tier="1h", tiebreak=("sid",)))
+    # window shuffle on series; agg reuses it (keys ⊂ group keys)
+    assert plan.count("Exchange") <= 2, plan
+    assert "PythonUDF" not in plan, plan
