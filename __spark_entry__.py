@@ -233,6 +233,54 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_asof_fwd(spark, sf_dir):
+    """Forward as-of join (operators/asof.py, direction='forward'): each
+    click gets the user's EARLIEST purchase at-or-after it — the reversed
+    LOCF scan, same one-shuffle construction; DuckDB's native forward
+    ASOF (``l.ts <= r.ts``) is the oracle."""
+    from mq_to_db_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(ev.event_type == "click").select("event_id", "user_id", "ts")
+    right = (
+        ev.filter(ev.event_type == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = asof_join(left, right, on="ts", by=["user_id"], direction="forward")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("pval_right", 6).alias("pval_right"),
+        "ts_right",
+    )
+
+
+def q_asof_nearest(spark, sf_dir):
+    """Nearest as-of join (operators/asof.py, direction='nearest'): the
+    closer of the backward/forward matches in exact µs, ties → backward;
+    the oracle composes DuckDB's two native ASOF directions with the
+    same µs tie rule."""
+    from mq_to_db_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.filter(ev.event_type == "click").select("event_id", "user_id", "ts")
+    right = (
+        ev.filter(ev.event_type == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    out = asof_join(left, right, on="ts", by=["user_id"], direction="nearest")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("pval_right", 6).alias("pval_right"),
+        "ts_right",
+    )
+
+
 def q_range_join(spark, sf_dir):
     """Point-in-interval range join via bucketized equi-join (no
     BroadcastNestedLoop): clicks landing inside the 2-hour window after
@@ -1182,6 +1230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_quantile_1d": q_hist_quantile_1d,
         "gapfill_1h": q_gapfill_1h,
         "asof_join": q_asof_join,
+        "asof_fwd": q_asof_fwd,
+        "asof_nearest": q_asof_nearest,
         "range_join": q_range_join,
         "sessionize": q_sessionize,
         "role_transitions": q_role_transitions,
@@ -1528,6 +1578,53 @@ def oracle_sql() -> dict[str, str]:
                    round(r.pval, 6) AS pval_right, r.ts AS ts_right
             FROM l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "asof_fwd": """
+            WITH l AS (
+                SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ),
+            r AS (
+                SELECT user_id, ts, max(value) AS pval
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            )
+            SELECT l.event_id, l.user_id, l.ts,
+                   round(r.pval, 6) AS pval_right, r.ts AS ts_right
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts <= r.ts
+        """,
+        # nearest = the closer of the backward and forward matches in
+        # exact µs (ties → backward) — composed from two native ASOFs
+        "asof_nearest": """
+            WITH l AS (
+                SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+            ),
+            r AS (
+                SELECT user_id, ts, max(value) AS pval
+                FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            ),
+            b AS (
+                SELECT l.event_id, l.user_id, l.ts,
+                       r.pval AS bp, r.ts AS bt
+                FROM l ASOF LEFT JOIN r
+                  ON l.user_id = r.user_id AND l.ts >= r.ts
+            ),
+            f AS (
+                SELECT l.event_id, r.pval AS fp, r.ts AS ft
+                FROM l ASOF LEFT JOIN r
+                  ON l.user_id = r.user_id AND l.ts <= r.ts
+            )
+            SELECT b.event_id, b.user_id, b.ts,
+                   round(CASE WHEN bt IS NULL THEN fp
+                              WHEN ft IS NULL THEN bp
+                              WHEN epoch_us(b.ts) - epoch_us(bt)
+                                   <= epoch_us(ft) - epoch_us(b.ts) THEN bp
+                              ELSE fp END, 6) AS pval_right,
+                   CASE WHEN bt IS NULL THEN ft
+                        WHEN ft IS NULL THEN bt
+                        WHEN epoch_us(b.ts) - epoch_us(bt)
+                             <= epoch_us(ft) - epoch_us(b.ts) THEN bt
+                        ELSE ft END AS ts_right
+            FROM b JOIN f USING (event_id)
         """,
         "sessionize": """
             WITH flagged AS (

@@ -188,3 +188,125 @@ def test_keyless_asof_null_on_rows(spark):
     assert pd.isna(got["price_right"].iloc[0])  # 01:00 predates all rights
     assert pd.isna(got["price_right"].iloc[1])  # NULL ts: no match
     assert got["price_right"].iloc[2] == 1.5  # 03:00 ← 02:00; 99.0 never used
+
+
+# ------------------------------------------------------------- directions
+
+
+def _expected_dir(left, right, direction, tolerance=None, by=True):
+    kw = {"tolerance": pd.Timedelta(tolerance)} if tolerance else {}
+    if by:
+        kw["by"] = "key"
+    exp = pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        right.sort_values("ts", kind="stable").rename(columns={"ts": "ts_r"}),
+        left_on="ts",
+        right_on="ts_r",
+        direction=direction,
+        **kw,
+    )
+    return exp.rename(columns={"price": "price_right", "ts_r": "ts_right"})
+
+
+def test_asof_forward_matches_merge_asof(spark, frames):
+    left, right = frames
+    got = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="ts",
+        by=["key"],
+        direction="forward",
+    ).toPandas()
+    _cmp(got, _expected_dir(left, right, "forward"))
+
+
+def test_asof_forward_with_tolerance(spark, frames):
+    left, right = frames
+    got = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="ts",
+        by=["key"],
+        direction="forward",
+        tolerance="1 hour",
+    ).toPandas()
+    _cmp(got, _expected_dir(left, right, "forward", tolerance="1 hour"))
+
+
+def test_asof_nearest_matches_merge_asof(spark, frames):
+    left, right = frames
+    got = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="ts",
+        by=["key"],
+        direction="nearest",
+    ).toPandas()
+    # pandas `nearest` also prefers backward on exact-distance ties
+    _cmp(got, _expected_dir(left, right, "nearest"))
+
+
+def test_asof_keyless_forward_matches_merge_asof(spark, frames):
+    left, right = frames
+    r1 = right.drop_duplicates(["ts"])
+    got = asof_join(
+        spark.createDataFrame(left.drop(columns=["key"])),
+        spark.createDataFrame(r1.drop(columns=["key"])),
+        on="ts",
+        direction="forward",
+        range_buckets=7,
+    ).toPandas()
+    want = _expected_dir(
+        left.drop(columns=["key"]), r1.drop(columns=["key"]), "forward", by=False
+    )
+    g = got.sort_values(["ts", "lval"], ignore_index=True)
+    w = want.sort_values(["ts", "lval"], ignore_index=True)[g.columns]
+    for c in g.columns:
+        if pd.api.types.is_datetime64_any_dtype(g[c]):
+            g[c] = g[c].astype("datetime64[us]")
+            w[c] = w[c].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_asof_forward_tie_matches_equal_timestamp(spark):
+    base = pd.Timestamp("2025-03-01")
+    left = pd.DataFrame({"key": ["a"], "ts": [base], "lval": [1]})
+    right = pd.DataFrame({"key": ["a"], "ts": [base], "price": [9.5]})
+    got = asof_join(
+        spark.createDataFrame(left),
+        spark.createDataFrame(right),
+        on="ts",
+        by=["key"],
+        direction="forward",
+    ).collect()
+    assert got[0].price_right == 9.5 and got[0].ts_right == base.to_pydatetime()
+
+
+def test_asof_forward_null_left_on_matches_nothing(spark):
+    base = pd.Timestamp("2025-03-01")
+    left = pd.DataFrame(
+        {"key": ["a", "a"], "ts": [base, pd.NaT], "lval": [1, 2]}
+    )
+    right = pd.DataFrame({"key": ["a"], "ts": [base], "price": [9.5]})
+    got = {
+        r.lval: r.price_right
+        for r in asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="ts",
+            by=["key"],
+            direction="forward",
+        ).collect()
+    }
+    assert got[1] == 9.5 and got[2] is None
+
+
+def test_asof_bad_direction_raises(spark, frames):
+    left, right = frames
+    with pytest.raises(ValueError):
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right),
+            on="ts",
+            direction="sideways",
+        )
