@@ -1043,6 +1043,73 @@ def q_lttb_1h(spark, sf_dir):
     )
 
 
+def _pii_seeded_text_spark(docs):
+    """documents.text + deterministic synthetic PII (email for every doc,
+    ipv4 for even doc_ids, ssn for doc_id % 5 == 0) so the redaction
+    operator has real matches to scrub at every sf."""
+    did = F.col("doc_id").cast("string")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), did, F.lit("@example.com"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit(" ip 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub stage (functions/text.py:with_pii_features): per-category
+    regexp counts on the raw text + sequential placeholder redaction —
+    pure chained regexp expressions, codegen'd, no shuffle.  The five
+    patterns are RE2-safe so DuckDB replays them verbatim; redacted text
+    and counts are hash-exact (parity spot-checked on adversarial
+    strings in tests/test_text_functions.py)."""
+    from mq_to_db_spark.functions.text import with_pii_features
+
+    seeded = _pii_seeded_text_spark(_docs(spark, sf_dir))
+    out = with_pii_features(seeded, "text")
+    return out.select(
+        "doc_id", "n_email", "n_ssn", "n_card", "n_ipv4", "n_phone",
+        "pii_any", "text_redacted",
+    )
+
+
+def _pii_oracle() -> str:
+    from mq_to_db_spark.functions.text import PII_PATTERNS
+
+    counts = ", ".join(
+        f"coalesce(len(regexp_extract_all(text, '{pat}')), 0)::BIGINT AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    red = "text"
+    for name, pat in PII_PATTERNS.items():
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+    anyp = " OR ".join(f"n_{name} > 0" for name in PII_PATTERNS)
+    return f"""
+        WITH seeded AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id || '@example.com'
+                        || CASE WHEN doc_id % 2 = 0
+                                THEN ' ip 10.0.' || (doc_id % 256) || '.7'
+                                ELSE '' END
+                        || CASE WHEN doc_id % 5 = 0
+                                THEN ' ssn 123-45-6789' ELSE '' END AS text
+            FROM documents
+        ),
+        counted AS (SELECT doc_id, text, {counts} FROM seeded)
+        SELECT doc_id, n_email, n_ssn, n_card, n_ipv4, n_phone,
+               ({anyp}) AS pii_any, {red} AS text_redacted
+        FROM counted
+    """
+
+
 def _training_export_oracle() -> str:
     from mq_to_db_spark.operators.sampling import _threshold
 
@@ -1241,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "token_counts": q_token_counts,
         "lang_quality": q_lang_quality,
+        "pii_redact": q_pii_redact,
         "curation_pipeline": q_curation_pipeline,
         "ann_cosine_topk": q_ann_cosine_topk,
         "knn_join": q_knn_join,
@@ -1746,6 +1814,7 @@ def oracle_sql() -> dict[str, str]:
                    round(h_en / greatest(n_tokens, 1), 6) AS q_stopword_ratio
             FROM f
         """,
+        "pii_redact": _pii_oracle(),
         "curation_pipeline": f"""
             WITH kept AS (
                 SELECT doc_id, text,

@@ -72,6 +72,8 @@ _PUBLIC = {
     "contamination_hits": "mq_to_db_spark.operators.contamination",
     "decontaminate": "mq_to_db_spark.operators.contamination",
     "with_repetition_features": "mq_to_db_spark.functions.text",
+    "with_pii_features": "mq_to_db_spark.functions.text",
+    "redact_pii": "mq_to_db_spark.functions.text",
     "quantile_sketch_rollup": "mq_to_db_spark.operators.sketch",
     "cascade_quantile_sketch": "mq_to_db_spark.operators.sketch",
     "sketch_quantile": "mq_to_db_spark.operators.sketch",

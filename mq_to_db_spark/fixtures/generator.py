@@ -56,7 +56,25 @@ def generate_transcripts_pdf(n_turns: int = 5000, seed: int = 42) -> pd.DataFram
     (analogue of the reference's MessageID, consumer.go:83); ``ts`` is
     strictly increasing within a conversation so `(conv_id, turn_idx)`
     ordering == ts ordering (stable turn ordering per input_hint).
+
+    The cyclic GC is suspended for the duration: the texts list holds
+    n_turns Python strings, and every generation-2 collection rescans all
+    of them — at 32M turns that turns a ~9-minute linear job into an
+    hour-plus superlinear one.  Nothing here creates reference cycles,
+    so suspending collection changes no behavior.
     """
+    import gc
+
+    gc_was_enabled = gc.isenabled()
+    gc.disable()
+    try:
+        return _generate_transcripts_pdf(n_turns, seed)
+    finally:
+        if gc_was_enabled:
+            gc.enable()
+
+
+def _generate_transcripts_pdf(n_turns: int, seed: int) -> pd.DataFrame:
     rng = np.random.default_rng(seed)
     n_convs = max(8, n_turns // 25)
 

@@ -350,3 +350,47 @@ def with_winnow_fingerprints(
         .withColumn(out, fps(F.col("_norm")))
         .drop("_norm")
     )
+
+
+# -- PII redaction ------------------------------------------------------------
+
+#: PII patterns, applied in THIS order (earlier replacements leave no
+#: digits, so later patterns cannot re-match inside a placeholder).
+#: RE2-safe constructs only (no lookaround/backrefs) — a DuckDB oracle
+#: replays the identical pattern strings, so redaction is engine-exact.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+    "card": r"\b[0-9]{13,16}\b",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9()\- ]{7,14}[0-9]\b",
+}
+
+
+def redact_pii(col) -> Column:
+    """Sequentially replace each :data:`PII_PATTERNS` match with
+    ``<CATEGORY>`` — the standard scrub stage (CCNet/Dolma-style) before
+    a corpus becomes training data.  Pure chained ``regexp_replace``:
+    codegen'd, per-row narrow, no shuffle/UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    for name, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"<{name.upper()}>")
+    return c
+
+
+def with_pii_features(df, text_col: str = "text"):
+    """``df`` + per-category match counts (``n_<category>``, counted on
+    the RAW text independently per pattern — overlapping categories both
+    count, documented), ``pii_any`` flag, and ``text_redacted``."""
+    out = df
+    flags = []
+    for name, pat in PII_PATTERNS.items():
+        cnt = F.coalesce(F.regexp_count(F.col(text_col), F.lit(pat)), F.lit(0))
+        out = out.withColumn(f"n_{name}", cnt.cast("long"))
+        flags.append(F.col(f"n_{name}") > 0)
+    any_pii = flags[0]
+    for f in flags[1:]:
+        any_pii = any_pii | f
+    return out.withColumn("pii_any", any_pii).withColumn(
+        "text_redacted", redact_pii(text_col)
+    )

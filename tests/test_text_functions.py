@@ -223,3 +223,73 @@ def test_repetition_features(spark):
     for empty_id in (4, 5, 6):
         assert got[empty_id] == (0, 0.0, 0.0, 0.0, 0.0), empty_id
     assert got[7] == (1, 0.0, 0.0, 0.0, 0.0)
+
+
+# ------------------------------------------------------------------ PII
+
+
+def test_pii_redaction_and_counts(spark):
+    from mq_to_db_spark.functions.text import with_pii_features
+
+    import pandas as pd
+
+    samples = [
+        "mail john.doe+x@sub.example.co.uk or call +1 (415) 555-0199 now",
+        "server 192.168.0.1 card 4111111111111111 ssn 123-45-6789",
+        "no pii, just 42 and 3.14",
+        None,
+        "",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(samples)), "text": samples})
+    df = spark.createDataFrame(pdf)
+    got = {
+        r.doc_id: r.asDict()
+        for r in with_pii_features(df, "text").collect()
+    }
+    assert got[0]["n_email"] == 1 and got[0]["n_phone"] == 1
+    assert got[0]["text_redacted"] == "mail <EMAIL> or call <PHONE> now"
+    assert (
+        got[1]["text_redacted"]
+        == "server <IPV4> card <CARD> ssn <SSN>"
+    )
+    # counts are independent per pattern on RAW text: the 16-digit card
+    # also matches the phone pattern (documented)
+    assert got[1]["n_card"] == 1 and got[1]["n_ipv4"] == 1 and got[1]["n_ssn"] == 1
+    assert got[2]["pii_any"] is False and got[2]["text_redacted"] == samples[2]
+    assert got[3]["n_email"] == 0 and got[3]["text_redacted"] is None
+    assert got[4]["pii_any"] is False
+
+
+def test_pii_patterns_duckdb_parity(spark):
+    """The exact pattern strings must behave identically in DuckDB —
+    the property the contract oracle relies on."""
+    import duckdb
+    import pandas as pd
+
+    from mq_to_db_spark.functions.text import PII_PATTERNS, with_pii_features
+
+    samples = [
+        "a@b.io c@d.e.fg 1.2.3.4 12.34.56.78.90 999.999.999.999",
+        "+44 20 7946 0958 and (022) 1234-5678 and 12-34",
+        "4111111111111111111 visa 4111111111111111 amex 371449635398431",
+        "x123-45-6789y 123-45-6789 123-456-789",
+        "v1.2.3.4.5 ends with ip 10.0.0.1",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(samples)), "text": samples})
+    got = (
+        with_pii_features(spark.createDataFrame(pdf), "text")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    sel, red = ["doc_id"], "text"
+    for name, pat in PII_PATTERNS.items():
+        sel.append(
+            f"coalesce(len(regexp_extract_all(text, '{pat}')), 0)::BIGINT AS n_{name}"
+        )
+        red = f"regexp_replace({red}, '{pat}', '<{name.upper()}>', 'g')"
+    sel.append(f"{red} AS text_redacted")
+    want = con.sql(f"SELECT {', '.join(sel)} FROM t ORDER BY doc_id").df()
+    for c in want.columns:
+        assert list(got[c]) == list(want[c]), c
