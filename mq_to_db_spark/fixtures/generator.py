@@ -199,12 +199,23 @@ def write_transcripts_parquet(
     if n_shards is None:
         n_shards = 1 if n_turns <= 100_000 else max(2, n_turns // 50_000)
     if n_shards <= 1:
-        pdf.to_parquet(path, index=False)
+        tmp = path + ".tmp"
+        pdf.to_parquet(tmp, index=False)
+        os.replace(tmp, path)
     else:
-        os.makedirs(path, exist_ok=True)
+        # write shards into a temp dir, atomically rename when complete —
+        # a killed/timed-out generation must never leave a partial
+        # directory that a later bench run would read as the fixture
+        tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            import shutil
+
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
         bounds = np.linspace(0, len(pdf), n_shards + 1).astype(int)
         for i in range(n_shards):
             pdf.iloc[bounds[i] : bounds[i + 1]].to_parquet(
-                os.path.join(path, f"part-{i:05d}.parquet"), index=False
+                os.path.join(tmp, f"part-{i:05d}.parquet"), index=False
             )
+        os.replace(tmp, path)
     return pdf
