@@ -242,6 +242,16 @@ def run(sf_dir: str = SF_DIR, cpus: int = CPUS, include_scaling_meta: bool = Tru
     spark.stop()
     if include_scaling_meta:
         result.update(_scale_meta(cpus))
+    try:
+        # environment self-documentation: a fault-throttled host inflates
+        # allocation-heavy phases 3-30x with no steal/idle signal — stamp
+        # every bench JSON with the probe so readers can tell plan
+        # regressions from host episodes (BENCH/PROFILE.md §5)
+        from tools.probe_host import main as probe_host
+
+        result["host"] = probe_host(mib=64, stat_seconds=1.0)
+    except Exception as e:  # noqa: BLE001
+        result["host"] = {"error": str(e)[:200]}
     return result
 
 

@@ -64,9 +64,9 @@ def compute_probe(n: int = 20_000_000) -> float:
     return round(5 * n / dt / 1e9, 3)
 
 
-def main() -> dict:
-    out = {"fault_us": round(fault_probe(), 3)}
-    out.update(stat_window())
+def main(mib: int = 256, stat_seconds: float = 2.0) -> dict:
+    out = {"fault_us": round(fault_probe(mib), 3)}
+    out.update(stat_window(stat_seconds))
     out["compute_gops"] = compute_probe()
     out["healthy"] = out["fault_us"] < 5.0
     return out
