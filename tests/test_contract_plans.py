@@ -1,0 +1,55 @@
+"""Plan hygiene across the ENTIRE driver contract: every query in
+``__spark_entry__.queries()`` must plan without the two quadratic
+physical operators (CartesianProduct, BroadcastNestedLoopJoin) — the
+patterns that silently turn a working sf0.01 query into a 100 TB
+non-starter.  Catches regressions the per-operator plan tests miss
+(e.g. a join rewritten by a refactor into a cross product because its
+equi-keys stopped resolving).
+
+Runs against sf0.001 parquet (plan shape is data-independent; the tiny
+sf keeps the analysis fast).  Queries are planned, not executed.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_PLAN_SF_DIR", "/root/testdata/sf0.001")
+
+_FORBIDDEN = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+#: intentional broadcast-bounded cross joins — NOT quadratic blowups:
+#: the non-broadcast side streams once and output cardinality equals it
+_WHITELIST = {
+    # gapfill.py:50 — series × broadcast(1-row min/max extent): the
+    # dense-grid materialization itself, output = |series| · |grid|
+    "gapfill_1h": ("BroadcastNestedLoopJoin",),
+    # similarity.py:229 — knn_join_brute is the documented small-right
+    # broadcast baseline (the scale path is knn_join_lsh, banded equi)
+    "knn_join": ("BroadcastNestedLoopJoin",),
+}
+
+
+def _queries():
+    import __spark_entry__ as entry
+
+    return sorted(entry.queries().items())
+
+
+@pytest.mark.skipif(not os.path.isdir(SF_DIR), reason="testdata absent")
+@pytest.mark.parametrize("name,fn", _queries(), ids=[n for n, _ in _queries()])
+def test_no_quadratic_join_in_plan(spark, name, fn):
+    df = fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    allowed = _WHITELIST.get(name, ())
+    for op in _FORBIDDEN:
+        if op in allowed:
+            # whitelisted BNLJ must still be a *broadcast* of something:
+            # a CartesianProduct is never acceptable
+            continue
+        assert op not in plan, f"{name}: {op} in physical plan\n{plan[:2000]}"
