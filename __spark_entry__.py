@@ -1043,6 +1043,71 @@ def q_lttb_1h(spark, sf_dir):
     )
 
 
+def q_cms_counts_1d(spark, sf_dir):
+    """Count-Min frequency sketch (operators/freq.py): daily CMS over
+    user_id (depth 4 × width 1024, md5-derived cells), then point
+    estimates for eight probe users via the pure-expression lookup.
+    The oracle replays the FULL construction — same cell hashes, same
+    min-over-depths — so estimates hash-match even where collisions
+    inflate them.  Mergeability (1h→1d cascade ≡ direct) is pinned in
+    tests/test_freq.py."""
+    from mq_to_db_spark.operators.freq import cms_lookup, cms_rollup
+
+    cms = cms_rollup(_events(spark, sf_dir), "1d", "user_id")
+    probes = cms.select(
+        "bucket_start",
+        "cms",
+        F.explode(F.array(*[F.lit(i) for i in range(1, 9)])).alias("user_id"),
+    )
+    return probes.select(
+        "bucket_start",
+        "user_id",
+        cms_lookup(F.col("cms"), F.col("user_id")).alias("est"),
+    )
+
+
+_CMS_CELL_SQL = (
+    "({d} * 1024 + ('0x' || substring(md5('cms{d}#' || CAST({col} AS VARCHAR)), 1, 15))"
+    "::BIGINT % 1024)"
+)
+
+
+def _cms_oracle() -> str:
+    cells = " , ".join(
+        f"{_CMS_CELL_SQL.format(d=d, col='user_id')} AS c{d}" for d in range(4)
+    )
+    probe_cells = " , ".join(
+        f"{_CMS_CELL_SQL.format(d=d, col='p.user_id')} AS c{d}" for d in range(4)
+    )
+    est = " , ".join(
+        f"(SELECT coalesce(max(cnt), 0) FROM per_cell x "
+        f"WHERE x.bucket_start = pc.bucket_start AND x.cell = pc.c{d})"
+        for d in range(4)
+    )
+    return f"""
+        WITH tagged AS (
+            SELECT date_trunc('day', ts) AS bucket_start, {cells}
+            FROM events WHERE user_id IS NOT NULL
+        ),
+        long AS (
+            SELECT bucket_start, unnest([c0, c1, c2, c3]) AS cell FROM tagged
+        ),
+        per_cell AS (
+            SELECT bucket_start, cell, count(*) AS cnt
+            FROM long GROUP BY 1, 2
+        ),
+        probe_cells AS (
+            SELECT d.bucket_start, p.user_id, {probe_cells}
+            FROM (SELECT DISTINCT date_trunc('day', ts) AS bucket_start
+                  FROM events WHERE user_id IS NOT NULL) d,
+                 (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8]) AS user_id) p
+        )
+        SELECT bucket_start, user_id,
+               least({est})::BIGINT AS est
+        FROM probe_cells pc
+    """
+
+
 def _pii_seeded_text_spark(docs):
     """documents.text + deterministic synthetic PII (email for every doc,
     ipv4 for even doc_ids, ssn for doc_id % 5 == 0) so the redaction
@@ -1332,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "downsample_ohlc": q_downsample_ohlc,
         "contamination": q_contamination,
         "quantile_sketch_1h": q_quantile_sketch_1h,
+        "cms_counts_1d": q_cms_counts_1d,
         "rolling_stats_1h": q_rolling_stats_1h,
         "ewma_1h": q_ewma_1h,
         "time_weighted_1h": q_time_weighted_1h,
@@ -2212,6 +2278,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "quantile_sketch_1h": _quantile_sketch_oracle(),
+        "cms_counts_1d": _cms_oracle(),
         # rolling stats: identical frames (23 PRECEDING..CURRENT and
         # 24 PRECEDING..1 PRECEDING), z-score from the ROUNDED value so
         # the anomaly threshold compares the same number on both engines
