@@ -78,6 +78,9 @@ _PUBLIC = {
     "cascade_quantile_sketch": "mq_to_db_spark.operators.sketch",
     "sketch_quantile": "mq_to_db_spark.operators.sketch",
     "rolling_stats": "mq_to_db_spark.operators.rolling",
+    "cms_rollup": "mq_to_db_spark.operators.freq",
+    "cascade_cms": "mq_to_db_spark.operators.freq",
+    "cms_lookup": "mq_to_db_spark.operators.freq",
     "ewma": "mq_to_db_spark.operators.ewma",
     "cascade_histogram": "mq_to_db_spark.operators.rollup",
     # hyperfunctions: time-weighted / state / sweep-line / correlation (round 3)
