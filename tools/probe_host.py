@@ -68,7 +68,11 @@ def main(mib: int = 256, stat_seconds: float = 2.0) -> dict:
     out = {"fault_us": round(fault_probe(mib), 3)}
     out.update(stat_window(stat_seconds))
     out["compute_gops"] = compute_probe()
-    out["healthy"] = out["fault_us"] < 5.0
+    # two independent failure modes observed on this host class: fault
+    # throttling (round-3 episode, ~700 µs/fault with normal compute) and
+    # plain CPU throttling (healthy faults, ~7× slower tight loop) —
+    # require both healthy before trusting benchmark numbers
+    out["healthy"] = out["fault_us"] < 5.0 and out["compute_gops"] >= 0.6
     return out
 
 
