@@ -75,6 +75,16 @@ def run(sf_dir: str = SF_DIR, cpus: int = CPUS, include_scaling_meta: bool = Tru
     from mq_to_db_spark.operators.rollup import rollup_tiers
     from mq_to_db_spark.session import get_spark
 
+    try:
+        # stamp host health BEFORE any measurement (and again at the end):
+        # the round-3 episode healed mid-run, so a single end-of-run probe
+        # can declare "healthy" numbers whose early phases were throttled
+        from tools.probe_host import main as probe_host
+
+        host_before = probe_host(mib=64, stat_seconds=1.0)
+    except Exception as e:  # noqa: BLE001
+        host_before = {"error": str(e)[:200]}
+
     sf = _sf_of(sf_dir)
     tr_path = ensure_transcripts(sf)
 
@@ -242,16 +252,17 @@ def run(sf_dir: str = SF_DIR, cpus: int = CPUS, include_scaling_meta: bool = Tru
     spark.stop()
     if include_scaling_meta:
         result.update(_scale_meta(cpus))
+    # environment self-documentation: a fault-throttled host inflates
+    # allocation-heavy phases 3-30x with no steal/idle signal — stamp
+    # every bench JSON with before/after probes so readers can tell plan
+    # regressions from host episodes (BENCH/PROFILE.md §5)
+    result["host_before"] = host_before
     try:
-        # environment self-documentation: a fault-throttled host inflates
-        # allocation-heavy phases 3-30x with no steal/idle signal — stamp
-        # every bench JSON with the probe so readers can tell plan
-        # regressions from host episodes (BENCH/PROFILE.md §5)
         from tools.probe_host import main as probe_host
 
-        result["host"] = probe_host(mib=64, stat_seconds=1.0)
+        result["host_after"] = probe_host(mib=64, stat_seconds=1.0)
     except Exception as e:  # noqa: BLE001
-        result["host"] = {"error": str(e)[:200]}
+        result["host_after"] = {"error": str(e)[:200]}
     return result
 
 
