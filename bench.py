@@ -226,6 +226,9 @@ def run(sf_dir: str = SF_DIR, cpus: int = CPUS, include_scaling_meta: bool = Tru
         "uptime_1h",
         "twa_interp_1h",
         "lttb_1h",
+        "cms_counts_1d",
+        "pii_redact",
+        "asof_fwd",
     ):
         key = f"q_{name}"
         _materialize(qs[name](spark, WARM_DIR))
