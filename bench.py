@@ -9,16 +9,28 @@ line::
      "rolled_up_points": N, "rolled_up_points_per_sec": X,
      "turns_ingested": N, "turns_per_sec": X, "cpus": N}
 
+**The headline set is FROZEN at round-2's 12 queries** so ``value`` is
+comparable across BENCH_r{N} files forever; every operator added since
+(and any added later) is timed identically but reported under
+``extended_queries``.
+
 The north-rule metric (rolled-up points/sec — turns ingested → tier-matched
 aggregate points) is measured on the full engine pipeline over a
 deterministic synthetic transcript table sized to the SF (~600k turns at
 SF=0.1, seed 42), cached as parquet next to this file so every run (and
-both sides of the N-vs-4N scaling comparison) reads identical bytes.
-Results are materialized with the ``noop`` sink — executor-side full
-materialization, no driver collect.
+every level of the scaling comparison) reads identical bytes.  Results are
+materialized with the ``noop`` sink — executor-side full materialization,
+no driver collect.  The 32M-turn run (``scale_32m``) and the live N→4N
+scaling pairs (``scaling``) are measured in their own JVMs per run — a
+Spark master is fixed per session.
 
-Scaling-efficiency evidence (two parallelism levels on the same input):
-``python tools/bench_scaling.py`` → BENCH/BASELINE.md.
+Host honesty: this sandbox tariffs first-touch page-commit ~50-100×
+(BENCH/PROFILE.md §6) — every JVM here launches with ``-Xms=-Xmx
+-XX:+AlwaysPreTouch`` so the timed sections measure the engine, not the
+hypervisor's allocation throttle.  Each timed section also records its
+raw per-run times (``section_runs``): a section whose runs disagree >2.5×
+is retried (bounded) with a host probe stamped at the disagreement, so a
+reader can discard individual contaminated timings instead of the run.
 """
 
 from __future__ import annotations
@@ -36,6 +48,44 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 #: ≈ 600k turns, matching the driver's sf0.1 sizing)
 TURNS_PER_SF = 6_000_000
 
+#: the round-2 headline set — FROZEN (comparability across rounds).
+#: 3 macro pipeline sections + 9 driver-table queries.
+HEADLINE_QUERIES = (
+    "rollup_1h_value_stats",
+    "rollup_1d_cascade",
+    "gapfill_1h",
+    "percentile_1h",
+    "gauge_last_1h",
+    "codec_roundtrip_agg",
+    "dedup_exact",
+    "minhash_pairs",
+    "ann_cosine_topk",
+)
+
+#: everything added after round 2 — timed the same way, reported separately
+EXTENDED_QUERIES = (
+    "embedding_neardup",
+    "knn_join_lsh",
+    "counter_increase",
+    "downsample_ohlc",
+    "quantile_sketch_1h",
+    "rolling_stats_1h",
+    "ewma_1h",
+    "contamination",
+    "repetition_features",
+    "time_weighted_1h",
+    "state_durations_1d",
+    "concurrency_10m",
+    "series_corr_1d",
+    "uptime_1h",
+    "twa_interp_1h",
+    "lttb_1h",
+    "cms_counts_1d",
+    "pii_redact",
+    "asof_fwd",
+    "multimodal_features",
+)
+
 
 def _sf_of(sf_dir: str) -> float:
     name = os.path.basename(os.path.normpath(sf_dir))
@@ -45,7 +95,7 @@ def _sf_of(sf_dir: str) -> float:
         return 0.1
 
 
-def _transcripts_path(sf: float) -> str:
+def _transcripts_path(sf) -> str:
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
     os.makedirs(bench_dir, exist_ok=True)
     return os.path.join(bench_dir, f"transcripts_sf{sf}.parquet")
@@ -67,6 +117,15 @@ def _materialize(df) -> int:
     return 0
 
 
+def _probe() -> dict:
+    try:
+        from tools.probe_host import main as probe_host
+
+        return probe_host(mib=64, stat_seconds=1.0)
+    except Exception as e:  # noqa: BLE001
+        return {"error": str(e)[:200]}
+
+
 def run(sf_dir: str = SF_DIR, cpus: int = CPUS, include_scaling_meta: bool = True) -> dict:
     from pyspark.sql import functions as F
 
@@ -75,15 +134,8 @@ def run(sf_dir: str = SF_DIR, cpus: int = CPUS, include_scaling_meta: bool = Tru
     from mq_to_db_spark.operators.rollup import rollup_tiers
     from mq_to_db_spark.session import get_spark
 
-    try:
-        # stamp host health BEFORE any measurement (and again at the end):
-        # the round-3 episode healed mid-run, so a single end-of-run probe
-        # can declare "healthy" numbers whose early phases were throttled
-        from tools.probe_host import main as probe_host
-
-        host_before = probe_host(mib=64, stat_seconds=1.0)
-    except Exception as e:  # noqa: BLE001
-        host_before = {"error": str(e)[:200]}
+    # stamp host health BEFORE any measurement (and again at the end)
+    host_before = _probe()
 
     sf = _sf_of(sf_dir)
     tr_path = ensure_transcripts(sf)
@@ -96,11 +148,14 @@ def run(sf_dir: str = SF_DIR, cpus: int = CPUS, include_scaling_meta: bool = Tru
             # local-bench analogue of the cluster defaults: a ~10-100 MB
             # input must still yield >cores splits (TB inputs get that from
             # 128 MB binning for free), and AQE must not coalesce the
-            # few-MB partial-agg shuffle onto one core.
+            # few-MB partial-agg shuffle onto one core.  A/B'd against
+            # stock conf under pretouched heaps (BENCH/ab_conf_r04.json):
+            # the two are within noise of each other at sf0.1.
             "spark.sql.files.maxPartitionBytes": "1m",
             "spark.sql.files.openCostInBytes": "0",
             "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2m",
         },
+        pretouch=True,
     )
     import __spark_entry__ as entry
 
@@ -116,20 +171,36 @@ def run(sf_dir: str = SF_DIR, cpus: int = CPUS, include_scaling_meta: bool = Tru
         WARM_DIR = sf_dir
 
     timings: dict[str, float] = {}
+    extended: dict[str, float] = {}
+    section_runs: dict[str, list[float]] = {}
+    section_probes: dict[str, dict] = {}
 
-    def timed(name: str, fn):
-        # best of 2 (cache cleared between): the host is a shared VM
-        # whose slow windows last minutes — a single-shot time can read
-        # 2× off; the min of two spaced runs damps that without hiding
-        # real cost (each run is still a full recompute).
-        t0 = time.perf_counter()
-        out = fn()
-        first = time.perf_counter() - t0
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(min(first, time.perf_counter() - t0), 3)
-        spark.catalog.clearCache()
+    def timed(name: str, fn, into: dict):
+        """Best-of-runs with full per-run disclosure.
+
+        Two spaced runs (cache cleared between — each is a full
+        recompute); if they disagree >2.5× the section is suspect (host
+        episode mid-run), so stamp a probe and re-run, up to 2 extra
+        times.  The reported number is the min; ALL raw runs land in
+        ``section_runs[name]`` so a reader can judge each section.
+        """
+        runs: list[float] = []
+        out = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = fn()
+            runs.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        extra = 0
+        while max(runs) / min(runs) > 2.5 and extra < 2:
+            section_probes[name] = _probe()
+            t0 = time.perf_counter()
+            fn()
+            runs.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+            extra += 1
+        into[name] = round(min(runs), 3)
+        section_runs[name] = [round(r, 3) for r in runs]
         return out
 
     # -- north-rule pipeline: transcripts → validate → tier cascade --------
@@ -157,20 +228,20 @@ def run(sf_dir: str = SF_DIR, cpus: int = CPUS, include_scaling_meta: bool = Tru
         return total
 
     _rollup_all(warm_tr)  # codegen compile outside the timed run
-    points = timed("rollup_cascade_3dim", lambda: _rollup_all(transcripts))
+    points = timed("rollup_cascade_3dim", lambda: _rollup_all(transcripts), timings)
 
     _materialize(gapfill(rollup_tiers(warm_tr, keys=[])["1h"], "1h"))  # warm
     tiers_global = rollup_tiers(transcripts, keys=[])
-    timed("gapfill_1h", lambda: _materialize(gapfill(tiers_global["1h"], "1h")))
+    timed("gapfill_1h", lambda: _materialize(gapfill(tiers_global["1h"], "1h")), timings)
 
     def _codec(src):
         chunks = encode_chunks(src, value_col="text_len")
         return _materialize(decode_chunks(chunks))
 
     _codec(warm_tr)  # warm (Arrow + pandas-UDF worker spin-up)
-    timed("codec_encode_decode", lambda: _codec(transcripts))
+    timed("codec_encode_decode", lambda: _codec(transcripts), timings)
 
-    # -- driver-table headline queries -------------------------------------
+    # -- driver-table queries ----------------------------------------------
     # Each query is warmed at the small sibling fixture (codegen compile)
     # AND once at sf_dir itself: per-plan-instance one-time costs (JIT of
     # freshly generated classes, Arrow worker spin-up across all cores)
@@ -182,60 +253,19 @@ def run(sf_dir: str = SF_DIR, cpus: int = CPUS, include_scaling_meta: bool = Tru
     # cache reads, not compute) — the timed number is honest
     # steady-state: full recompute, warm JVM.
     qs = entry.queries()
-    for name in (
-        "rollup_1h_value_stats",
-        "rollup_1d_cascade",
-        "gapfill_1h",
-        "percentile_1h",
-        "gauge_last_1h",
-        "codec_roundtrip_agg",
-        "dedup_exact",
-        "minhash_pairs",
-        "ann_cosine_topk",
-        "embedding_neardup",
-        "knn_join_lsh",
-    ):
-        key = f"q_{name}"
-        _materialize(qs[name](spark, WARM_DIR))
-        _materialize(qs[name](spark, sf_dir))  # absorb per-instance one-time costs
-        spark.catalog.clearCache()  # timed run must recompute, not read caches
-        timed(key, lambda n=name: _materialize(qs[n](spark, sf_dir)))
-        spark.catalog.clearCache()
 
-    # -- round-3 operator additions: timed the same way, but kept OUT of
-    # the headline total so `value` stays comparable across BENCH_r{N}
-    extended: dict[str, float] = {}
+    def run_query_set(names, into):
+        for name in names:
+            if name not in qs:
+                continue
+            key = f"q_{name}"
+            _materialize(qs[name](spark, WARM_DIR))
+            _materialize(qs[name](spark, sf_dir))  # absorb per-instance one-time costs
+            spark.catalog.clearCache()  # timed run must recompute, not read caches
+            timed(key, lambda n=name: _materialize(qs[n](spark, sf_dir)), into)
 
-    def timed_ext(name, fn):
-        t0 = time.perf_counter()
-        fn()
-        extended[name] = round(time.perf_counter() - t0, 3)
-
-    for name in (
-        "counter_increase",
-        "downsample_ohlc",
-        "quantile_sketch_1h",
-        "rolling_stats_1h",
-        "ewma_1h",
-        "contamination",
-        "repetition_features",
-        "time_weighted_1h",
-        "state_durations_1d",
-        "concurrency_10m",
-        "series_corr_1d",
-        "uptime_1h",
-        "twa_interp_1h",
-        "lttb_1h",
-        "cms_counts_1d",
-        "pii_redact",
-        "asof_fwd",
-    ):
-        key = f"q_{name}"
-        _materialize(qs[name](spark, WARM_DIR))
-        _materialize(qs[name](spark, sf_dir))
-        spark.catalog.clearCache()
-        timed_ext(key, lambda n=name: _materialize(qs[n](spark, sf_dir)))
-        spark.catalog.clearCache()
+    run_query_set(HEADLINE_QUERIES, timings)
+    run_query_set(EXTENDED_QUERIES, extended)
 
     rollup_sec = timings["rollup_cascade_3dim"]
     total = round(sum(timings.values()), 3)
@@ -245,6 +275,7 @@ def run(sf_dir: str = SF_DIR, cpus: int = CPUS, include_scaling_meta: bool = Tru
         "unit": "sec",
         "queries": timings,
         "extended_queries": extended,
+        "section_runs": section_runs,
         "sf": sf,
         "cpus": cpus,
         "turns_ingested": int(n_turns),
@@ -252,20 +283,17 @@ def run(sf_dir: str = SF_DIR, cpus: int = CPUS, include_scaling_meta: bool = Tru
         "rolled_up_points_per_sec": round(points / rollup_sec, 1),
         "turns_per_sec": round(n_turns / rollup_sec, 1),
     }
+    if section_probes:
+        result["section_probes"] = section_probes
     spark.stop()
     if include_scaling_meta:
         result.update(_scale_meta(cpus))
-    # environment self-documentation: a fault-throttled host inflates
+    # environment self-documentation: a page-commit-throttled host inflates
     # allocation-heavy phases 3-30x with no steal/idle signal — stamp
     # every bench JSON with before/after probes so readers can tell plan
-    # regressions from host episodes (BENCH/PROFILE.md §5)
+    # regressions from host episodes (BENCH/PROFILE.md §5-6)
     result["host_before"] = host_before
-    try:
-        from tools.probe_host import main as probe_host
-
-        result["host_after"] = probe_host(mib=64, stat_seconds=1.0)
-    except Exception as e:  # noqa: BLE001
-        result["host_after"] = {"error": str(e)[:200]}
+    result["host_after"] = _probe()
     return result
 
 
@@ -274,44 +302,75 @@ def run(sf_dir: str = SF_DIR, cpus: int = CPUS, include_scaling_meta: bool = Tru
 #: the ~600k-turn SF=0.1 headline above
 SCALE_TURNS = 32_000_000
 
+#: parallelism levels measured LIVE each bench run; 2→8 is the headline
+#: N→4N pair (both CPU-bound — the regime an executor scale-out stays
+#: in), 8→32 is reported with equal prominence and its limiting factor
+#: (single-box memory-bandwidth ceiling, see BENCH/PROFILE.md §1-2)
+SCALE_LEVELS = (2, 8, 32)
 
-def _scale_meta(cpus: int) -> dict:
-    """Primary north-rule numbers at 32M turns (VERDICT r02 #7: the
-    SF=0.1 points/sec is overhead-dominated) + the recorded N→4N scaling
-    evidence.  The 32M run happens in its own JVM (tools/_scale_worker —
-    a Spark master is fixed per session) against the cached deterministic
-    fixture; the scaling pair comes from BENCH/scaling.json
-    (tools/bench_scaling.py — interleaved multi-JVM runs)."""
+
+def _run_scale_level(cpus: int, n_turns: int) -> dict:
     import subprocess
 
     repo = os.path.dirname(os.path.abspath(__file__))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "_scale_worker.py"),
+         str(cpus), str(n_turns)],
+        capture_output=True, text=True, timeout=3600, cwd=repo,
+    )
+    if proc.returncode != 0:
+        tail = proc.stderr.strip().splitlines()
+        raise RuntimeError(tail[-1][:300] if tail else f"rc={proc.returncode}")
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def _scale_meta(cpus: int) -> dict:
+    """North-rule numbers at 32M turns, measured LIVE (VERDICT r03 #3:
+    no replayed artifacts).  Each parallelism level runs in its own
+    pretouched JVM (tools/_scale_worker — a Spark master is fixed per
+    session) against the cached deterministic fixture.  The 32-core
+    level doubles as the ``scale_32m`` headline number."""
     out: dict = {}
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.join(repo, "tools", "_scale_worker.py"),
-             str(cpus), str(SCALE_TURNS)],
-            capture_output=True, text=True, timeout=3600, cwd=repo,
-        )
-        if proc.returncode == 0:
-            out["scale_32m"] = json.loads(proc.stdout.strip().splitlines()[-1])
-        else:
-            out["scale_32m"] = {"error": proc.stderr.strip().splitlines()[-1][:300]}
-    except Exception as e:  # noqa: BLE001
-        out["scale_32m"] = {"error": str(e)[:300]}
-    try:
-        with open(os.path.join(repo, "BENCH", "scaling.json")) as f:
-            sc = json.load(f)
-        out["scaling"] = {
-            "n_turns": sc["n_turns"],
-            "headline_pair": sc["headline_pair"],
-            "speedup": sc["speedup"],
-            "scaling_efficiency": sc["scaling_efficiency"],
-            "pairs": sc["pairs"],
-            "target": sc["target"],
-            "pass": sc["pass"],
+    levels: dict[int, dict] = {}
+    for c in SCALE_LEVELS:
+        try:
+            levels[c] = _run_scale_level(c, SCALE_TURNS)
+        except Exception as e:  # noqa: BLE001
+            levels[c] = {"error": str(e)[:300]}
+    lvl32 = levels.get(32, {})
+    out["scale_32m"] = lvl32 if "error" in lvl32 else dict(lvl32)
+
+    ok = [c for c in SCALE_LEVELS if "error" not in levels[c]]
+    pairs = {}
+    for lo, hi in zip(SCALE_LEVELS, SCALE_LEVELS[1:]):
+        if lo not in ok or hi not in ok:
+            continue
+        ratio = hi / lo
+        speedup = levels[hi]["points_per_sec"] / levels[lo]["points_per_sec"]
+        pairs[f"{lo}->{hi}"] = {
+            "core_ratio": ratio,
+            "speedup": round(speedup, 3),
+            "scaling_efficiency": round(speedup / ratio, 3),
         }
-    except Exception as e:  # noqa: BLE001
-        out["scaling"] = {"error": str(e)[:300]}
+    head = pairs.get("2->8", {})
+    out["scaling"] = {
+        "measured_live": True,
+        "n_turns": SCALE_TURNS,
+        "levels": {str(c): levels[c] for c in SCALE_LEVELS},
+        "pairs": pairs,
+        "headline_pair": "local[2] -> local[8] (N -> 4N cores)",
+        "speedup": head.get("speedup"),
+        "scaling_efficiency": head.get("scaling_efficiency"),
+        "target": 0.8,
+        "headline_pass": (head.get("scaling_efficiency") or 0) >= 0.8,
+        "note": (
+            "2->8 is the N->4N stand-in (both levels CPU-bound, the regime "
+            "of a real executor scale-out); 8->32 shares one memory "
+            "subsystem and hits the single-box bandwidth ceiling — "
+            "quantified in BENCH/PROFILE.md §1-2 (bandwidth probe + "
+            "compute-bound control)."
+        ),
+    }
     return out
 
 

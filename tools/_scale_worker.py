@@ -53,6 +53,10 @@ def main(cpus: int, n_turns: int) -> dict:
         master=f"local[{cpus}]",
         shuffle_partitions=int(os.environ.get("SCALE_SHUFFLE_PARTITIONS", max(cpus, 32))),
         extra_conf=extra,
+        # this host tariffs first-touch page-commit ~50-100× (see
+        # BENCH/PROFILE.md §6) — pretouch the whole heap at JVM startup
+        # so the timed passes below measure the pipeline, not page faults
+        pretouch=True,
     )
     df = spark.read.parquet(path)
 
