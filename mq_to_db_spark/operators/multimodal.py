@@ -488,3 +488,94 @@ def synth_media_real(spark, n: int = 30, seed: int = 0) -> DataFrame:
             }
         rows.append((i, kind, mime, payload, meta))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+# -- contract-checkable image plane (round 4) ---------------------------------
+
+#: schema of synth_ppm_from_ids output — a media table keyed by the source id
+SYNTH_PPM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_px", T.LongType(), False),
+        T.StructField("sum_px", T.LongType(), False),
+        T.StructField("max_px", T.IntegerType(), False),
+    ]
+)
+
+
+def synth_ppm_from_ids(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PPM image per input id — the contract-checkable
+    media synthesizer (every byte is integer arithmetic on the id, so an
+    external engine can replay the construction without running numpy):
+
+    * geometry: ``width = 4 + id % 5``, ``height = 3 + id % 4``
+    * flat pixel byte ``q`` (0-based over h×w×3): ``(id*31 + 7*q) % 256``
+
+    A ``mapInPandas`` narrow pass (no shuffle): ids stream in Arrow
+    batches, payloads are built with one vectorized numpy expression per
+    image and REAL ``encode_ppm`` headers — the same binary-column
+    plumbing a PIL/ffmpeg-backed synthesizer would use."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = []
+            for i in ids:
+                w = int(4 + i % 5)
+                h = int(3 + i % 4)
+                q = np.arange(h * w * 3, dtype=np.int64)
+                px = ((i * 31 + 7 * q) % 256).astype(np.uint8).reshape(h, w, 3)
+                payloads.append(encode_ppm(px))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "mime": "image/x-portable-pixmap",
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(id_col).mapInPandas(_synth, schema=SYNTH_PPM_SCHEMA)
+
+
+def image_byte_stats(df: DataFrame) -> DataFrame:
+    """Decode PPM payloads (REAL codec) → exact integer pixel statistics
+    per image: width, height, pixel-byte count / sum / max.
+
+    The integer-domain companion of ``extract_features``: same
+    ``mapInPandas`` narrow-pass shape (payload bytes never shuffle), but
+    its outputs are exact BIGINTs, so it anchors the whole binary-column
+    plumbing — synth → encode → Arrow transfer → decode — to a
+    hash-exact external oracle (contract query ``multimodal_features``)."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "width", "height", "n_px", "sum_px", "max_px")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_ppm(bytes(payload))
+                h, w = px.shape[:2]
+                flat = px.reshape(-1).astype(np.int64)
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_px"].append(flat.size)
+                rows["sum_px"].append(int(flat.sum()))
+                rows["max_px"].append(int(flat.max()))
+            out = pd.DataFrame(rows)
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            out["max_px"] = out["max_px"].astype("int32")
+            yield out
+
+    return df.mapInPandas(_stats, schema=IMAGE_STATS_SCHEMA)
