@@ -952,12 +952,12 @@ def q_concurrency_10m(spark, sf_dir):
     as-of join onto the grid; every shuffle carries ≤16-byte rows.  The
     oracle is the naive grid×interval join (O(n·m), fine at sf0.01) —
     engine-independent semantics, scalable plan only on the Spark side."""
-    from mq_to_db_spark.operators.concurrency import concurrency_at_grid, time_grid
+    from mq_to_db_spark.operators.concurrency import concurrency_at_grid, instant_grid
     from mq_to_db_spark.operators.sessionize import sessionize
 
     ev = _events(spark, sf_dir).select("user_id", "event_id", "ts")
     sess = sessionize(ev, gap="30 minutes", key="user_id", order_cols=["ts", "event_id"])
-    grid = time_grid(_events(spark, sf_dir), "ts", "10 minutes", align="day")
+    grid = instant_grid(_events(spark, sf_dir), "ts", "10 minutes", align="day")
     return concurrency_at_grid(
         sess, grid, grid_col="grid_ts", start_col="session_start", end_col="session_end"
     )

@@ -201,15 +201,19 @@ def write_transcripts_parquet(
     if n_shards <= 1:
         tmp = path + ".tmp"
         pdf.to_parquet(tmp, index=False)
+        if os.path.isdir(path):  # was previously sharded — clear the dir
+            import shutil
+
+            shutil.rmtree(path)
         os.replace(tmp, path)
     else:
         # write shards into a temp dir, atomically rename when complete —
         # a killed/timed-out generation must never leave a partial
         # directory that a later bench run would read as the fixture
+        import shutil
+
         tmp = path + ".tmp"
         if os.path.exists(tmp):
-            import shutil
-
             shutil.rmtree(tmp)
         os.makedirs(tmp)
         bounds = np.linspace(0, len(pdf), n_shards + 1).astype(int)
@@ -217,5 +221,12 @@ def write_transcripts_parquet(
             pdf.iloc[bounds[i] : bounds[i + 1]].to_parquet(
                 os.path.join(tmp, f"part-{i:05d}.parquet"), index=False
             )
+        # os.replace cannot rename onto a non-empty directory (ENOTEMPTY)
+        # or onto a file when tmp is a dir — clear the destination first
+        # (regeneration over an existing fixture is a supported call)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        elif os.path.exists(path):
+            os.remove(path)
         os.replace(tmp, path)
     return pdf

@@ -358,10 +358,23 @@ def with_winnow_fingerprints(
 #: digits, so later patterns cannot re-match inside a placeholder).
 #: RE2-safe constructs only (no lookaround/backrefs) — a DuckDB oracle
 #: replays the identical pattern strings, so redaction is engine-exact.
+#:
+#: Known over-match classes (a Luhn check is not RE2-expressible):
+#: * ``card`` requires a known IIN prefix (4=Visa 13/16, 51-55=MC 16,
+#:   34/37=Amex 15, 6011/65xx=Discover 16) for BARE digit runs, or
+#:   4-4-4-4 separator grouping for any prefix — so epoch-microsecond
+#:   timestamps and order/trace ids no longer redact as <CARD>, but a
+#:   16-digit id that *starts with 4* still would.
+#: * ``phone`` still swallows generic 9-16-char digit/space/dash/paren
+#:   runs (including bare 13-16-digit numbers the card pattern now
+#:   skips) — over-redaction is the safe direction for a scrub stage.
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "ssn": r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
-    "card": r"\b[0-9]{13,16}\b",
+    "card": (
+        r"\b(?:4[0-9]{12}(?:[0-9]{3})?|5[1-5][0-9]{14}|3[47][0-9]{13}"
+        r"|6(?:011|5[0-9]{2})[0-9]{12}|[0-9]{4}(?:[ -][0-9]{4}){3})\b"
+    ),
     "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
     "phone": r"\+?[0-9][0-9()\- ]{7,14}[0-9]\b",
 }

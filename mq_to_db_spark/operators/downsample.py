@@ -75,8 +75,13 @@ def downsample_lttb(
     whose triangle with its *immediate neighbors* in the key's global
     ``(ts, *tiebreak)`` order has the largest area — the point a plot at
     bucket resolution would visually lose the least by keeping.  The
-    key's first and last points have no triangle and are always kept
-    (area = +∞), matching the LTTB family's fixed-endpoint rule.
+    key's first and last points have no triangle and get area = +∞, so
+    each *wins its own bucket* — displacing that bucket's true max-area
+    interior point rather than being kept in addition to it (exactly one
+    point per bucket, always; if both endpoints of a short series land in
+    the same bucket, only the later one survives the tiebreak).  This is
+    strict one-per-bucket LTOB, not LTTB's keep-endpoints-extra rule;
+    the DuckDB oracle mirrors the same semantics.
 
     The area is ``|dx1·dy2 − dx2·dy1|`` over *neighbor deltas* (BIGINT-µs
     time deltas, not absolute epochs, so the doubles stay ≤ ~2^40 and the

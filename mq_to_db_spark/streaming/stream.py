@@ -175,3 +175,147 @@ def run_streaming_pipeline(
         spark, input_path, checkpoint_path, _batch, available_now,
         max_files_per_trigger,
     )
+
+
+# -- socket-backed (live-broker) source variant -------------------------------
+#
+# The file source above models the queue as a spool directory; the
+# reference's actual consumer is a LIVE unbounded subscription
+# (/root/reference/internal/consumer/rmq/rmq.go:170-217 — deliveries
+# arrive continuously on a channel, not in files).  Spark's
+# ``rate-micro-batch`` source is the socket-shaped stand-in this sandbox
+# can run: rows arrive per trigger from a generator, there is no
+# filesystem handshake, and offsets exist only in the streaming
+# checkpoint — exactly a broker subscription's shape.  Its (timestamp,
+# value) rows are mapped to transcript turns with pure column
+# expressions (codegen, no UDF), and — the property the ack story needs
+# — the value sequence is DETERMINISTIC given the options, so a
+# micro-batch replayed after a crash redelivers byte-identical turns,
+# mirroring broker redelivery of unacked deliveries (rmq.go requeue).
+
+_RATE_VOCAB = (
+    "spark rollup tier shuffle naïve café 日本語 データ straße 🚀 Ω λ".split()
+)
+
+
+def turns_from_values(
+    df: DataFrame,
+    turns_per_conv: int = 25,
+    start_ts: str = "2025-01-01 00:00:00",
+) -> DataFrame:
+    """Map a monotonic BIGINT ``value`` column to transcript turns with
+    pure codegen'd column expressions (no UDF) — shared by the streaming
+    rate source and its batch replay oracle (``spark.range`` produces
+    the identical ``value`` domain, so tests can reconstruct exactly
+    what any batch range delivered).
+
+    ``value`` plays the reference's MessageID (consumer.go:83):
+    ``conv_id = value // turns_per_conv`` and ``turn_idx = value %
+    turns_per_conv`` form the same dense unique per-conversation key the
+    file fixtures carry; role mix follows the generator's 40/40/5/15
+    split via a deterministic hash; ``ts`` advances 1 s per turn from
+    ``start_ts``."""
+    v = F.col("value")
+    h = F.abs(F.xxhash64(v, F.lit("role"))) % 100
+    role = (
+        F.when(h < 40, "user")
+        .when(h < 80, "assistant")
+        .when(h < 85, "system")
+        .otherwise("tool")
+    )
+    tools = F.array(*[F.lit(t) for t in ("bash", "read", "write", "search", "edit", "fetch")])
+    vocab = F.array(*[F.lit(w) for w in _RATE_VOCAB])
+    nw = F.lit(len(_RATE_VOCAB))
+    word = lambda salt: F.element_at(  # noqa: E731
+        vocab, (F.abs(F.xxhash64(v, F.lit(salt))) % nw + 1).cast("int")
+    )
+    return df.select(
+        F.concat(F.lit("conv-"), F.floor(v / turns_per_conv).cast("long")).alias("conv_id"),
+        (v % turns_per_conv).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.concat_ws(" ", word("w1"), word("w2"), word("w3")).alias("text"),
+        F.when(
+            role == "tool",
+            F.element_at(tools, (F.abs(F.xxhash64(v, F.lit("tool"))) % 6 + 1).cast("int")),
+        ).alias("tool"),
+        (F.to_timestamp(F.lit(start_ts)) + F.make_dt_interval(secs=v.cast("double"))).alias("ts"),
+    )
+
+
+def read_rate_turns(
+    spark: SparkSession,
+    rows_per_batch: int = 1000,
+    num_partitions: int | None = None,
+    turns_per_conv: int = 25,
+    start_ts: str = "2025-01-01 00:00:00",
+) -> DataFrame:
+    """Unbounded transcript-turn stream from the ``rate-micro-batch``
+    source — the live-broker analogue of :func:`read_transcript_stream`
+    (column semantics: :func:`turns_from_values`).  Batch ``k`` delivers
+    values ``[k*rows_per_batch, (k+1)*rows_per_batch)``, so redelivery
+    after a crash is byte-identical — the broker-requeue property the
+    ack story relies on."""
+    reader = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("startTimestamp", "0")
+    )
+    if num_partitions:
+        reader = reader.option("numPartitions", num_partitions)
+    return turns_from_values(reader.load(), turns_per_conv, start_ts)
+
+
+def run_rate_pipeline(
+    spark: SparkSession,
+    checkpoint_path: str,
+    pipeline,
+    rows_per_batch: int = 1000,
+    num_partitions: int | None = None,
+    finalize_every_n_batches: int | None = None,
+):
+    """:func:`run_streaming_pipeline` over the live rate source: every
+    micro-batch of delivered turns runs the COMPLETE RollupPipeline in
+    ``mode="append"`` with batch-scoped acks — the same effectively-once
+    contract (source checkpoint × unit acks), now with no files anywhere
+    on the ingest path.  The stream is unbounded (a subscription, not a
+    drain): callers stop it explicitly or via :func:`await_batches`."""
+
+    def _batch(df, batch_id):
+        pipeline.run(
+            df.sparkSession, df, batch_id=f"rate-{int(batch_id):06d}", mode="append"
+        )
+        if (
+            finalize_every_n_batches
+            and (int(batch_id) + 1) % finalize_every_n_batches == 0
+        ):
+            pipeline.finalize(df.sparkSession)
+
+    stream = read_rate_turns(spark, rows_per_batch, num_partitions)
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+
+
+def await_batches(query, n_batches: int, timeout_sec: float = 120.0) -> int:
+    """Block until ``query`` has COMMITTED ≥ ``n_batches`` micro-batches,
+    then stop it; returns the committed batch count.  (A live
+    subscription never terminates on its own — this is the test/drain
+    harness for :func:`run_rate_pipeline`.)"""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout_sec
+    done = 0
+    while _time.monotonic() < deadline:
+        lp = query.lastProgress
+        if lp is not None and lp.get("batchId") is not None:
+            # batchId in lastProgress is the last COMPLETED batch
+            done = int(lp["batchId"]) + 1
+            if done >= n_batches:
+                break
+        _time.sleep(0.2)
+    query.stop()
+    query.awaitTermination(30)
+    return done

@@ -18,8 +18,8 @@ from pyspark.sql import functions as F
 
 from mq_to_db_spark.operators.concurrency import (
     concurrency_at_grid,
+    instant_grid,
     sweepline_counts,
-    time_grid,
 )
 from mq_to_db_spark.operators.correlate import bucketed_pair_series, series_corr
 from mq_to_db_spark.operators.rangewin import range_running_sum
@@ -190,11 +190,11 @@ def test_sweepline_end_inclusive_and_drops_invalid(spark):
     ]
 
 
-def test_time_grid_spans_extent(spark):
+def test_instant_grid_spans_extent(spark):
     df = spark.createDataFrame(
         [(_ts(7),), (_ts(125),)], "ts timestamp"
     )
-    grid = time_grid(df, "ts", "30 minutes", align="hour").orderBy("grid_ts").collect()
+    grid = instant_grid(df, "ts", "30 minutes", align="hour").orderBy("grid_ts").collect()
     # floor(0:07 → 0:00) .. 2:05, step 30 min → 0:00,0:30,1:00,1:30,2:00
     assert [r.grid_ts for r in grid] == [_ts(m) for m in (0, 30, 60, 90, 120)]
 
