@@ -54,6 +54,13 @@ class EngineConfig:
     gapfill_policy: str = "zero"
     # Codec chunking: one compressed chunk per (series, chunk_interval).
     chunk_interval: str = "1 day"
+    # Per-operation wall-clock bound on every sink commit (reference
+    # `maxQueryTimeOut`, config.go / pgsql.go:86-96): None = unbounded.
+    # On deadline the commit's Spark job group is cancelled and the
+    # batch fails with QueryTimeoutError — acks (markers) are written
+    # last, so the broker-redelivery replay path takes over, exactly as
+    # a statement timeout surfaces in the reference.
+    max_query_timeout_sec: float | None = None
     extra_spark_conf: dict = field(default_factory=dict)
 
 

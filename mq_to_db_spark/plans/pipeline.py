@@ -192,6 +192,24 @@ class RollupPipeline:
             json.dumps({"batch_id": batch_id, "committed_at": time.time(), **stats}),
         )
 
+    # -- per-operation bound ---------------------------------------------------
+
+    def _commit(self, spark: SparkSession, fn, what: str):
+        """Run one sink commit under the configured wall-clock bound
+        (``cfg.max_query_timeout_sec`` — the reference's `maxQueryTimeOut`
+        around every ExecContext, pgsql.go:86-96).  Unbounded when None
+        (the default).  On deadline the commit's job group is cancelled
+        and QueryTimeoutError propagates out of ``run`` BEFORE any ack
+        marker is written, so redelivery replays the batch — the same
+        at-least-once story as a reference statement timeout."""
+        if self.cfg.max_query_timeout_sec is None:
+            return fn()
+        from .bounds import bounded_action
+
+        return bounded_action(
+            spark, fn, self.cfg.max_query_timeout_sec, description=what
+        )
+
     # -- the batch job --------------------------------------------------------
 
     def run(
@@ -314,12 +332,20 @@ class RollupPipeline:
                         if self.tables[name].has_batch(batch_id):
                             points[name] = 0
                             continue
-                        snap = self.tables[name].append(
-                            out_df, summary={"batch_id": batch_id}
+                        snap = self._commit(
+                            spark,
+                            lambda d=out_df, n=name: self.tables[n].append(
+                                d, summary={"batch_id": batch_id}
+                            ),
+                            f"append:{name}",
                         )
                     else:
-                        snap = self.tables[name].overwrite_partitions(
-                            out_df, summary={"batch_id": batch_id}
+                        snap = self._commit(
+                            spark,
+                            lambda d=out_df, n=name: self.tables[n].overwrite_partitions(
+                                d, summary={"batch_id": batch_id}
+                            ),
+                            f"overwrite:{name}",
                         )
                     points[name] = len(snap.added_files)  # files committed
                     if fail_after_commit_of == name:
@@ -337,9 +363,13 @@ class RollupPipeline:
         # at 10^12 turns).
         n_rej = sum(units[u][1] for u in todo) + n_unitless
         if n_rej and not self.dead_letter.has_batch(batch_id):
-            self.dead_letter.append(
-                rejected.withColumn("batch_id", F.lit(batch_id)),
-                summary={"batch_id": batch_id},
+            self._commit(
+                spark,
+                lambda: self.dead_letter.append(
+                    rejected.withColumn("batch_id", F.lit(batch_id)),
+                    summary={"batch_id": batch_id},
+                ),
+                "append:dead_letter",
             )
 
         # lineage + markers — ack happens only now, after every commit.
@@ -360,9 +390,13 @@ class RollupPipeline:
             for b, d in sorted(todo)
         ]
         if not self.lineage.has_batch(batch_id):
-            self.lineage.append(
-                spark.createDataFrame(lineage_rows, schema=LINEAGE_SCHEMA),
-                summary={"batch_id": batch_id},
+            self._commit(
+                spark,
+                lambda: self.lineage.append(
+                    spark.createDataFrame(lineage_rows, schema=LINEAGE_SCHEMA),
+                    summary={"batch_id": batch_id},
+                ),
+                "append:lineage",
             )
         # counter semantics mirror the reference's storer totals: every
         # consumed message counts, including unitless rejects (which have
@@ -383,25 +417,29 @@ class RollupPipeline:
         from mq_to_db_spark import __version__
 
         if not self.metrics.has_batch(batch_id):
-            self.metrics.append(
-                spark.createDataFrame(
-                    [
-                        (
-                            batch_id,
-                            report.n_units_total,
-                            report.n_units_skipped,
-                            report.n_in,
-                            report.n_ok,
-                            report.n_rejected,
-                            {k: int(v) for k, v in points.items()},
-                            float(report.seconds),
-                            __version__,
-                            committed_ts,
-                        )
-                    ],
-                    schema=METRICS_SCHEMA,
+            metrics_df = spark.createDataFrame(
+                [
+                    (
+                        batch_id,
+                        report.n_units_total,
+                        report.n_units_skipped,
+                        report.n_in,
+                        report.n_ok,
+                        report.n_rejected,
+                        {k: int(v) for k, v in points.items()},
+                        float(report.seconds),
+                        __version__,
+                        committed_ts,
+                    )
+                ],
+                schema=METRICS_SCHEMA,
+            )
+            self._commit(
+                spark,
+                lambda: self.metrics.append(
+                    metrics_df, summary={"batch_id": batch_id}
                 ),
-                summary={"batch_id": batch_id},
+                "append:job_metrics",
             )
         for b, d in sorted(todo):
             n_in, n_r = units[(b, d)]
