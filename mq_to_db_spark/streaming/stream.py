@@ -272,15 +272,25 @@ def run_rate_pipeline(
     rows_per_batch: int = 1000,
     num_partitions: int | None = None,
     finalize_every_n_batches: int | None = None,
+    max_batches: int | None = None,
 ):
     """:func:`run_streaming_pipeline` over the live rate source: every
     micro-batch of delivered turns runs the COMPLETE RollupPipeline in
     ``mode="append"`` with batch-scoped acks — the same effectively-once
     contract (source checkpoint × unit acks), now with no files anywhere
     on the ingest path.  The stream is unbounded (a subscription, not a
-    drain): callers stop it explicitly or via :func:`await_batches`."""
+    drain): callers stop it explicitly or via :func:`await_batches`.
+
+    ``max_batches`` (test/drain harness): micro-batches with id ≥ the
+    bound are delivered but NOT processed — so however racy the eventual
+    ``stop()`` is (micro-batches keep firing between a caller's progress
+    poll and the stop taking effect, and a stop can kill a batch
+    mid-commit), nothing past the bound can reach the warehouse and the
+    committed prefix stays exactly reconstructable."""
 
     def _batch(df, batch_id):
+        if max_batches is not None and int(batch_id) >= max_batches:
+            return
         pipeline.run(
             df.sparkSession, df, batch_id=f"rate-{int(batch_id):06d}", mode="append"
         )

@@ -54,9 +54,15 @@ def test_rate_pipeline_effectively_once_vs_batch_oracle(spark, tmp_path):
     q = run_rate_pipeline(
         spark, str(tmp_path / "ckpt"), pipe,
         rows_per_batch=rows_per_batch, num_partitions=2,
+        # hard processing bound: batches ≥ want are delivered but ignored,
+        # so the stop() race (extra batches commit between the progress
+        # poll and the stop, or a batch dies mid-commit) can't leak
+        # anything past the oracle's replay range
+        max_batches=want_batches,
     )
     done = await_batches(q, want_batches, timeout_sec=300)
     assert done >= want_batches
+    done = want_batches  # batches past the bound were no-ops by construction
 
     # batch-scoped ack markers for every committed micro-batch
     scopes = {

@@ -34,7 +34,7 @@ def test_streaming_rollup_matches_batch_closed_windows(
         spark, str(inp), str(tmp_path / "out"), str(tmp_path / "ckpt"),
         tier="1m", watermark="0 seconds",
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(360), "availableNow drain did not finish in time"
     got = spark.read.parquet(str(tmp_path / "out")).toPandas()
     want = _closed(
         rollup_from_raw(transcripts, "1m").toPandas(),
@@ -52,11 +52,11 @@ def test_streaming_resume_is_incremental(spark, transcripts, transcripts_pdf, tm
     cut = transcripts_pdf.ts.median()
     transcripts_pdf[transcripts_pdf.ts < cut].to_parquet(inp / "part-0.parquet", index=False)
     q = run_stream_to_parquet(spark, str(inp), out, ckpt, tier="1d", watermark="0 seconds")
-    q.awaitTermination(120)
+    assert q.awaitTermination(360), "availableNow drain did not finish in time"
     n_files_1 = spark.read.parquet(out).count()
     transcripts_pdf[transcripts_pdf.ts >= cut].to_parquet(inp / "part-1.parquet", index=False)
     q2 = run_stream_to_parquet(spark, str(inp), out, ckpt, tier="1d", watermark="0 seconds")
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(360), "availableNow drain did not finish in time"
     rows = spark.read.parquet(out).toPandas()
     # every closed 1d window's total matches the batch rollup (partials
     # for a window may appear across drains; sum them)
@@ -91,7 +91,7 @@ def test_foreach_batch_runs_batch_pipeline(spark, transcripts_pdf, tmp_path):
         reports.append(pipe.run(df.sparkSession, df, batch_id=f"stream-{batch_id}"))
 
     q = run_stream_foreach_batch(spark, str(inp), str(tmp_path / "ckpt"), handle)
-    q.awaitTermination(120)
+    assert q.awaitTermination(360), "availableNow drain did not finish in time"
     assert len(reports) == 1
     assert reports[0].n_ok == len(transcripts_pdf)
     got = pipe.read_rollup(spark, "global", "1h").agg(F.sum("n_turns")).collect()[0][0]
@@ -127,14 +127,14 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
          ("c2", 0, "2025-01-01 01:00:00")]
     ).to_parquet(inp / "f1.parquet", index=False)
     q = run_stream_to_parquet(spark, str(inp), out, ckpt, tier="1m", watermark="10 minutes")
-    q.awaitTermination(120)
+    assert q.awaitTermination(360), "availableNow drain did not finish in time"
     first = spark.read.parquet(out).toPandas().set_index("bucket_start")
     assert first.loc[pd.Timestamp("2025-01-01 00:02:00")].n_turns == 2
 
     # late delivery into the already-emitted 00:02 window
     turns([("c3", 0, "2025-01-01 00:02:50")]).to_parquet(inp / "f2.parquet", index=False)
     q2 = run_stream_to_parquet(spark, str(inp), out, ckpt, tier="1m", watermark="10 minutes")
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(360), "availableNow drain did not finish in time"
     after = spark.read.parquet(out).toPandas()
     b = after[after.bucket_start == pd.Timestamp("2025-01-01 00:02:00")]
     assert len(b) == 1 and int(b.n_turns.iloc[0]) == 2  # late row dropped, no dup window
@@ -169,7 +169,7 @@ def test_streaming_pipeline_append_mode_effectively_once(spark, tmp_path):
         spark, str(in_dir), str(tmp_path / "ckpt"), pipe,
         available_now=True, max_files_per_trigger=1,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(360), "availableNow drain did not finish in time"
 
     # two genuine micro-batches ran (batch-scoped ack markers for both)
     scopes = {
@@ -237,7 +237,7 @@ def test_streaming_pipeline_periodic_finalize(spark, tmp_path):
         available_now=True, max_files_per_trigger=1,
         finalize_every_n_batches=2,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(360), "availableNow drain did not finish in time"
 
     got_df = pipe.read_rollup(spark, "global", "1h")
     plan = got_df._jdf.queryExecution().executedPlan().toString()
