@@ -1374,6 +1374,39 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ordered-funnel contract parameters (earliest-chain semantics; the 7d
+#: horizon exercises the µs-exact bound in funnel_reach)
+FUNNEL_STEPS = ["signup", "view", "purchase"]
+FUNNEL_HORIZON_SEC = 7 * 86_400
+
+
+def q_funnel_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → view → purchase within 7 days
+    (operators/funnel.py): one entity-keyed shuffle gathers per-step
+    sorted ts arrays, the chain walk is JVM array expressions, the
+    funnel table is |steps| rows.  Product-metrics sibling of the
+    reference's per-consumer outcome counters
+    (internal/metrics/metrics.go)."""
+    from mq_to_db_spark.operators.funnel import funnel_counts
+
+    return funnel_counts(
+        _events(spark, sf_dir),
+        FUNNEL_STEPS,
+        horizon_sec=FUNNEL_HORIZON_SEC,
+    )
+
+
+def q_cohort_retention_wk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix (operators/cohort.py): raw events
+    collapse once to the (entity, week) activity tier, cohorts derive
+    from a tier-sized window, the matrix is |cohorts|×|offsets| rows.
+    Period indices are epoch-µs integer divisions, so the oracle
+    replays them bit-for-bit."""
+    from mq_to_db_spark.operators.cohort import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir), period="week")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is EVIDENCE order, not build order: the
     driver's correctness gate records at most the first ~50 entries
@@ -1384,6 +1417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     records each) last, where any truncation costs the least."""
     return {
         # -- never in a driver CORRECTNESS file (r03 cap) + round-4 new --
+        "funnel_3step": q_funnel_3step,
+        "cohort_retention_wk": q_cohort_retention_wk,
         "time_weighted_1h": q_time_weighted_1h,
         "state_durations_1d": q_state_durations_1d,
         "uptime_1h": q_uptime_1h,
@@ -1609,6 +1644,64 @@ def oracle_sql() -> dict[str, str]:
         # h*w*3 positions) = (id*31 + 7q) % 256; 144 = the max n_px
         # (8*6*3), filtered per doc — range() in DuckDB 1.0 cannot take
         # lateral column parameters
+        # earliest-ordered-chain replay with DuckDB list lambdas: the
+        # same sorted per-step ts arrays, the same first-at-or-after
+        # walk, the same µs-integer 7d horizon (comparisons against a
+        # NULL chain time filter to empty -> NULL, exactly like the
+        # Spark side's chain-break propagation)
+        "funnel_3step": f"""
+            WITH per_user AS (
+                SELECT user_id,
+                       list_sort(list(ts) FILTER (WHERE event_type = 'signup')) AS a1,
+                       list_sort(list(ts) FILTER (WHERE event_type = 'view')) AS a2,
+                       list_sort(list(ts) FILTER (WHERE event_type = 'purchase')) AS a3
+                FROM events
+                WHERE event_type IN ('signup', 'view', 'purchase')
+                GROUP BY user_id),
+            c1 AS (SELECT user_id, a2, a3, a1[1] AS t1 FROM per_user
+                   WHERE a1[1] IS NOT NULL),
+            c2 AS (
+                SELECT user_id, a3, t1,
+                       CASE WHEN epoch_us(list_filter(a2, x -> x >= t1)[1])
+                                 - epoch_us(t1) <= {FUNNEL_HORIZON_SEC * 1_000_000}
+                            THEN list_filter(a2, x -> x >= t1)[1] END AS t2
+                FROM c1),
+            c3 AS (
+                SELECT user_id, t1, t2,
+                       CASE WHEN epoch_us(list_filter(a3, x -> x >= t2)[1])
+                                 - epoch_us(t1) <= {FUNNEL_HORIZON_SEC * 1_000_000}
+                            THEN list_filter(a3, x -> x >= t2)[1] END AS t3
+                FROM c2),
+            n AS (SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3 FROM c3)
+            SELECT s.step_idx, s.step, s.n_entities,
+                   round(s.n_entities / n.n1, 6) AS conv_rate
+            FROM n, (
+                SELECT 1 AS step_idx, 'signup' AS step, (SELECT n1 FROM n) AS n_entities
+                UNION ALL SELECT 2, 'view', (SELECT n2 FROM n)
+                UNION ALL SELECT 3, 'purchase', (SELECT n3 FROM n)) s
+        """,
+        # µs-integer week indices (epoch_us // week_µs) replayed
+        # verbatim; cohort_size via the same offset-0 window
+        "cohort_retention_wk": """
+            WITH tier AS (
+                SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS p
+                FROM events),
+            c AS (SELECT user_id, p,
+                         min(p) OVER (PARTITION BY user_id) AS p0
+                  FROM tier),
+            cells AS (
+                SELECT p0, CAST(p - p0 AS INT) AS period_offset,
+                       count(DISTINCT user_id) AS n_active
+                FROM c GROUP BY 1, 2)
+            SELECT make_timestamp(p0 * 604800000000) AS cohort_start,
+                   period_offset,
+                   CAST(n_active AS BIGINT) AS n_active,
+                   CAST(max(CASE WHEN period_offset = 0 THEN n_active END)
+                            OVER (PARTITION BY p0) AS BIGINT) AS cohort_size,
+                   round(n_active / (max(CASE WHEN period_offset = 0 THEN n_active END)
+                            OVER (PARTITION BY p0)), 6) AS retention_rate
+            FROM cells
+        """,
         "multimodal_features": """
             SELECT d.doc_id,
                    CAST(4 + d.doc_id % 5 AS INT) AS width,
