@@ -1407,6 +1407,45 @@ def q_cohort_retention_wk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(_events(spark, sf_dir), period="week")
 
 
+def q_seasonal_hod_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal baseline + residual z-score per event_type
+    (operators/seasonal.py): the "is 03:00 low because it's 03:00?"
+    check.  One unordered-window exchange on (event_type, season_idx);
+    mean/std from exact BIGINT sums so the final double formula
+    hash-matches the DuckDB replay (streaming stddev over an unordered
+    partition would be summation-order dependent)."""
+    from mq_to_db_spark.operators.seasonal import with_seasonal
+
+    tier = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return with_seasonal(
+        tier, ["event_type"], ts_col="bucket_start",
+        value_col="n_events", season="hod",
+    )
+
+
+def q_resets_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus resets() per (event_type, 1h) bucket
+    (operators/counters.py counter_resets): restart detector paired
+    with counter_increase — same micro-unit scaling, same one-exchange
+    lag shape, bucket agg reuses the lag window's partitioning."""
+    from mq_to_db_spark.operators.counters import counter_resets
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1e6).cast("long").alias("v"),
+    )
+    return counter_resets(
+        ev, ["event_type"], ts_col="ts", value_col="v", tier="1h",
+        tiebreak=("event_id",),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is EVIDENCE order, not build order: the
     driver's correctness gate records at most the first ~50 entries
@@ -1419,6 +1458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never in a driver CORRECTNESS file (r03 cap) + round-4 new --
         "funnel_3step": q_funnel_3step,
         "cohort_retention_wk": q_cohort_retention_wk,
+        "seasonal_hod_1h": q_seasonal_hod_1h,
+        "resets_1h": q_resets_1h,
         "time_weighted_1h": q_time_weighted_1h,
         "state_durations_1d": q_state_durations_1d,
         "uptime_1h": q_uptime_1h,
@@ -1701,6 +1742,62 @@ def oracle_sql() -> dict[str, str]:
                    round(n_active / (max(CASE WHEN period_offset = 0 THEN n_active END)
                             OVER (PARTITION BY p0)), 6) AS retention_rate
             FROM cells
+        """,
+        # seasonal cell mean/std from exact BIGINT sum / sum-of-squares
+        # (order-independent), identical final double formula — the
+        # n>=2 gate sits OUTSIDE greatest() on both engines
+        "seasonal_hod_1h": """
+            WITH tier AS (
+                SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1, 2
+            ),
+            c AS (
+                SELECT event_type, bucket_start, n_events,
+                       CAST(hour(bucket_start) AS INT) AS season_idx,
+                       count(*) OVER cell AS seas_n,
+                       sum(n_events) OVER cell AS s,
+                       sum(n_events * n_events) OVER cell AS ss
+                FROM tier
+                WINDOW cell AS (PARTITION BY event_type, hour(bucket_start))
+            ),
+            m AS (
+                SELECT *, CAST(s AS DOUBLE) / seas_n AS avg_raw,
+                       CASE WHEN seas_n >= 2 THEN sqrt(greatest(
+                           (CAST(ss AS DOUBLE)
+                            - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / seas_n)
+                           / (seas_n - 1.0), 0.0)) END AS std_raw
+                FROM c
+            )
+            SELECT event_type, bucket_start, n_events, season_idx,
+                   CAST(seas_n AS BIGINT) AS seas_n,
+                   round(avg_raw, 6) AS seas_avg,
+                   round(std_raw, 6) AS seas_std,
+                   round(n_events - avg_raw, 6) AS residual,
+                   CASE WHEN std_raw > 0
+                        THEN round((n_events - avg_raw) / std_raw, 6)
+                   END AS seas_z
+            FROM m
+        """,
+        # resets: same micro-unit lag as counter_increase, strict <
+        "resets_1h": """
+            WITH s AS (
+                SELECT event_type, ts, event_id,
+                       CAST(floor(value * 1000000.0) AS BIGINT) AS v
+                FROM events
+            ),
+            lagged AS (
+                SELECT event_type, date_trunc('hour', ts) AS bucket_start, v,
+                       lag(v) OVER (
+                           PARTITION BY event_type ORDER BY ts, event_id
+                       ) AS pv
+                FROM s
+            )
+            SELECT event_type, bucket_start,
+                   CAST(sum(CASE WHEN pv IS NOT NULL AND v < pv
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+                   CAST(count(*) AS BIGINT) AS n_samples
+            FROM lagged GROUP BY 1, 2
         """,
         "multimodal_features": """
             SELECT d.doc_id,

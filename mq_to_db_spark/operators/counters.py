@@ -97,6 +97,41 @@ def counter_increase(
     )
 
 
+def counter_resets(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tier: str = "1h",
+    tiebreak: tuple[str, ...] = (),
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Prometheus ``resets()``: count of samples strictly below their
+    predecessor per ``(keys…, bucket_start)`` — the restart detector a
+    counter plane pairs with :func:`counter_increase` (a reset burst on
+    one series means the producer is crash-looping, not busy).  Same
+    single-exchange lag shape as increase; the bucket agg reuses the
+    lag window's hash partitioning."""
+    order = [F.col(ts_col), *[F.col(t) for t in tiebreak]]
+    if keys:
+        w = W.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+        staged = df.withColumn("_prev", F.lag(value_col).over(w))
+    else:
+        staged = _keyless_lag(df, ts_col, value_col, tiebreak, n_buckets)
+    is_reset = (
+        F.col("_prev").isNotNull() & (F.col(value_col) < F.col("_prev"))
+    ).cast("long")
+    bucket = bucket_col(tier, ts_col)
+    return (
+        staged.select(*keys, bucket.alias("bucket_start"), is_reset.alias("_r"))
+        .groupBy(*keys, "bucket_start")
+        .agg(
+            F.sum("_r").alias("n_resets"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+    )
+
+
 def _keyless_lag(
     df: DataFrame,
     ts_col: str,
