@@ -61,8 +61,15 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     return errs
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01", only: str = "") -> int:
-    """``only``: comma-separated query names — run just those (iteration)."""
+def main(
+    sf_dir: str = "/root/testdata/sf0.01",
+    only: str = "",
+    json_out: str = "",
+) -> int:
+    """``only``: comma-separated query names — run just those (iteration).
+    ``json_out``: also write a snapshot artifact (the committed evidence
+    file covering the FULL contract, per ADVICE r03 — the driver's own
+    CORRECTNESS file caps at ~50 rows)."""
     import __spark_entry__ as entry
     from mq_to_db_spark.session import get_spark
 
@@ -76,32 +83,61 @@ def main(sf_dir: str = "/root/testdata/sf0.01", only: str = "") -> int:
         wanted = {n.strip() for n in only.split(",") if n.strip()}
         qs = {n: f for n, f in qs.items() if n in wanted}
     n_fail = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         try:
             got = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            results[name] = {"exact": False, "err": f"spark: {e}"[:300]}
             n_fail += 1
             continue
         if name not in oracles:
-            status = "ROWS-ONLY"
-            print(f"{status:>9}  {name}: rows={len(got)} cols={len(got.columns)}")
+            print(f"ROWS-ONLY  {name}: rows={len(got)} cols={len(got.columns)}")
+            results[name] = {"exact": None, "rows": len(got), "rows_only": True}
             continue
         try:
             want = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            results[name] = {"exact": False, "err": f"duckdb: {e}"[:300]}
             n_fail += 1
             continue
         errs = compare(name, got, want)
         if errs:
             n_fail += 1
             print(f"FAIL  {name}: " + "; ".join(errs[:4]))
+            results[name] = {"exact": False, "rows": len(got), "err": "; ".join(errs[:4])[:300]}
         else:
             print(f"   OK  {name}: rows={len(got)}")
+            results[name] = {"exact": True, "rows": len(got)}
     # smoke: entry()
     e = entry.entry(spark)
     print(f"entry(): rows={e.count()} schema={[f.name for f in e.schema.fields]}")
+    if json_out:
+        import json
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd="/root/repo",
+        ).stdout.strip()
+        snap = {
+            "what": (
+                "full local replay of the driver correctness gate "
+                "(tools/check_contract.py) over ALL registered queries at "
+                f"{sf_dir} — committed so the recorded artifact covers the "
+                "complete contract even if the driver's file caps at ~50 "
+                "rows (ADVICE r03)"
+            ),
+            "git_head": head,
+            "n_queries": len(results),
+            "n_exact": sum(1 for r in results.values() if r.get("exact")),
+            "queries": results,
+        }
+        with open(json_out, "w") as f:
+            json.dump(snap, f, indent=1)
+        print(f"snapshot -> {json_out}")
     return n_fail
 
 
