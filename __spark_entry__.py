@@ -1446,6 +1446,55 @@ def q_resets_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SLO contract parameters — 'error' events against a 95% availability
+#: target, paged only when the 1h AND 6h windows both burn ≥5× budget
+#: pace (Google SRE Workbook multiwindow shape).  budget is computed as
+#: the double expression (1.0 - target) in BOTH engines so the division
+#: operand is bit-identical.
+SLO_TARGET = 0.95
+SLO_THRESHOLD = 5.0
+SLO_WINDOWS = {"1h": 3600, "6h": 6 * 3600}
+
+
+def q_slo_burn_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiwindow SLO error-budget burn rate over the events stream
+    (operators/slo.py): one hash exchange collapses outcomes to exact
+    BIGINT 1h tier counts, trailing time-RANGE windows (gap-proof) give
+    the 1h/6h error ratios, burn = ratio / (1 - target).  The alert the
+    reference's ack/reject counters (internal/metrics/metrics.go) feed
+    in production, engine-side."""
+    from mq_to_db_spark.operators.slo import slo_burn
+
+    return slo_burn(
+        _events(spark, sf_dir),
+        [],
+        bad=F.col("event_type") == "error",
+        ts_col="ts",
+        tier="1h",
+        windows=SLO_WINDOWS,
+        slo_target=SLO_TARGET,
+        threshold=SLO_THRESHOLD,
+    )
+
+
+#: BM25 contract parameters — distinct literal terms spanning high- and
+#: low-df vocabulary so idf actually differentiates
+BM25_TERMS = ["spark", "join", "dup"]
+BM25_K = 15
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k lexical retrieval over the documents corpus
+    (operators/ranking.py): per-term tf as array expressions (narrow),
+    corpus stats one broadcast single-row aggregate, top-k a
+    TakeOrderedAndProject — the corpus never shuffles.  Scores summed
+    in fixed query-term order so the double chain is bit-identical to
+    the DuckDB replay."""
+    from mq_to_db_spark.operators.ranking import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), BM25_TERMS, k=BM25_K)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is EVIDENCE order, not build order: the
     driver's correctness gate records at most the first ~50 entries
@@ -1456,6 +1505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     records each) last, where any truncation costs the least."""
     return {
         # -- never in a driver CORRECTNESS file (r03 cap) + round-4 new --
+        "slo_burn_1h": q_slo_burn_1h,
+        "bm25_topk": q_bm25_topk,
         "funnel_3step": q_funnel_3step,
         "cohort_retention_wk": q_cohort_retention_wk,
         "seasonal_hod_1h": q_seasonal_hod_1h,
@@ -1675,11 +1726,99 @@ def _knn_join_lsh_oracle() -> str:
     """
 
 
+def _bm25_oracle() -> str:
+    """Full BM25 replay: same tokenizer regex, same literal terms, the
+    same fixed-order double chain ((t0 + t1) + t2), the same
+    (1.2 + 1.0) budget-style sub-expressions so every operand is
+    bit-identical."""
+    tf_cols = ",\n                   ".join(
+        f"len(list_filter(t, x -> x = '{term}')) AS tf_{i}"
+        for i, term in enumerate(BM25_TERMS)
+    )
+    df_cols = ",\n                   ".join(
+        f"count(*) FILTER (WHERE tf_{i} > 0) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    terms = [
+        f"(ln(1.0 + (s.n_docs - CAST(s.df_{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(s.df_{i} AS DOUBLE) + 0.5))"
+        f" * CAST(b.tf_{i} AS DOUBLE) * (1.2 + 1.0)"
+        f" / (CAST(b.tf_{i} AS DOUBLE)"
+        f" + 1.2 * ((1.0 - 0.75) + 0.75 * b.dl / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))))"
+        for i in range(len(BM25_TERMS))
+    ]
+    chain = terms[0]
+    for t in terms[1:]:
+        chain = f"({chain} + {t})"
+    tf_out = ", ".join(f"tf_{i}" for i in range(len(BM25_TERMS)))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS t
+            FROM documents),
+        base AS (
+            SELECT doc_id, len(t) AS dl,
+                   {tf_cols}
+            FROM toks),
+        stats AS (
+            SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+                   {df_cols}
+            FROM base),
+        scored AS (
+            SELECT b.doc_id, b.dl, {", ".join(f"b.tf_{i}" for i in range(len(BM25_TERMS)))},
+                   {chain} AS score_raw
+            FROM base b, stats s)
+        SELECT doc_id, CAST(dl AS INT) AS dl,
+               {", ".join(f"CAST(tf_{i} AS INT) AS tf_{i}" for i in range(len(BM25_TERMS)))},
+               round(score_raw, 6) AS score
+        FROM scored WHERE score_raw > 0
+        ORDER BY score_raw DESC, doc_id
+        LIMIT {BM25_K}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     type_pivots = ",\n               ".join(
         f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES
     )
     return {
+        # trailing time-RANGE sums of BIGINT tier counts; the budget is
+        # interpolated as the Python-computed DOUBLE literal (DuckDB
+        # would otherwise fold 1.0 - 0.95 in exact DECIMAL, landing one
+        # ULP away from Spark's double subtraction — caught at the
+        # burn==threshold boundary); alert compares UNROUNDED doubles
+        "slo_burn_1h": f"""
+            WITH tier AS (
+                SELECT date_trunc('hour', ts) AS bucket_start,
+                       CAST(count(*) AS BIGINT) AS n_total,
+                       CAST(count(*) FILTER (WHERE event_type = 'error')
+                            AS BIGINT) AS n_bad
+                FROM events GROUP BY 1),
+            w AS (
+                SELECT *,
+                       CAST(sum(n_bad) OVER w1 AS DOUBLE)
+                           / sum(n_total) OVER w1 AS r1,
+                       CAST(sum(n_bad) OVER w6 AS DOUBLE)
+                           / sum(n_total) OVER w6 AS r6
+                FROM tier
+                WINDOW w1 AS (ORDER BY epoch(bucket_start)
+                              RANGE BETWEEN {SLO_WINDOWS["1h"] - 1} PRECEDING
+                                        AND CURRENT ROW),
+                       w6 AS (ORDER BY epoch(bucket_start)
+                              RANGE BETWEEN {SLO_WINDOWS["6h"] - 1} PRECEDING
+                                        AND CURRENT ROW))
+            SELECT bucket_start, n_total, n_bad,
+                   round(r1, 6) AS ratio_1h,
+                   round(r1 / CAST({1.0 - SLO_TARGET!r} AS DOUBLE), 6) AS burn_1h,
+                   round(r6, 6) AS ratio_6h,
+                   round(r6 / CAST({1.0 - SLO_TARGET!r} AS DOUBLE), 6) AS burn_6h,
+                   coalesce(r1 / CAST({1.0 - SLO_TARGET!r} AS DOUBLE) >= {SLO_THRESHOLD}
+                            AND r6 / CAST({1.0 - SLO_TARGET!r} AS DOUBLE) >= {SLO_THRESHOLD},
+                            false) AS alert
+            FROM w
+        """,
+        "bm25_topk": _bm25_oracle(),
         # full replay of the deterministic image construction + decode:
         # width = 4 + id%5, height = 3 + id%4, flat pixel byte q (over
         # h*w*3 positions) = (id*31 + 7q) % 256; 144 = the max n_px

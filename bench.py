@@ -84,6 +84,12 @@ EXTENDED_QUERIES = (
     "pii_redact",
     "asof_fwd",
     "multimodal_features",
+    "funnel_3step",
+    "cohort_retention_wk",
+    "seasonal_hod_1h",
+    "resets_1h",
+    "slo_burn_1h",
+    "bm25_topk",
 )
 
 

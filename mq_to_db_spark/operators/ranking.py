@@ -1,0 +1,144 @@
+"""Corpus-statistics relevance ranking (BM25) over document tables.
+
+A training-data pipeline at 100 TB keeps a lexical retrieval path next
+to its embedding ANN (operators/similarity.py): BM25 needs no model,
+catches exact-term matches embeddings blur, and is the standard first
+stage of retrieval cascades (Robertson & Zaragoza 2009, "The
+Probabilistic Relevance Framework: BM25 and Beyond").  This module
+scores a LITERAL query against the corpus — the common shape for
+eval-set retrieval, nearest-duplicate triage, and "find the documents
+about X" curation passes.
+
+Semantics (Lucene-variant BM25):
+  * tokens = lowercased text split on ``[^a-z0-9]+``, empties dropped
+    (the same tokenizer as functions/text.py's whitespace family, made
+    engine-replayable);
+  * ``dl`` = token count; ``avgdl`` = corpus mean dl;
+  * per query term t: ``tf`` = occurrences of t in the doc,
+    ``df`` = docs containing t,
+    ``idf = ln(1 + (N - df + 0.5) / (df + 0.5))`` (non-negative);
+  * ``score = Σ_t idf_t * tf_t*(k1+1) / (tf_t + k1*(1 - b + b*dl/avgdl))``
+    summed IN QUERY-TERM ORDER (a fixed chain of double additions, so
+    the result is bit-identical across engines — a float ``sum()``
+    over an unordered group would not be);
+  * ``bm25_topk``: top-k by (score DESC, id ASC), zero-score docs
+    dropped (no query term present).
+
+Scale design: the corpus NEVER shuffles.  Query terms are literals, so
+per-term tf is an array expression over the tokenized text (narrow,
+whole-stage codegen); corpus stats (N, Σdl, per-term df) are ONE
+single-row aggregate broadcast back via a cross join; top-k compiles
+to TakeOrderedAndProject (per-partition heaps + driver merge — no
+full-corpus sort, no exchange).  Cost is one scan of (id, text).
+
+Reference analogue: none in mq-to-db (it delegates all relational
+reads to PostgreSQL); this is part of the training-data plane the
+engine adds (SURVEY.md §2, LLM-data operators).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: the shared tokenizer pattern — keep in lockstep with the oracle
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    """Lowercase tokens of ``text_col``, empties removed."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda t: t != ""
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-doc BM25 score of a literal query: (id, dl, tf_*, score)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    if len(set(query_terms)) != len(query_terms):
+        raise ValueError("query_terms must be distinct (BM25 tf is per-term)")
+    def _tf(term: str) -> Column:
+        # single-arg lambda on purpose: a two-parameter callable (even
+        # via default args) would be bound as (element, index)
+        return F.size(F.filter(F.col("_toks"), lambda x: x == F.lit(term)))
+
+    toks = docs.select(
+        F.col(id_col),
+        tokens_col(text_col).alias("_toks"),
+    ).select(
+        id_col,
+        F.size("_toks").alias("dl"),
+        *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(query_terms)],
+    )
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.count_if(F.col(f"tf_{i}") > 0).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    # single-row corpus stats ride a broadcast nested loop, never a shuffle
+    scored = toks.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / avgdl)
+    score = None
+    for i in range(len(query_terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        df_t = F.col(f"df_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - df_t + F.lit(0.5)) / (df_t + F.lit(0.5))
+        )
+        term = idf * tf * F.lit(k1 + 1.0) / (tf + norm)
+        score = term if score is None else score + term  # fixed-order chain
+    return scored.select(
+        id_col,
+        "dl",
+        *[F.col(f"tf_{i}") for i in range(len(query_terms))],
+        score.alias("_score_raw"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k corpus docs for a literal query, deterministic ties by id."""
+    scored = bm25_scores(
+        docs, query_terms, id_col=id_col, text_col=text_col, k1=k1, b=b
+    )
+    return (
+        scored.where(F.col("_score_raw") > 0)
+        .orderBy(F.col("_score_raw").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(
+            id_col,
+            "dl",
+            *[F.col(f"tf_{i}") for i in range(len(query_terms))],
+            F.round("_score_raw", 6).alias("score"),
+        )
+    )
+
+
+def idf_table(n_docs: int, dfs: dict[str, int]) -> dict[str, float]:
+    """Driver-side IDF helper for tests/notebooks (same formula)."""
+    return {
+        t: math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        for t, df in dfs.items()
+    }

@@ -32,6 +32,9 @@ _WHITELIST = {
     # similarity.py:229 — knn_join_brute is the documented small-right
     # broadcast baseline (the scale path is knn_join_lsh, banded equi)
     "knn_join": ("BroadcastNestedLoopJoin",),
+    # ranking.py — corpus × broadcast(1-row N/Σdl/df stats): output
+    # cardinality equals the corpus side, O(N) by construction
+    "bm25_topk": ("BroadcastNestedLoopJoin",),
 }
 
 
