@@ -299,10 +299,11 @@ def encode_ts_grouped(ts: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> l
     ts_raw = ts.astype(_I64)
     d_raw = d.astype(_I64)
 
+    head_all = (np.asarray(ends) - np.asarray(starts)).astype(_U32).tobytes()
     out = []
-    for s, e in zip(starts.tolist(), ends.tolist()):
+    for i, (s, e) in enumerate(zip(starts.tolist(), ends.tolist())):
         n = e - s
-        head = np.array([n], dtype=_U32).tobytes()
+        head = head_all[4 * i : 4 * i + 4]
         if n == 0:
             out.append(head)
             continue
@@ -347,10 +348,11 @@ def encode_xor_grouped(vals: np.ndarray, starts: np.ndarray, ends: np.ndarray) -
         packed = b""
         bcum = np.zeros(1, dtype=np.int64)
 
+    head_all = (np.asarray(ends) - np.asarray(starts)).astype(_U32).tobytes()
     out = []
-    for s, e in zip(starts.tolist(), ends.tolist()):
+    for i, (s, e) in enumerate(zip(starts.tolist(), ends.tolist())):
         n = e - s
-        head = np.array([n], dtype=_U32).tobytes()
+        head = head_all[4 * i : 4 * i + 4]
         if n == 0:
             out.append(head)
             continue
@@ -385,14 +387,14 @@ def encode_strings_grouped(texts: list, starts: np.ndarray, ends: np.ndarray):
     bcum = np.r_[0, np.cumsum(sizes)]
     lens32 = lens.astype(_I32)
 
+    head_all = (np.asarray(ends) - np.asarray(starts)).astype(_U32).tobytes()
+    bcum_l = bcum.tolist()
     out = []
     raw = np.empty(len(starts), dtype=np.int64)
     for i, (s, e) in enumerate(zip(starts.tolist(), ends.tolist())):
-        n = e - s
-        head = np.array([n], dtype=_U32).tobytes()
-        comp = zlib.compress(concat[int(bcum[s]) : int(bcum[e])], 6)
-        out.append(head + lens32[s:e].tobytes() + comp)
-        raw[i] = int(bcum[e] - bcum[s])
+        comp = zlib.compress(concat[bcum_l[s] : bcum_l[e]], 6)
+        out.append(head_all[4 * i : 4 * i + 4] + lens32[s:e].tobytes() + comp)
+        raw[i] = bcum_l[e] - bcum_l[s]
     return out, raw
 
 
@@ -521,3 +523,142 @@ def decode_xor_grouped(blobs: list) -> tuple:
     seg_base[nz] = acc[vpos[nz] - 1]
     out = acc ^ np.repeat(seg_base, n)
     return out.view(np.float64), n
+
+
+import struct as _struct
+
+
+def encode_dict_grouped(values, starts: np.ndarray, ends: np.ndarray) -> list:
+    """Per-group ``encode_dict(values[s:e])`` blobs from ONE pass over the
+    batch (byte-identical; asserted in tests).
+
+    Group-local codes must number the group's vocab in first-appearance
+    order, so a global factorize alone is not enough: we take the global
+    distinct table, find each (group, global-code) pair's first row, and
+    rank pairs within their group by that row.  Vocab *blobs* are memoized
+    by vocab tuple — chunked categorical columns (role/tool) repeat the
+    same tiny vocab across thousands of groups, so ``encode_strings`` runs
+    once per distinct vocab, not once per group."""
+    starts = np.asarray(starts, dtype=np.int64)
+    ends = np.asarray(ends, dtype=np.int64)
+    k = len(starts)
+    n = len(values)
+    empty_vocab = encode_strings([])
+    if n == 0 or k == 0:
+        return [
+            _struct.pack("<II", 0, len(empty_vocab)) + empty_vocab for _ in range(k)
+        ]
+    arr = np.array(values, dtype=object)
+    notnull = np.fromiter((v is not None for v in values), dtype=bool, count=n)
+    rows = np.flatnonzero(notnull)
+    gid = np.repeat(np.arange(k, dtype=np.int64), ends - starts)
+
+    local = np.full(n, 255, dtype=np.uint8)
+    vocab_blobs = [empty_vocab] * k
+    if len(rows):
+        uniques, inv = np.unique(arr[rows].astype(str), return_inverse=True)
+        V = len(uniques)
+        key = gid[rows] * V + inv
+        uk, ui = np.unique(key, return_index=True)
+        first_row = rows[ui]
+        order = np.argsort(first_row, kind="stable")
+        uk_o = uk[order]  # distinct (group, value) in first-appearance order
+        g_o = uk_o // V
+        c_o = uk_o % V
+        newg = np.r_[True, g_o[1:] != g_o[:-1]]
+        idx = np.arange(len(uk_o), dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(newg, idx, 0))
+        local_o = idx - seg_start
+        if local_o.max() >= 255:
+            raise ValueError("dictionary codec supports <255 distinct values")
+        local_by_uk = np.empty(len(uk), dtype=np.uint8)
+        local_by_uk[order] = local_o.astype(np.uint8)
+        local[rows] = local_by_uk[np.searchsorted(uk, key)]
+
+        seg_bounds = np.flatnonzero(newg)
+        seg_ends = np.r_[seg_bounds[1:], len(uk_o)]
+        cache: dict = {}
+        for b, e2, g in zip(seg_bounds.tolist(), seg_ends.tolist(), g_o[seg_bounds].tolist()):
+            tup = tuple(uniques[c_o[b:e2]])
+            blob = cache.get(tup)
+            if blob is None:
+                blob = cache[tup] = encode_strings(list(tup))
+            vocab_blobs[g] = blob
+
+    codes_bytes = local.tobytes()
+    out = []
+    for g, (s, e) in enumerate(zip(starts.tolist(), ends.tolist())):
+        vb = vocab_blobs[g]
+        out.append(_struct.pack("<II", e - s, len(vb)) + vb + codes_bytes[s:e])
+    return out
+
+
+def decode_strings_grouped(blobs: list) -> tuple:
+    """Decode many string blobs in one vectorized pass (header/offset
+    parsing batched; zlib per blob is inherent — each blob decompresses
+    independently).  Returns ``(values, counts)``: the concatenation of
+    every blob's decoded list plus per-blob lengths."""
+    k = len(blobs)
+    if k == 0:
+        return [], np.zeros(0, dtype=np.int64)
+    blens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=k)
+    joined = b"".join(blobs)
+    buf = np.frombuffer(joined, dtype=np.uint8)
+    off = np.r_[0, np.cumsum(blens)][:-1]
+    n = _gather_regions(buf, off, np.full(k, 4, dtype=np.int64)).view(_U32).astype(np.int64)
+    lens_all = _gather_regions(buf, off + 4, 4 * n).view(_I32).astype(np.int64)
+    mv = memoryview(joined)
+    pay_off = (off + 4 + 4 * n).tolist()
+    raw = b"".join(
+        zlib.decompress(mv[pay_off[i] : int(off[i] + blens[i])]) for i in range(k)
+    )
+    sizes = np.where(lens_all < 0, 0, lens_all)
+    ends_ = np.cumsum(sizes)
+    starts_ = (ends_ - sizes).tolist()
+    ends_l = ends_.tolist()
+    null = (lens_all < 0).tolist()
+    values = [
+        None if null[i] else raw[starts_[i] : ends_l[i]].decode("utf-8")
+        for i in range(len(null))
+    ]
+    return values, n
+
+
+def decode_dict_grouped(blobs: list) -> tuple:
+    """Decode many dict blobs in one pass.  Vocab lists are memoized by
+    their raw blob bytes (tiny repeated vocabs decode once); code→value
+    mapping is a single object-array gather.  Returns ``(values, counts)``
+    with ``values`` an object ndarray (None for null codes)."""
+    k = len(blobs)
+    if k == 0:
+        return np.empty(0, dtype=object), np.zeros(0, dtype=np.int64)
+    blens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=k)
+    joined = b"".join(blobs)
+    buf = np.frombuffer(joined, dtype=np.uint8)
+    off = np.r_[0, np.cumsum(blens)][:-1]
+    heads = (
+        _gather_regions(buf, off, np.full(k, 8, dtype=np.int64))
+        .view(_U32)
+        .astype(np.int64)
+        .reshape(k, 2)
+    )
+    n = np.ascontiguousarray(heads[:, 0])
+    vlen = heads[:, 1]
+    mv = memoryview(joined)
+    cache: dict = {}
+    flat_vocab: list = []
+    voff = np.empty(k, dtype=np.int64)
+    off_l, vlen_l = off.tolist(), vlen.tolist()
+    for i in range(k):
+        vb = bytes(mv[off_l[i] + 8 : off_l[i] + 8 + vlen_l[i]])
+        vl = cache.get(vb)
+        if vl is None:
+            vl = cache[vb] = decode_strings(vb)
+        voff[i] = len(flat_vocab)
+        flat_vocab.extend(vl)
+    codes = _gather_regions(buf, off + 8 + vlen, n).astype(np.int64)
+    vocab_arr = np.array(flat_vocab + [None], dtype=object)
+    null_pos = len(flat_vocab)
+    gid = np.repeat(np.arange(k, dtype=np.int64), n)
+    idx = np.where(codes == 255, null_pos, voff[gid] + codes)
+    return vocab_arr[idx], n

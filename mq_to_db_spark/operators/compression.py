@@ -86,46 +86,69 @@ def _encode_partition(batches):
         # per-group blobs sliced out — per-group cost drops from ~6 numpy
         # setups to a few byte-slices, which is what matters when chunks
         # are small (sparse series); blob bytes identical to the
-        # per-group encoders (tests assert equality).
+        # per-group encoders (tests assert equality).  Output assembly is
+        # columnar too: per-group dict rows + .iloc were the hot spot at
+        # ~40k chunks/batch (sparse per-user event streams).
         ts_blobs = codec.encode_ts_grouped(ts, starts, ends)
         turn_blobs = codec.encode_i64_grouped(turn, starts, ends)
         val_blobs = codec.encode_xor_grouped(val, starts, ends)
         text_blobs, text_raw = codec.encode_strings_grouped(texts, starts, ends)
-        role_lens = np.fromiter(
-            (0 if r is None else len(r) for r in roles), dtype=np.int64, count=len(roles)
+        role_blobs = codec.encode_dict_grouped(roles, starts, ends)
+        tool_blobs = codec.encode_dict_grouped(tools, starts, ends)
+        role_cum = np.r_[
+            0,
+            np.cumsum(
+                np.fromiter(
+                    (0 if r is None else len(r) for r in roles),
+                    dtype=np.int64,
+                    count=len(roles),
+                )
+            ),
+        ]
+        tool_cum = np.r_[
+            0,
+            np.cumsum(
+                np.fromiter(
+                    (0 if x is None else len(x) for x in tools),
+                    dtype=np.int64,
+                    count=len(tools),
+                )
+            ),
+        ]
+        k = len(starts)
+        n_points = ends - starts
+        raw = (
+            n_points * 24
+            + text_raw
+            + (role_cum[ends] - role_cum[starts])
+            + (tool_cum[ends] - tool_cum[starts])
         )
-        tool_lens = np.fromiter(
-            (0 if x is None else len(x) for x in tools), dtype=np.int64, count=len(tools)
+        enc = np.fromiter(
+            (
+                len(a) + len(b) + len(c) + len(d) + len(e_) + len(f)
+                for a, b, c, d, e_, f in zip(
+                    ts_blobs, turn_blobs, val_blobs, text_blobs, role_blobs, tool_blobs
+                )
+            ),
+            dtype=np.int64,
+            count=k,
         )
-
-        rows = []
-        for i, (s, e) in enumerate(zip(starts.tolist(), ends.tolist())):
-            blobs = {
-                "ts_blob": ts_blobs[i],
-                "turn_blob": turn_blobs[i],
-                "val_blob": val_blobs[i],
-                "text_blob": text_blobs[i],
-                "role_blob": codec.encode_dict(roles[s:e]),
-                "tool_blob": codec.encode_dict(tools[s:e]),
+        return pd.DataFrame(
+            {
+                "conv_id": pd.Series(conv[starts], dtype=object),
+                "chunk_start": pd.Series(chunk[starts]),
+                "codec": pd.Series(np.full(k, CODEC_NAME, dtype=object)),
+                "n_points": n_points.astype("int32"),
+                "ts_blob": pd.Series(ts_blobs, dtype=object),
+                "turn_blob": pd.Series(turn_blobs, dtype=object),
+                "val_blob": pd.Series(val_blobs, dtype=object),
+                "text_blob": pd.Series(text_blobs, dtype=object),
+                "role_blob": pd.Series(role_blobs, dtype=object),
+                "tool_blob": pd.Series(tool_blobs, dtype=object),
+                "raw_bytes": raw.astype("int64"),
+                "enc_bytes": enc,
             }
-            raw = int(
-                (e - s) * 8 * 3
-                + text_raw[i]
-                + role_lens[s:e].sum()
-                + tool_lens[s:e].sum()
-            )
-            rows.append(
-                {
-                    "conv_id": conv[s],
-                    "chunk_start": pdf["_chunk_start"].iloc[s],
-                    "codec": CODEC_NAME,
-                    "n_points": e - s,
-                    **blobs,
-                    "raw_bytes": raw,
-                    "enc_bytes": int(sum(len(b) for b in blobs.values())),
-                }
-            )
-        return pd.DataFrame(rows)
+        )
 
     for pdf in batches:
         if carry is not None:
@@ -152,6 +175,7 @@ def encode_chunks(
     df: DataFrame,
     value_col: str = "text_len",
     chunk_interval: str = "1 day",
+    partitions: int | None = None,
 ) -> DataFrame:
     """Compress turns into per-(conv_id, chunk) blobs.
 
@@ -163,17 +187,30 @@ def encode_chunks(
     sort + a single mapInPandas pass.  Groups are processed thousands per
     Arrow batch — same result as a groupBy().applyInPandas but without
     per-group scheduling overhead, which dominates when chunks are small.
+
+    ``partitions`` sizes the exchange feeding the Python codec stage —
+    the dial, like packing.py's ``n_shards``.  It is EXPLICIT (default
+    2× default parallelism) because AQE sizes coalescing by shuffle
+    BYTES, and this stage's cost is CPU per byte of *decompressed*
+    text, not shuffle volume: on a 32-core box a ~5 MB text shuffle
+    coalesces to ~3 partitions and the codec runs 3-wide (measured 2×
+    on the sf0.1 roundtrip).  2× keeps tasks coarse (per-task Arrow +
+    Python-dispatch overhead is the cost floor once the codec itself is
+    batch-vectorized) while leaving one rebalance wave for uneven chunk
+    sizes.  At cluster scale pass input_bytes/64MB.
     """
     from mq_to_db_spark.operators.rollup import with_text_stats
 
     if value_col not in df.columns:
         df = with_text_stats(df)
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism * 2
     prepped = df.withColumn(
         "_chunk_start", F.date_trunc(_TRUNC_UNIT[chunk_interval], F.col("ts"))
     ).withColumn("_value", F.col(value_col).cast("double"))
-    arranged = prepped.repartition("conv_id", "_chunk_start").sortWithinPartitions(
-        "conv_id", "_chunk_start", "turn_idx"
-    )
+    arranged = prepped.repartition(
+        partitions, "conv_id", "_chunk_start"
+    ).sortWithinPartitions("conv_id", "_chunk_start", "turn_idx")
     return arranged.mapInPandas(_encode_partition, schema=CHUNK_SCHEMA)
 
 
@@ -191,29 +228,25 @@ _DECODE_SCHEMA = T.StructType(
 
 
 def _decode_batches(batches):
-    from itertools import chain
-
     for pdf in batches:
         if not len(pdf):
             continue
-        # fixed-width codecs decode in ONE vectorized pass over all chunks
-        # of the batch (codec.decode_*_grouped); the string/dict columns
-        # stay per-chunk (zlib + utf-8 are per-blob by construction)
+        # every column decodes in ONE vectorized pass over all chunks of
+        # the batch (codec.decode_*_grouped) — per-chunk Python work is
+        # just the inherent per-blob zlib calls
         ts, counts = codec.decode_ts_grouped([bytes(b) for b in pdf["ts_blob"]])
         turn, _ = codec.decode_i64_grouped([bytes(b) for b in pdf["turn_blob"]])
         val, _ = codec.decode_xor_grouped([bytes(b) for b in pdf["val_blob"]])
-        texts_l, roles_l, tools_l = [], [], []
-        for row in pdf.itertuples(index=False):
-            texts_l.append(codec.decode_strings(bytes(row.text_blob)))
-            roles_l.append(codec.decode_dict(bytes(row.role_blob)))
-            tools_l.append(codec.decode_dict(bytes(row.tool_blob)))
+        texts, _ = codec.decode_strings_grouped([bytes(b) for b in pdf["text_blob"]])
+        roles, _ = codec.decode_dict_grouped([bytes(b) for b in pdf["role_blob"]])
+        tools, _ = codec.decode_dict_grouped([bytes(b) for b in pdf["tool_blob"]])
         yield pd.DataFrame(
             {
                 "conv_id": np.repeat(pdf["conv_id"].to_numpy(dtype=object), counts),
                 "turn_idx": turn.astype("int32"),
-                "role": pd.array(list(chain.from_iterable(roles_l)), dtype=object),
-                "text": pd.array(list(chain.from_iterable(texts_l)), dtype=object),
-                "tool": pd.array(list(chain.from_iterable(tools_l)), dtype=object),
+                "role": pd.Series(roles, dtype=object),
+                "text": pd.Series(texts, dtype=object),
+                "tool": pd.Series(tools, dtype=object),
                 "ts": ts.view("datetime64[us]"),
                 "value": val,
             }

@@ -199,3 +199,65 @@ def test_grouped_decoders_match_single():
     assert list(fcounts) == lens
     want = np.concatenate(arrays_v)
     assert np.array_equal(fvals.view(np.uint64), want.view(np.uint64))  # bit-exact incl NaN
+
+
+def test_dict_grouped_byte_identical_and_decode():
+    """encode_dict_grouped ≡ per-group encode_dict byte-for-byte (group-
+    local first-appearance vocab order, vocab-blob memoization across
+    groups, None codes, empty groups); decode_dict_grouped and
+    decode_strings_grouped round-trip the concatenated values."""
+    import numpy as np
+    from mq_to_db_spark.functions import codec
+
+    rng = np.random.default_rng(123)
+    lens = [1, 2, 0, 3, 50, 2, 17, 1, 4, 0, 8]
+    ends = np.cumsum(lens)
+    starts = ends - np.array(lens)
+    n = int(ends[-1])
+    vocab = ["click", "view", "buy", "naïve 🚀"]
+    vals = [
+        None if rng.random() < 0.25 else vocab[int(rng.integers(0, len(vocab)))]
+        for _ in range(n)
+    ]
+    got = codec.encode_dict_grouped(vals, starts, ends)
+    ref = [codec.encode_dict(vals[s:e]) for s, e in zip(starts, ends)]
+    assert got == ref
+
+    dv, dc = codec.decode_dict_grouped(got)
+    assert list(dc) == lens
+    assert dv.tolist() == vals
+
+    texts = [
+        None if rng.random() < 0.1 else ("payload " * int(rng.integers(0, 4)) + str(i))
+        for i in range(n)
+    ]
+    blobs = [codec.encode_strings(texts[s:e]) for s, e in zip(starts, ends)]
+    sv, sc = codec.decode_strings_grouped(blobs)
+    assert sv == texts
+    assert list(sc) == lens
+
+
+def test_dict_grouped_local_vocab_order_differs_from_global():
+    """Two groups seeing the same values in different first-appearance
+    order must get different vocab blobs — the global factorize cannot
+    leak its ordering into the per-group dictionaries."""
+    import numpy as np
+    from mq_to_db_spark.functions import codec
+
+    vals = ["b", "a", "b", "a", "b", "a"]  # g0 sees b-first, g1 sees a-first
+    starts = np.array([0, 3])
+    ends = np.array([3, 6])
+    got = codec.encode_dict_grouped(vals, starts, ends)
+    assert got[0] == codec.encode_dict(["b", "a", "b"])
+    assert got[1] == codec.encode_dict(["a", "b", "a"])
+    assert codec.decode_dict(got[0]) == ["b", "a", "b"]
+    assert codec.decode_dict(got[1]) == ["a", "b", "a"]
+
+
+def test_dict_grouped_overflow_raises():
+    import numpy as np
+    from mq_to_db_spark.functions import codec
+
+    vals = [str(i) for i in range(300)]
+    with pytest.raises(ValueError, match="<255"):
+        codec.encode_dict_grouped(vals, np.array([0]), np.array([300]))
