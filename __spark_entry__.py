@@ -1495,6 +1495,95 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_docs(spark, sf_dir), BM25_TERMS, k=BM25_K)
 
 
+def q_changes_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL changes() per (event_type, 1h) bucket
+    (operators/derivatives.py discrete_changes): count of samples whose
+    value differs from their series-predecessor — pure equality compare,
+    no arithmetic, so doubles replay exactly.  Same one-exchange
+    lag-then-bucket-agg shape as counter_increase."""
+    from mq_to_db_spark.operators.derivatives import discrete_changes
+
+    return discrete_changes(
+        _events(spark, sf_dir),
+        ["event_type"],
+        ts_col="ts",
+        value_col="value",
+        tier="1h",
+        tiebreak=("event_id",),
+    )
+
+
+def q_idelta_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL idelta() per (event_type, 1h): last sample minus
+    second-to-last within the bucket (operators/derivatives.py) — window
+    + agg on the same (keys, bucket) hash, one exchange; the result is a
+    single double subtraction, bit-identical cross-engine."""
+    from mq_to_db_spark.operators.derivatives import idelta
+
+    return idelta(
+        _events(spark, sf_dir),
+        ["event_type"],
+        ts_col="ts",
+        value_col="value",
+        tier="1h",
+        tiebreak=("event_id",),
+    ).select(
+        "event_type", "bucket_start", F.round("idelta", 6).alias("idelta")
+    )
+
+
+def q_deriv_predict_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL deriv() + predict_linear() per (event_type, day) over the
+    per-minute event-count series (operators/derivatives.py): the
+    least-squares fit runs on five exact BIGINT sums (x = whole minutes
+    since midnight, y = minute count) with map-side partial aggregation —
+    one shuffle of five longs per group — and only the final
+    slope/intercept/extrapolation formula touches doubles, in a fixed
+    expression order the DuckDB oracle replays bit-for-bit."""
+    from mq_to_db_spark.operators.derivatives import predict_linear
+
+    mins = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.date_trunc("minute", F.col("ts")).alias("mt"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    fit = predict_linear(
+        mins,
+        ["event_type"],
+        ts_col="mt",
+        y_col="y",
+        tier="1d",
+        x_unit_seconds=60,
+        horizon_units=60,
+    )
+    return fit.select(
+        "event_type",
+        "bucket_start",
+        "n_samples",
+        F.round("slope", 6).alias("slope_per_min"),
+        F.round("predicted", 6).alias("predicted_1h_later"),
+    )
+
+
+def q_double_ewma_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown double exponential smoothing (PromQL holt_winters family)
+    of the hourly count tier per event_type (operators/ewma.py
+    double_ewma): two chained C `ewm` kernels in ONE grouped Arrow scan;
+    level/trend/one-step forecast derived from the two unrounded states
+    in a fixed expression order the recursive-CTE oracle replays
+    bit-for-bit."""
+    from mq_to_db_spark.operators.ewma import double_ewma
+
+    tier = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return double_ewma(
+        tier, ["event_type"], ts_col="bucket_start", value_col="n_events", alpha=0.3
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is EVIDENCE order, not build order: the
     driver's correctness gate records at most the first ~50 entries
@@ -1505,6 +1594,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     records each) last, where any truncation costs the least."""
     return {
         # -- never in a driver CORRECTNESS file (r03 cap) + round-4 new --
+        "changes_1h": q_changes_1h,
+        "idelta_1h": q_idelta_1h,
+        "deriv_predict_1d": q_deriv_predict_1d,
+        "double_ewma_1h": q_double_ewma_1h,
         "slo_burn_1h": q_slo_burn_1h,
         "bm25_topk": q_bm25_topk,
         "funnel_3step": q_funnel_3step,
@@ -1919,6 +2012,101 @@ def oracle_sql() -> dict[str, str]:
             FROM m
         """,
         # resets: same micro-unit lag as counter_increase, strict <
+        "double_ewma_1h": """
+            WITH RECURSIVE tier AS (
+                SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1, 2
+            ),
+            ordered AS (
+                SELECT event_type, bucket_start, n_events,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY bucket_start
+                       ) AS rn
+                FROM tier
+            ),
+            rec AS (
+                SELECT event_type, bucket_start, n_events, rn,
+                       CAST(n_events AS DOUBLE) AS s,
+                       CAST(n_events AS DOUBLE) AS t
+                FROM ordered WHERE rn = 1
+                UNION ALL
+                SELECT o.event_type, o.bucket_start, o.n_events, o.rn,
+                       0.3 * o.n_events + 0.7 * r.s,
+                       0.3 * (0.3 * o.n_events + 0.7 * r.s) + 0.7 * r.t
+                FROM rec r JOIN ordered o
+                  ON o.event_type = r.event_type AND o.rn = r.rn + 1
+            )
+            SELECT event_type, bucket_start, n_events,
+                   round(s, 6) AS s_single,
+                   round(t, 6) AS s_double,
+                   round(2 * s - t, 6) AS level,
+                   round((0.3 / 0.7) * (s - t), 6) AS trend,
+                   round((2 * s - t) + (0.3 / 0.7) * (s - t), 6) AS forecast_next
+            FROM rec
+        """,
+        "changes_1h": """
+            WITH lagged AS (
+                SELECT event_type, date_trunc('hour', ts) AS bucket_start, value,
+                       lag(value) OVER (
+                           PARTITION BY event_type ORDER BY ts, event_id
+                       ) AS pv
+                FROM events
+            )
+            SELECT event_type, bucket_start,
+                   CAST(count(*) FILTER (
+                       WHERE pv IS NOT NULL AND value <> pv
+                   ) AS BIGINT) AS n_changes
+            FROM lagged GROUP BY 1, 2
+        """,
+        "idelta_1h": """
+            WITH r AS (
+                SELECT event_type, date_trunc('hour', ts) AS bucket_start, value,
+                       row_number() OVER (
+                           PARTITION BY event_type, date_trunc('hour', ts)
+                           ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events
+            )
+            SELECT event_type, bucket_start,
+                   round(max(CASE WHEN rn = 1 THEN value END)
+                         - max(CASE WHEN rn = 2 THEN value END), 6) AS idelta
+            FROM r WHERE rn <= 2 GROUP BY 1, 2
+        """,
+        "deriv_predict_1d": """
+            WITH mins AS (
+                SELECT event_type, date_trunc('minute', ts) AS mt,
+                       CAST(count(*) AS BIGINT) AS y
+                FROM events GROUP BY 1, 2
+            ),
+            sums AS (
+                SELECT event_type, date_trunc('day', mt) AS bucket_start,
+                       CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(date_diff('minute', date_trunc('day', mt), mt))
+                            AS BIGINT) AS sx,
+                       CAST(sum(y) AS BIGINT) AS sy,
+                       CAST(sum(date_diff('minute', date_trunc('day', mt), mt) * y)
+                            AS BIGINT) AS sxy,
+                       CAST(sum(date_diff('minute', date_trunc('day', mt), mt)
+                                * date_diff('minute', date_trunc('day', mt), mt))
+                            AS BIGINT) AS sxx
+                FROM mins GROUP BY 1, 2
+            )
+            SELECT event_type, bucket_start, n AS n_samples,
+                   CASE WHEN n * sxx - sx * sx <> 0 THEN
+                       round(CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                   END AS slope_per_min,
+                   CASE WHEN n * sxx - sx * sx <> 0 THEN
+                       round((CAST(sy AS DOUBLE)
+                              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                                 / CAST(n * sxx - sx * sx AS DOUBLE))
+                                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+                             + (CAST(n * sxy - sx * sy AS DOUBLE)
+                                / CAST(n * sxx - sx * sx AS DOUBLE)) * 1500.0, 6)
+                   END AS predicted_1h_later
+            FROM sums
+        """,
         "resets_1h": """
             WITH s AS (
                 SELECT event_type, ts, event_id,

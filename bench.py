@@ -90,6 +90,10 @@ EXTENDED_QUERIES = (
     "resets_1h",
     "slo_burn_1h",
     "bm25_topk",
+    "changes_1h",
+    "idelta_1h",
+    "deriv_predict_1d",
+    "double_ewma_1h",
 )
 
 

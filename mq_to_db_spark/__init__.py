@@ -96,6 +96,23 @@ _PUBLIC = {
     "interpolated_time_weighted_avg": "mq_to_db_spark.operators.intervals",
     "explode_bucket_overlaps": "mq_to_db_spark.operators.intervals",
     "downsample_lttb": "mq_to_db_spark.operators.downsample",
+    # product metrics / SRE / retrieval / derivatives (round 4)
+    "counter_resets": "mq_to_db_spark.operators.counters",
+    "funnel_reach": "mq_to_db_spark.operators.funnel",
+    "funnel_counts": "mq_to_db_spark.operators.funnel",
+    "cohort_retention": "mq_to_db_spark.operators.cohort",
+    "with_seasonal": "mq_to_db_spark.operators.seasonal",
+    "seasonal_profile": "mq_to_db_spark.operators.seasonal",
+    "slo_burn": "mq_to_db_spark.operators.slo",
+    "burn_rate": "mq_to_db_spark.operators.slo",
+    "error_ratio_tier": "mq_to_db_spark.operators.slo",
+    "bm25_scores": "mq_to_db_spark.operators.ranking",
+    "bm25_topk": "mq_to_db_spark.operators.ranking",
+    "discrete_changes": "mq_to_db_spark.operators.derivatives",
+    "idelta": "mq_to_db_spark.operators.derivatives",
+    "regression_fit": "mq_to_db_spark.operators.derivatives",
+    "predict_linear": "mq_to_db_spark.operators.derivatives",
+    "double_ewma": "mq_to_db_spark.operators.ewma",
 }
 
 

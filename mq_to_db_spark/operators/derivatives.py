@@ -1,0 +1,191 @@
+"""Instant-vector derivative semantics: ``changes`` / ``idelta`` /
+``deriv`` / ``predict_linear`` per tier bucket.
+
+The reference's dashboard derives trend panels from its Prometheus
+counters and gauges (docker-compose/grafana/dashboards/mq-to-db.json) —
+beyond ``rate``/``increase`` (operators/counters.py) the PromQL family it
+leans on is the *derivative* set:
+
+  * ``changes()``   — how many times a series' value changed;
+  * ``idelta()``    — difference of the last two samples (instant delta);
+  * ``deriv()``     — per-second least-squares slope of the samples;
+  * ``predict_linear()`` — linear extrapolation of that fit.
+
+This module promotes each to a first-class batch operator over any
+``(series keys, ts, value)`` table with tumbling-bucket semantics (the
+engine's tiers are complete sample streams, not scrape windows, so the
+statistics are exact rather than window-edge-extrapolated estimates).
+
+Exactness discipline (the series_corr/correlate.py pattern): the
+regression runs on **integer sums** — x is the whole number of x-units
+since the bucket start (BIGINT), y is the caller's integer series — so
+Σx, Σy, Σxy, Σx² are exact BIGINT on any engine and any partitioning;
+only the final slope/intercept formula touches doubles, in one fixed
+expression-tree order, so a DuckDB oracle replaying the same formula
+hash-matches bit-for-bit.  (Built-in ``regr_slope`` is summation-order
+dependent — unusable for cross-engine replay.)
+
+Scale design:
+  * ``changes``: one exchange — the lag window hash-partitions on the
+    series keys and the (keys, bucket) aggregation reuses that
+    partitioning (the counters.py plan shape);
+  * ``idelta``: one exchange — window over (keys, bucket) then groupBy
+    (keys, bucket) back to back;
+  * ``deriv``/``predict_linear``: plain groupBy with map-side partial
+    aggregation of the five sums — mergeable, skew-free, ONE shuffle of
+    five BIGINTs per group regardless of samples per bucket.
+
+Overflow bounds (BIGINT): with x ≤ B (samples per bucket span in x-units)
+and |y| ≤ Y, |Σxy| ≤ n·B·Y — for hour buckets at seconds grain
+(B=3600) and |y| ≤ 10⁹ that allows n up to ~2.5 M samples per bucket
+before approaching 2⁶³; document the caller's scaling accordingly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import window as W
+
+from mq_to_db_spark.operators.rollup import bucket_col
+
+
+def discrete_changes(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tier: str = "1h",
+    tiebreak: tuple[str, ...] = (),
+    out_col: str = "n_changes",
+) -> DataFrame:
+    """PromQL ``changes()`` per (keys, bucket): the number of samples
+    whose value differs from their series-predecessor, attributed to the
+    later sample's bucket.  The series' first-ever sample contributes 0
+    (no predecessor).  Equality is exact value comparison — no arithmetic,
+    so any column type replays exactly cross-engine.
+
+    ``tiebreak`` orders equal timestamps deterministically (required for
+    an exact oracle when the source has ts collisions)."""
+    w = W.Window.partitionBy(*keys).orderBy(ts_col, *tiebreak)
+    prev = F.lag(value_col).over(w)
+    changed = prev.isNotNull() & (F.col(value_col) != prev)
+    return (
+        df.withColumn("_chg", changed)
+        .groupBy(*keys, bucket_col(tier, ts_col).alias("bucket_start"))
+        .agg(F.count_if(F.col("_chg")).alias(out_col))
+    )
+
+
+def idelta(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tier: str = "1h",
+    tiebreak: tuple[str, ...] = (),
+    out_col: str = "idelta",
+) -> DataFrame:
+    """PromQL ``idelta()`` per (keys, bucket): last sample minus
+    second-to-last sample *within the bucket* (NULL when the bucket has
+    fewer than two samples).  One subtraction of the two picked doubles —
+    exact cross-engine."""
+    b = bucket_col(tier, ts_col).alias("bucket_start")
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak]
+    w = W.Window.partitionBy(*keys, "bucket_start").orderBy(*order)
+    return (
+        df.select(*keys, b, ts_col, *tiebreak, F.col(value_col).alias("_v"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 2)
+        .groupBy(*keys, "bucket_start")
+        .agg(
+            (
+                F.max(F.when(F.col("_rn") == 1, F.col("_v")))
+                - F.max(F.when(F.col("_rn") == 2, F.col("_v")))
+            ).alias(out_col)
+        )
+    )
+
+
+def _fit_sums(x: Column, y: Column) -> list[Column]:
+    """The five exact BIGINT sums of a least-squares fit."""
+    return [
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    ]
+
+
+def _slope_intercept(prefix: str = "_") -> tuple[Column, Column]:
+    """slope/intercept from the sums — numerator and denominator are
+    exact BIGINTs converted to double (magnitudes must stay < 2^53 for
+    bit-exact replay; see module overflow note), then ONE division."""
+    n = F.col(f"{prefix}n").cast("double")
+    sx = F.col(f"{prefix}sx").cast("double")
+    sy = F.col(f"{prefix}sy").cast("double")
+    num = (F.col(f"{prefix}n") * F.col(f"{prefix}sxy") - F.col(f"{prefix}sx") * F.col(f"{prefix}sy")).cast("double")
+    den = (F.col(f"{prefix}n") * F.col(f"{prefix}sxx") - F.col(f"{prefix}sx") * F.col(f"{prefix}sx")).cast("double")
+    slope = F.when(den != 0, num / den)
+    intercept = (sy - slope * sx) / n
+    return slope, intercept
+
+
+def regression_fit(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    y_col: str = "y",
+    tier: str = "1d",
+    x_unit_seconds: int = 60,
+) -> DataFrame:
+    """PromQL ``deriv()`` generalized: per (keys, bucket) least-squares
+    fit of the integer series ``y_col`` against x = whole ``x_unit``s
+    since the bucket start.  Returns slope (per x-unit), intercept (fit
+    value at bucket start), and the sample count.
+
+    ``y_col`` must be integral (cast upstream with an explicit scaling if
+    the series is a double gauge) — that is what makes Σxy/Σx² exact and
+    the result engine-replayable.  NULL slope when the bucket has <2
+    distinct x positions (vertical fit)."""
+    b = bucket_col(tier, ts_col)
+    x = (
+        (F.unix_timestamp(ts_col) - F.unix_timestamp(b)) / F.lit(x_unit_seconds)
+    ).cast("long")
+    y = F.col(y_col).cast("long")
+    sums = (
+        df.select(*keys, b.alias("bucket_start"), x.alias("_x"), y.alias("_y"))
+        .groupBy(*keys, "bucket_start")
+        .agg(*_fit_sums(F.col("_x"), F.col("_y")))
+    )
+    slope, intercept = _slope_intercept()
+    return sums.select(
+        *keys,
+        "bucket_start",
+        F.col("_n").alias("n_samples"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
+
+
+def predict_linear(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    y_col: str = "y",
+    tier: str = "1d",
+    x_unit_seconds: int = 60,
+    horizon_units: int = 0,
+) -> DataFrame:
+    """PromQL ``predict_linear()``: the regression_fit value extrapolated
+    to the bucket's END plus ``horizon_units`` x-units —
+    ``intercept + slope·(bucket_len + horizon)``.  Same exact-sums
+    discipline; the extrapolation is three double ops in fixed order."""
+    from mq_to_db_spark.config import TIER_SECONDS
+
+    fit = regression_fit(df, keys, ts_col, y_col, tier, x_unit_seconds)
+    x_end = F.lit(TIER_SECONDS[tier] / x_unit_seconds + horizon_units).cast("double")
+    return fit.withColumn(
+        "predicted", F.col("intercept") + F.col("slope") * x_end
+    )

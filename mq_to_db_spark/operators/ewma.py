@@ -154,3 +154,64 @@ def _ewma_keyless(df, ts_col, value_col, alpha, tiebreak, out_col, n_buckets):
         )
         .drop("_rb", "_loc", "_pos", "_carry")
     )
+
+
+def double_ewma(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.3,
+    tiebreak: tuple[str, ...] = (),
+) -> DataFrame:
+    """Brown double exponential smoothing — the PromQL ``holt_winters()``
+    family's batch form.  Two chained EWMA scans share ONE grouped Arrow
+    pass (sort once, two C ``ewm`` kernels — no second exchange):
+
+        s_t = α·x_t + (1-α)·s_{t-1}          (s_1 = x_1)
+        t_t = α·s_t + (1-α)·t_{t-1}          (t_1 = s_1)
+
+        level    = 2·s − t                    (smoothed series value)
+        trend    = α/(1-α) · (s − t)          (per-step slope estimate)
+        forecast_next = level + trend         (one-step-ahead forecast)
+
+    Both states stay UNROUNDED through the recurrence (the DuckDB oracle
+    carries (s, t) through one recursive CTE in the same α·x + (1-α)·prev
+    form); every output column rounds to 6 at the end.  Keyed only: tier
+    series are calendar-bounded per key, so a series fits one grouped
+    scan — the keyless 2×2 affine-matrix scan generalization is not
+    needed (and ``ewma()`` covers the keyless single-smooth case).
+
+    Appends ``s_single, s_double, level, trend, forecast_next``."""
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    if not keys:
+        raise ValueError("double_ewma is keyed-only; use ewma() for a global series")
+    order = [ts_col, *tiebreak]
+    schema = _scan_schema(
+        df,
+        [
+            ("s_single", DoubleType()),
+            ("s_double", DoubleType()),
+            ("level", DoubleType()),
+            ("trend", DoubleType()),
+            ("forecast_next", DoubleType()),
+        ],
+    )
+    factor = alpha / (1.0 - alpha)
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, ignore_index=True)
+        x = pdf[value_col].astype("float64")
+        s = x.ewm(alpha=alpha, adjust=False).mean()
+        t = s.ewm(alpha=alpha, adjust=False).mean()
+        lvl = 2.0 * s - t
+        trd = factor * (s - t)
+        pdf["s_single"] = s.round(6)
+        pdf["s_double"] = t.round(6)
+        pdf["level"] = lvl.round(6)
+        pdf["trend"] = trd.round(6)
+        pdf["forecast_next"] = (lvl + trd).round(6)
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(scan, schema)

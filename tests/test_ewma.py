@@ -141,3 +141,71 @@ def test_ewma_hypothesis_keyless_parity(spark):
         assert all(abs(got[k] - want[k]) <= 2e-6 for k in want), (alpha, n_buckets)
 
     check()
+
+
+def test_double_ewma_matches_plain_recurrence(spark):
+    """s/t recurrences replayed in pure Python; level/trend/forecast
+    derived from the unrounded states in the same expression order."""
+    import datetime as dt
+
+    xs = [10.0, 14.0, 9.0, 20.0, 20.0, 3.0]
+    a = 0.3
+    df = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 1, h), x) for h, x in enumerate(xs)],
+        "k string, ts timestamp, value double",
+    )
+    from mq_to_db_spark.operators.ewma import double_ewma
+
+    got = {
+        r["ts"].hour: r
+        for r in double_ewma(df, ["k"], alpha=a).collect()
+    }
+    s = t = None
+    for h, x in enumerate(xs):
+        s = x if s is None else a * x + (1 - a) * s
+        t = s if t is None else a * s + (1 - a) * t
+        lvl, trd = 2 * s - t, (a / (1 - a)) * (s - t)
+        r = got[h]
+        assert r["s_single"] == round(s, 6)
+        assert r["s_double"] == round(t, 6)
+        assert r["level"] == round(lvl, 6)
+        assert r["trend"] == round(trd, 6)
+        assert r["forecast_next"] == round(lvl + trd, 6)
+
+
+def test_double_ewma_trend_tracks_linear_series(spark):
+    """On a perfectly linear series the trend estimate converges to the
+    true slope and the one-step forecast converges to the next value."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), 5.0 * h)
+         for h in range(200)],
+        "k string, ts timestamp, value double",
+    )
+    from mq_to_db_spark.operators.ewma import double_ewma
+
+    last = (
+        double_ewma(df, ["k"], alpha=0.3)
+        .orderBy("ts")
+        .tail(1)[0]
+    )
+    assert abs(last["trend"] - 5.0) < 1e-6
+    assert abs(last["forecast_next"] - 5.0 * 200) < 1e-5
+
+
+def test_double_ewma_requires_keys_and_valid_alpha(spark):
+    import datetime as dt
+
+    import pytest
+
+    from mq_to_db_spark.operators.ewma import double_ewma
+
+    df = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 1), 1.0)],
+        "k string, ts timestamp, value double",
+    )
+    with pytest.raises(ValueError, match="keyed-only"):
+        double_ewma(df, [])
+    with pytest.raises(ValueError, match="alpha"):
+        double_ewma(df, ["k"], alpha=1.0)
