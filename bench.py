@@ -94,6 +94,8 @@ EXTENDED_QUERIES = (
     "idelta_1h",
     "deriv_predict_1d",
     "double_ewma_1h",
+    "mad_outliers_1d",
+    "gap_stats_1d",
 )
 
 

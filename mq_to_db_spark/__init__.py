@@ -113,6 +113,8 @@ _PUBLIC = {
     "regression_fit": "mq_to_db_spark.operators.derivatives",
     "predict_linear": "mq_to_db_spark.operators.derivatives",
     "double_ewma": "mq_to_db_spark.operators.ewma",
+    "mad_outliers": "mq_to_db_spark.operators.rolling",
+    "gap_stats": "mq_to_db_spark.operators.intervals",
 }
 
 

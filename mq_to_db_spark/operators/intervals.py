@@ -191,3 +191,42 @@ def interpolated_time_weighted_avg(
         F.sum(is_sample.cast("long")).alias("n_samples"),
         F.round(integral / F.sum("_ov_us").cast("double"), 6).alias(out_col),
     )
+
+
+def gap_stats(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    tier: str = "1d",
+    tiebreak: tuple[str, ...] = (),
+) -> DataFrame:
+    """Inter-sample gap analysis per (keys, bucket): the silence between
+    consecutive samples of a series — the question behind every
+    dead-sensor / stalled-consumer alert (the reference's readiness
+    probe watches exactly this: time since the last delivery).
+
+    Each sample's gap is the µs distance to its series-PREDECESSOR
+    (BIGINT — exact on any engine), attributed to the later sample's
+    bucket (the bucket that *observed* the silence end).  The series'
+    first-ever sample has no gap.  Returns per-bucket
+    ``n_samples, max_gap_us, avg_gap_us`` (avg = exact BIGINT sum over
+    count, ONE double division, round 6).
+
+    Plan: one exchange — the lag window hash-partitions on the series
+    keys; the (keys, bucket) aggregation reuses that partitioning."""
+    from mq_to_db_spark.operators.rollup import bucket_col
+
+    w = W.partitionBy(*keys).orderBy(ts_col, *tiebreak)
+    ts_us = _epoch_micros(F.col(ts_col))
+    gap = ts_us - F.lag(ts_us).over(w)
+    return (
+        df.withColumn("_gap_us", gap)
+        .groupBy(*keys, bucket_col(tier, ts_col).alias("bucket_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.max("_gap_us").alias("max_gap_us"),
+            F.round(
+                F.sum("_gap_us").cast("double") / F.count("_gap_us").cast("double"), 6
+            ).alias("avg_gap_us"),
+        )
+    )

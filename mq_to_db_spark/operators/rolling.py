@@ -59,3 +59,54 @@ def rolling_stats(
             F.coalesce(F.abs(z) > F.lit(threshold), F.lit(False)),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tier: str = "1d",
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust outlier detection per (keys, bucket): median / MAD instead
+    of mean / stddev — the z-score flag above breaks down exactly when it
+    matters (a fat outlier inflates its own baseline stddev; the median
+    absolute deviation is immune to up to 50% contamination).
+
+    Exactness discipline: both medians are **picked elements**, never
+    interpolated — ``percentile_disc(0.5)`` semantics (the smallest value
+    whose cumulative rank reaches 50%, i.e. the order statistic at
+    ``ceil(n/2)``) — so every derived double (deviation = v − median,
+    threshold = k·MAD) is one fixed-order IEEE op on values both engines
+    hold bit-identically; a DuckDB oracle replays it exactly.  (Built-in
+    ``median``/``percentile_approx`` interpolate or approximate — neither
+    survives a hash compare.)
+
+    Plan: both order-statistic picks are windows over the SAME
+    ``(keys, bucket)`` hash — Catalyst plans the two sorts and the final
+    aggregation into one exchange.  Returns per-bucket
+    ``n_samples, med, mad, n_outliers``."""
+    b_expr = F.date_trunc({"1m": "minute", "1h": "hour", "1d": "day"}[tier], F.col(ts_col))
+    part = [*keys, "bucket_start"]
+    base = df.select(*keys, b_expr.alias("bucket_start"), F.col(value_col).alias("_v"))
+    w_ord = W.partitionBy(*part).orderBy("_v")
+    w_all = W.partitionBy(*part)
+    n = F.count(F.lit(1)).over(w_all)
+    # order statistic at ceil(n/2) == floor((n+1)/2): percentile_disc(0.5)
+    med_pick = F.when(F.row_number().over(w_ord) == F.floor((n + 1) / 2), F.col("_v"))
+    with_med = base.withColumn("_med_pick", med_pick).withColumn(
+        "_med", F.max("_med_pick").over(w_all)
+    )
+    dev = with_med.withColumn("_dev", F.abs(F.col("_v") - F.col("_med")))
+    w_dev = W.partitionBy(*part).orderBy("_dev")
+    mad_pick = F.when(F.row_number().over(w_dev) == F.floor((n + 1) / 2), F.col("_dev"))
+    with_mad = dev.withColumn("_mad_pick", mad_pick).withColumn(
+        "_mad", F.max("_mad_pick").over(w_all)
+    )
+    return with_mad.groupBy(*part).agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.min("_med").alias("med"),
+        F.min("_mad").alias("mad"),
+        F.count_if(F.col("_dev") > F.lit(k) * F.col("_mad")).alias("n_outliers"),
+    )
