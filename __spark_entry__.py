@@ -1612,6 +1612,52 @@ def q_gap_stats_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cusum_alarms_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided tabular CUSUM drift detection per (event_type, day)
+    (operators/changepoint.py cusum): the clamp recurrence replayed via
+    the exact prefix-sum / running-min identity — all-BIGINT micro-unit
+    arithmetic (target 50, slack 10, decision threshold 500 in value
+    units), so the per-day alarm counts and statistic maxima hash-match
+    a pure window-function DuckDB replay bit-for-bit."""
+    from mq_to_db_spark.operators.changepoint import cusum
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", "ts", "event_id",
+        F.floor(F.col("value") * 1e6).cast("long").alias("v"),
+    )
+    c = cusum(
+        ev, ["event_type"], ts_col="ts", value_col="v",
+        target=50_000_000, slack=10_000_000, h=500_000_000,
+        tiebreak=("event_id",),
+    )
+    return c.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day_start")
+    ).agg(
+        F.count_if(F.col("alarm")).alias("n_alarms"),
+        F.max("cusum_hi").alias("max_cusum_hi"),
+        F.max("cusum_lo").alias("max_cusum_lo"),
+    )
+
+
+def q_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus ``expr > x for: d`` in batch
+    (operators/changepoint.py threshold_episodes): gaps-and-islands
+    runs of consecutive samples with value > 50, kept only when the run
+    spanned ≥ 30 minutes — one exchange, integer compares, exact
+    epoch-µs durations."""
+    from mq_to_db_spark.operators.changepoint import threshold_episodes
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", "ts", "event_id",
+        F.floor(F.col("value") * 1e6).cast("long").alias("v"),
+    )
+    return threshold_episodes(
+        ev, ["event_type"], ts_col="ts", value_col="v",
+        threshold=50_000_000, min_duration_us=1_800_000_000,
+        tiebreak=("event_id",),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is EVIDENCE order, not build order: the
     driver's correctness gate records at most the first ~50 entries
@@ -1624,6 +1670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     costs the least."""
     return {
         # -- never in a driver CORRECTNESS file (r03 cap) + round-4 new --
+        "cusum_alarms_1d": q_cusum_alarms_1d,
+        "alert_episodes": q_alert_episodes,
         "changes_1h": q_changes_1h,
         "idelta_1h": q_idelta_1h,
         "deriv_predict_1d": q_deriv_predict_1d,
@@ -2081,6 +2129,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE d > 3.0 * mad) AS BIGINT)
                        AS n_outliers
             FROM mad GROUP BY 1, 2
+        """,
+        "cusum_alarms_1d": """
+            WITH s AS (
+                SELECT event_type, ts, event_id,
+                       CAST(floor(value * 1000000.0) AS BIGINT) AS v
+                FROM events
+            ),
+            p AS (
+                SELECT event_type, ts, event_id,
+                       sum(v - 60000000) OVER w AS p_hi,
+                       sum(40000000 - v) OVER w AS p_lo
+                FROM s
+                WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)
+            ),
+            c AS (
+                SELECT event_type, ts,
+                       p_hi - least(0, min(p_hi) OVER w) AS c_hi,
+                       p_lo - least(0, min(p_lo) OVER w) AS c_lo
+                FROM p
+                WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT event_type, date_trunc('day', ts) AS day_start,
+                   CAST(count(*) FILTER (
+                       WHERE c_hi > 500000000 OR c_lo > 500000000
+                   ) AS BIGINT) AS n_alarms,
+                   max(c_hi) AS max_cusum_hi,
+                   max(c_lo) AS max_cusum_lo
+            FROM c GROUP BY 1, 2
+        """,
+        "alert_episodes": """
+            WITH s AS (
+                SELECT event_type, ts, event_id,
+                       CAST(floor(value * 1000000.0) AS BIGINT) AS v
+                FROM events
+            ),
+            f AS (
+                SELECT *,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY ts, event_id)
+                     - row_number() OVER (
+                           PARTITION BY event_type, (v > 50000000)
+                           ORDER BY ts, event_id) AS island
+                FROM s
+            )
+            SELECT event_type, min(ts) AS start_ts, max(ts) AS end_ts,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   max(v) AS peak,
+                   epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+            FROM f WHERE v > 50000000
+            GROUP BY event_type, island
+            HAVING epoch_us(max(ts)) - epoch_us(min(ts)) >= 1800000000
         """,
         "gap_stats_1d": """
             WITH lagged AS (
