@@ -1658,6 +1658,38 @@ def q_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_series_churn_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series-cardinality churn per day (operators/lifecycle.py
+    series_churn): distinct users active / born (first-ever sample) /
+    died (last-ever sample) per bucket — the head-series-churn
+    governance view, exact BIGINT counts; the per-series extents shuffle
+    once on the series key, the bucket counts shuffle only #series
+    rows."""
+    from mq_to_db_spark.operators.lifecycle import series_churn
+
+    return series_churn(
+        _events(spark, sf_dir), ["user_id"], ts_col="ts", tier="1d"
+    )
+
+
+def q_exemplars_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenMetrics exemplars per (event_type, hour)
+    (operators/lifecycle.py exemplars): the max-value sample with its
+    coordinates, deterministic under ties via the (value, ts, id)
+    struct-max total order — ONE groupBy, no window sort; the oracle
+    replays the same order with a row_number pick."""
+    from mq_to_db_spark.operators.lifecycle import exemplars
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", "ts", "event_id",
+        F.floor(F.col("value") * 1e6).cast("long").alias("v"),
+    )
+    return exemplars(
+        ev, ["event_type"], ts_col="ts", value_col="v",
+        id_col="event_id", tier="1h",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is EVIDENCE order, not build order: the
     driver's correctness gate records at most the first ~50 entries
@@ -1672,6 +1704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never in a driver CORRECTNESS file (r03 cap) + round-4 new --
         "cusum_alarms_1d": q_cusum_alarms_1d,
         "alert_episodes": q_alert_episodes,
+        "series_churn_1d": q_series_churn_1d,
+        "exemplars_1h": q_exemplars_1h,
         "changes_1h": q_changes_1h,
         "idelta_1h": q_idelta_1h,
         "deriv_predict_1d": q_deriv_predict_1d,
@@ -2129,6 +2163,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE d > 3.0 * mad) AS BIGINT)
                        AS n_outliers
             FROM mad GROUP BY 1, 2
+        """,
+        "series_churn_1d": """
+            WITH b AS (
+                SELECT user_id, date_trunc('day', ts) AS bk FROM events
+            ),
+            ext AS (
+                SELECT user_id, min(bk) AS fb, max(bk) AS lb
+                FROM b GROUP BY 1
+            ),
+            active AS (
+                SELECT bk AS bucket_start,
+                       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+                FROM b GROUP BY 1
+            ),
+            born AS (
+                SELECT fb AS bucket_start, CAST(count(*) AS BIGINT) AS nb
+                FROM ext GROUP BY 1
+            ),
+            died AS (
+                SELECT lb AS bucket_start, CAST(count(*) AS BIGINT) AS nd
+                FROM ext GROUP BY 1
+            )
+            SELECT a.bucket_start, a.n_active,
+                   COALESCE(nb, CAST(0 AS BIGINT)) AS n_born,
+                   COALESCE(nd, CAST(0 AS BIGINT)) AS n_died
+            FROM active a
+            LEFT JOIN born USING (bucket_start)
+            LEFT JOIN died USING (bucket_start)
+        """,
+        "exemplars_1h": """
+            WITH s AS (
+                SELECT event_type, ts, event_id,
+                       CAST(floor(value * 1000000.0) AS BIGINT) AS v,
+                       date_trunc('hour', ts) AS bk
+                FROM events
+            ),
+            r AS (
+                SELECT *,
+                       row_number() OVER (
+                           PARTITION BY event_type, bk
+                           ORDER BY v DESC, ts DESC, event_id DESC
+                       ) AS rn,
+                       CAST(count(*) OVER (
+                           PARTITION BY event_type, bk
+                       ) AS BIGINT) AS n_samples
+                FROM s
+            )
+            SELECT event_type, bk AS bucket_start, v AS exemplar_value,
+                   ts AS exemplar_ts, event_id AS exemplar_id, n_samples
+            FROM r WHERE rn = 1
         """,
         "cusum_alarms_1d": """
             WITH s AS (
