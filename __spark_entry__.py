@@ -1658,6 +1658,42 @@ def q_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness curation signals per document
+    (functions/text.py lexical_stats): token/type/hapax counts plus
+    TTR / hapax ratio / top-token share — every number a BIGINT count
+    or one division of two exact BIGINTs, so the DuckDB replay is
+    hash-exact; ONE (doc, token) shuffle, per-doc agg reuses it."""
+    from mq_to_db_spark.functions.text import lexical_stats
+
+    return lexical_stats(_docs(spark, sf_dir), text_col="text",
+                         id_col="doc_id")
+
+
+def q_autocorr_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the zero-filled hourly event-count
+    series, per day (operators/correlate.py autocorr): the
+    persistence/seasonality diagnostic — pairs lag within the day via a
+    day-partitioned window (never keyless), then the exact-moment
+    Pearson (six BIGINT sums, one fixed-order double formula)."""
+    from mq_to_db_spark.operators.correlate import autocorr
+    from mq_to_db_spark.operators.gapfill import time_grid
+    from mq_to_db_spark.operators.rollup import bucket_col
+
+    bucketed = (
+        _events(spark, sf_dir)
+        .groupBy(bucket_col("1h", "ts").alias("bucket_start"))
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    series = time_grid(bucketed, "1h", []).join(
+        bucketed, "bucket_start", "left"
+    ).select("bucket_start", F.coalesce("v", F.lit(0)).alias("v"))
+    out = autocorr(series, lag=1, group_unit="day", v_col="v")
+    return out.select(
+        "group_start", "n_pairs", F.round("autocorr", 6).alias("autocorr")
+    )
+
+
 def q_series_churn_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Series-cardinality churn per day (operators/lifecycle.py
     series_churn): distinct users active / born (first-ever sample) /
@@ -1706,6 +1742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alert_episodes": q_alert_episodes,
         "series_churn_1d": q_series_churn_1d,
         "exemplars_1h": q_exemplars_1h,
+        "autocorr_1d": q_autocorr_1d,
+        "lexical_stats": q_lexical_stats,
         "changes_1h": q_changes_1h,
         "idelta_1h": q_idelta_1h,
         "deriv_predict_1d": q_deriv_predict_1d,
@@ -2163,6 +2201,65 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE d > 3.0 * mad) AS BIGINT)
                        AS n_outliers
             FROM mad GROUP BY 1, 2
+        """,
+        "lexical_stats": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '\\s+')) AS t
+                FROM documents
+            ),
+            counts AS (
+                SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+                FROM tok WHERE t <> '' GROUP BY 1, 2
+            )
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(count(*) FILTER (c = 1) AS BIGINT) AS n_hapax,
+                   round(CAST(count(*) AS DOUBLE)
+                         / CAST(sum(c) AS DOUBLE), 6) AS ttr,
+                   round(CAST(count(*) FILTER (c = 1) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS hapax_ratio,
+                   round(CAST(max(c) AS DOUBLE)
+                         / CAST(sum(c) AS DOUBLE), 6) AS top_token_ratio
+            FROM counts GROUP BY 1
+        """,
+        "autocorr_1d": """
+            WITH hourly AS (
+                SELECT date_trunc('hour', ts) AS b,
+                       CAST(count(*) AS BIGINT) AS v
+                FROM events GROUP BY 1
+            ),
+            ext AS (SELECT min(b) AS lo, max(b) AS hi FROM hourly),
+            grid AS (
+                SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS g
+                FROM ext
+            ),
+            filled AS (
+                SELECT g, coalesce(v, CAST(0 AS BIGINT)) AS v
+                FROM grid LEFT JOIN hourly ON b = g
+            ),
+            pairs AS (
+                SELECT date_trunc('day', g) AS group_start,
+                       lag(v) OVER (
+                           PARTITION BY date_trunc('day', g) ORDER BY g
+                       ) AS a,
+                       v AS b
+                FROM filled
+            ),
+            mom AS (
+                SELECT group_start, CAST(count(*) AS BIGINT) AS n,
+                       sum(a) AS sa, sum(b) AS sb, sum(a * b) AS sab,
+                       sum(a * a) AS saa, sum(b * b) AS sbb
+                FROM pairs WHERE a IS NOT NULL GROUP BY 1
+            )
+            SELECT group_start, n AS n_pairs,
+                   round((n::DOUBLE * sab::DOUBLE - sa::DOUBLE * sb::DOUBLE)
+                         / nullif(sqrt(n::DOUBLE * saa::DOUBLE - sa::DOUBLE * sa::DOUBLE)
+                                  * sqrt(n::DOUBLE * sbb::DOUBLE - sb::DOUBLE * sb::DOUBLE),
+                                  0.0),
+                         6) AS autocorr
+            FROM mom
         """,
         "series_churn_1d": """
             WITH b AS (

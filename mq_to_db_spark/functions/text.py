@@ -407,3 +407,57 @@ def with_pii_features(df, text_col: str = "text"):
     return out.withColumn("pii_any", any_pii).withColumn(
         "text_redacted", redact_pii(text_col)
     )
+
+
+# -- lexical diversity (vocabulary-richness quality signals) ------------------
+
+
+def lexical_stats(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Vocabulary-richness stats per document: ``n_tokens`` / ``n_types``
+    (distinct whitespace tokens, lowercased) / ``n_hapax`` (tokens seen
+    exactly once), plus the derived type-token ratio, hapax ratio, and
+    top-token ratio (max single-token frequency share — the degenerate-
+    repetition indicator complementing with_repetition_features).
+
+    The Heaps'-law signals a corpus-curation filter wants: templated or
+    spam documents have low TTR and a dominant top token; natural prose
+    has hapax_ratio ≈ 0.4-0.6.
+
+    Exactness discipline: every statistic is a BIGINT count or ONE
+    double division of two exact BIGINTs (rounded, fixed order) — no
+    double summation anywhere, so a DuckDB replay hash-matches exactly
+    (entropy-style Σ c·log₂c is deliberately excluded: its summation
+    order is engine-dependent).
+
+    Scale design: explode → ONE shuffle keyed (doc, token) with map-side
+    partial counts, then a per-doc aggregate that reuses the doc-hash
+    partitioning (Catalyst sees (doc, token) → (doc) as a narrower
+    restatement).  Documents with no tokens vanish (no row), matching
+    the SQL GROUP BY semantics.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("_tok"),
+    )
+    counts = tok.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("_c"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.count_if(F.col("_c") == 1).alias("n_hapax"),
+        F.max("_c").alias("_max_c"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.round(d("n_types") / d("n_tokens"), 6).alias("ttr"),
+        F.round(d("n_hapax") / d("n_types"), 6).alias("hapax_ratio"),
+        F.round(d("_max_c") / d("n_tokens"), 6).alias("top_token_ratio"),
+    )

@@ -97,3 +97,44 @@ def series_corr(
         F.col("_n").alias("n_buckets"),
         corr.alias(out_col),
     )
+
+
+def autocorr(
+    series: DataFrame,
+    lag: int = 1,
+    group_unit: str = "day",
+    bucket_col: str = "bucket_start",
+    v_col: str = "v",
+    out_col: str = "autocorr",
+) -> DataFrame:
+    """Lag-``k`` autocorrelation of one bucketed series per
+    ``date_trunc(group_unit)`` group — the seasonality/persistence
+    diagnostic (is this hour's volume predicted by ``k`` hours ago?).
+
+    Pairs ``(v_{t-k}, v_t)`` are formed WITHIN each group by a lag
+    window partitioned on the group (never keyless — no single-partition
+    sort), then fed to the same exact-moment Pearson as
+    :func:`series_corr`: for integer series all six sums are BIGINT and
+    order-independent, and the one double formula at the end replays
+    bit-identically on any engine.  Feed a zero-filled series (see
+    :func:`bucketed_pair_series` / the tier grid) — dropped empty
+    buckets bias the estimate.  Two exchanges: the group-partitioned
+    window, then the tiny per-group aggregate."""
+    from pyspark.sql import window as W
+
+    grp = F.date_trunc(group_unit, F.col(bucket_col))
+    w = W.Window.partitionBy(grp).orderBy(bucket_col)
+    pairs = (
+        series.withColumn("_prev", F.lag(v_col, lag).over(w))
+        .where(F.col("_prev").isNotNull())
+        .select(
+            grp.alias("group_start"),
+            F.col("_prev").alias("a"),
+            F.col(v_col).alias("b"),
+        )
+    )
+    return series_corr(
+        pairs.withColumnRenamed("group_start", "bucket_start"),
+        group_unit=group_unit,
+        out_col=out_col,
+    ).withColumnRenamed("n_buckets", "n_pairs")
