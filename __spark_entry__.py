@@ -1658,6 +1658,43 @@ def q_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quota_violations_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rate-limit audit per (event_type, day)
+    (operators/quota.py sliding_quota): trailing-2h sample count via a
+    true RANGE frame on epoch-µs (time-based, not row-based — the rate
+    limiter contract), violations where count > 10 — BIGINT end-to-end,
+    identical frame replayed by DuckDB."""
+    from mq_to_db_spark.operators.quota import sliding_quota
+
+    q = sliding_quota(
+        _events(spark, sf_dir), ["event_type"], ts_col="ts",
+        window_us=7_200_000_000, limit=10,
+    )
+    return q.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day_start")
+    ).agg(
+        F.count_if(F.col("violation")).alias("n_violations"),
+        F.max("win_count").alias("max_win_count"),
+    )
+
+
+def q_max_drawdown_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max drawdown per (event_type, day) (operators/quota.py
+    max_drawdown): largest drop from the running prefix max to a later
+    sample — BIGINT micro-units, one exchange (the bucket agg reuses
+    the window's partitioning)."""
+    from mq_to_db_spark.operators.quota import max_drawdown
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", "ts", "event_id",
+        F.floor(F.col("value") * 1e6).cast("long").alias("v"),
+    )
+    return max_drawdown(
+        ev, ["event_type"], ts_col="ts", value_col="v", tier="1d",
+        tiebreak=("event_id",),
+    )
+
+
 def q_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-richness curation signals per document
     (functions/text.py lexical_stats): token/type/hapax counts plus
@@ -1744,6 +1781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exemplars_1h": q_exemplars_1h,
         "autocorr_1d": q_autocorr_1d,
         "lexical_stats": q_lexical_stats,
+        "quota_violations_1d": q_quota_violations_1d,
+        "max_drawdown_1d": q_max_drawdown_1d,
         "changes_1h": q_changes_1h,
         "idelta_1h": q_idelta_1h,
         "deriv_predict_1d": q_deriv_predict_1d,
@@ -2201,6 +2240,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE d > 3.0 * mad) AS BIGINT)
                        AS n_outliers
             FROM mad GROUP BY 1, 2
+        """,
+        "quota_violations_1d": """
+            WITH c AS (
+                SELECT event_type, ts,
+                       CAST(count(*) OVER (
+                           PARTITION BY event_type ORDER BY epoch_us(ts)
+                           RANGE BETWEEN 7199999999 PRECEDING AND CURRENT ROW
+                       ) AS BIGINT) AS win_count
+                FROM events
+            )
+            SELECT event_type, date_trunc('day', ts) AS day_start,
+                   CAST(count(*) FILTER (WHERE win_count > 10) AS BIGINT)
+                       AS n_violations,
+                   max(win_count) AS max_win_count
+            FROM c GROUP BY 1, 2
+        """,
+        "max_drawdown_1d": """
+            WITH s AS (
+                SELECT event_type, ts, event_id,
+                       CAST(floor(value * 1000000.0) AS BIGINT) AS v,
+                       date_trunc('day', ts) AS bk
+                FROM events
+            ),
+            d AS (
+                SELECT event_type, bk, v,
+                       max(v) OVER (
+                           PARTITION BY event_type, bk
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) - v AS dd
+                FROM s
+            )
+            SELECT event_type, bk AS bucket_start,
+                   max(dd) AS max_drawdown, max(v) AS peak,
+                   CAST(count(*) AS BIGINT) AS n_samples
+            FROM d GROUP BY 1, 2
         """,
         "lexical_stats": """
             WITH tok AS (

@@ -1,0 +1,64 @@
+"""Semantics of sliding quotas and drawdown (operators/quota.py):
+time-based (not row-based) trailing counts with exact boundary
+behavior, and prefix-max drawdown on hand-computable fixtures.
+(Contract queries quota_violations_1d / max_drawdown_1d add DuckDB
+hash-exactness.)"""
+
+import datetime as dt
+
+from mq_to_db_spark.operators.quota import max_drawdown, sliding_quota
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(
+        [(k, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), int(v), i)
+         for i, (k, s, v) in enumerate(rows)],
+        "k string, ts timestamp, v long, rid long",
+    )
+
+
+def test_sliding_quota_counts_by_time_not_rows(spark):
+    # window 60s, samples at 0, 10, 59, 60, 121
+    df = _rows(spark, [("a", 0, 0), ("a", 10, 0), ("a", 59, 0),
+                       ("a", 60, 0), ("a", 121, 0)])
+    got = {r.ts.second + 60 * r.ts.minute: r.win_count
+           for r in sliding_quota(df, ["k"], window_us=60_000_000,
+                                  limit=3).collect()}
+    # at t=59: {0,10,59} → 3; at t=60: (0,60] → {10,59,60} → 3
+    #   (the sample at exactly window-length ago falls OUT — frame is
+    #    (ts − W, ts], the "no more than N per W" contract)
+    # at t=121: (61,121] → {121} → 1
+    assert got == {0: 1, 10: 2, 59: 3, 60: 3, 121: 1}
+
+
+def test_sliding_quota_violation_flag_and_key_isolation(spark):
+    df = _rows(spark, [("a", 0, 0), ("a", 1, 0), ("a", 2, 0),
+                       ("b", 2, 0)])
+    out = sliding_quota(df, ["k"], window_us=10_000_000, limit=2).collect()
+    got = {(r.k, r.ts.second): (r.win_count, r.violation) for r in out}
+    assert got[("a", 2)] == (3, True)
+    assert got[("b", 2)] == (1, False)  # other series never leaks in
+
+
+def test_max_drawdown_basic_and_monotone_zero(spark):
+    # peak 10 then fall to 3 → dd 7; later rally to 8 (dd 2)
+    df = _rows(spark, [("a", 0, 5), ("a", 1, 10), ("a", 2, 3),
+                       ("a", 3, 8)])
+    [r] = max_drawdown(df, ["k"], value_col="v", tier="1d",
+                       tiebreak=("rid",)).collect()
+    assert (r.max_drawdown, r.peak, r.n_samples) == (7, 10, 4)
+    # monotone non-decreasing → drawdown exactly 0
+    dfm = _rows(spark, [("a", 0, 1), ("a", 1, 1), ("a", 2, 9)])
+    [rm] = max_drawdown(dfm, ["k"], value_col="v", tier="1d",
+                        tiebreak=("rid",)).collect()
+    assert rm.max_drawdown == 0
+
+
+def test_max_drawdown_resets_per_bucket(spark):
+    # hour 0: peak 100 → 1 (dd 99); hour 1 starts fresh: 50 → 49 (dd 1)
+    df = _rows(spark, [("a", 0, 100), ("a", 1, 1),
+                       ("a", 3600, 50), ("a", 3601, 49)])
+    got = {r.bucket_start.hour: r.max_drawdown
+           for r in max_drawdown(df, ["k"], value_col="v", tier="1h",
+                                 tiebreak=("rid",)).collect()}
+    assert got == {0: 99, 1: 1}
