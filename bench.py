@@ -96,6 +96,14 @@ EXTENDED_QUERIES = (
     "double_ewma_1h",
     "mad_outliers_1d",
     "gap_stats_1d",
+    "cusum_alarms_1d",
+    "alert_episodes",
+    "series_churn_1d",
+    "exemplars_1h",
+    "autocorr_1d",
+    "lexical_stats",
+    "quota_violations_1d",
+    "max_drawdown_1d",
 )
 
 
