@@ -1700,7 +1700,8 @@ def q_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/text.py lexical_stats): token/type/hapax counts plus
     TTR / hapax ratio / top-token share — every number a BIGINT count
     or one division of two exact BIGINTs, so the DuckDB replay is
-    hash-exact; ONE (doc, token) shuffle, per-doc agg reuses it."""
+    hash-exact; both exchanges carry map-side-combined
+    distinct-count rows, never the raw token stream."""
     from mq_to_db_spark.functions.text import lexical_stats
 
     return lexical_stats(_docs(spark, sf_dir), text_col="text",

@@ -429,11 +429,12 @@ def lexical_stats(df, text_col: str = "text", id_col: str = "doc_id"):
     (entropy-style Σ c·log₂c is deliberately excluded: its summation
     order is engine-dependent).
 
-    Scale design: explode → ONE shuffle keyed (doc, token) with map-side
-    partial counts, then a per-doc aggregate that reuses the doc-hash
-    partitioning (Catalyst sees (doc, token) → (doc) as a narrower
-    restatement).  Documents with no tokens vanish (no row), matching
-    the SQL GROUP BY semantics.
+    Scale design: explode → (doc, token) count with map-side partial
+    aggregation (the exchange carries one row per distinct (doc, token)
+    per map partition, never the raw token stream), then the per-doc
+    aggregate shuffles only those distinct-count rows — two exchanges,
+    both over data far smaller than the input tokens.  Documents with
+    no tokens vanish (no row), matching the SQL GROUP BY semantics.
     """
     tok = df.select(
         F.col(id_col),
