@@ -27,6 +27,7 @@ from typing import Any, Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql.functions import col as F_col
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -132,5 +133,132 @@ def streaming_sessionize(
                 if idle_timeout
                 else GroupStateTimeout.NoTimeout
             ),
+        )
+    )
+
+
+# -- streaming alert lifecycle (pending → firing → resolved) ------------------
+
+ALERT_SCHEMA = (
+    "series string, event string, run_start timestamp, event_ts timestamp, "
+    "n_samples long, peak long"
+)
+
+_ALERT_STATE_SCHEMA = "start_us long, last_us long, peak long, n long, fired boolean"
+
+
+def _fold_alerts(
+    key: Tuple[str],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    threshold: int,
+    for_us: int,
+):
+    series = key[0]
+    if state.hasTimedOut:  # pragma: no cover - no timeout conf registered
+        state.remove()
+        return
+
+    pdf = pd.concat(list(pdfs)).sort_values("ts")
+    ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+    vals = pdf["v"].to_numpy()
+
+    if state.exists:
+        start_us, last_us, peak, n, fired = state.get
+        has_run = True
+    else:
+        start_us = last_us = peak = n = 0
+        fired = False
+        has_run = False
+
+    ev_name, ev_start, ev_ts, ev_n, ev_peak = [], [], [], [], []
+    for t, v in zip(ts_us.tolist(), vals.tolist()):
+        if v > threshold:
+            if not has_run:
+                start_us, last_us, peak, n, fired = t, t, v, 1, False
+                has_run = True
+            else:
+                last_us, peak, n = t, max(peak, int(v)), n + 1
+            if not fired and last_us - start_us >= for_us:
+                fired = True
+                ev_name.append("firing")
+                ev_start.append(start_us)
+                ev_ts.append(t)
+                ev_n.append(n)
+                ev_peak.append(peak)
+        elif has_run:
+            if fired:
+                ev_name.append("resolved")
+                ev_start.append(start_us)
+                ev_ts.append(last_us)
+                ev_n.append(n)
+                ev_peak.append(peak)
+            # a pending (never-fired) run is dropped silently — exactly
+            # Prometheus' alert lifecycle: pending alerts never notify
+            has_run = False
+
+    if has_run:
+        state.update((int(start_us), int(last_us), int(peak), int(n), bool(fired)))
+    elif state.exists:
+        state.remove()
+
+    if ev_name:
+        yield pd.DataFrame(
+            {
+                "series": [series] * len(ev_name),
+                "event": ev_name,
+                "run_start": pd.to_datetime(ev_start, unit="us"),
+                "event_ts": pd.to_datetime(ev_ts, unit="us"),
+                "n_samples": ev_n,
+                "peak": ev_peak,
+            }
+        )
+
+
+def streaming_alerts(
+    stream: DataFrame,
+    threshold: int,
+    for_duration: str = "5 minutes",
+    key: str = "series",
+    ts_col: str = "ts",
+    value_col: str = "v",
+) -> DataFrame:
+    """Prometheus alert lifecycle over an unbounded stream: a series
+    whose value HOLDS above ``threshold`` for at least ``for_duration``
+    emits one ``firing`` row (at the sample that completed the hold);
+    when it drops back, one ``resolved`` row (stamped at the last
+    above-threshold sample).  Runs that never reach the hold duration
+    (Prometheus "pending") emit nothing — the batch mirror is
+    operators/changepoint.py ``threshold_episodes``.
+
+    State per series: (run_start, last, peak, n, fired) — five scalars,
+    O(active series), the same bounded-state discipline as
+    :func:`streaming_sessionize`.  Values must be integer (micro-unit
+    convention); samples are folded in ts order within each batch, and
+    per-series ts is assumed non-decreasing across batches (the
+    transcript/metrics delivery order)."""
+    try:
+        for_us = int(pd.Timedelta(for_duration).total_seconds() * 1_000_000)
+    except ValueError as exc:
+        raise ValueError(f"unparseable for_duration {for_duration!r}") from exc
+    if for_us < 0:
+        raise ValueError(f"for_duration must be >= 0, got {for_duration!r}")
+
+    def fold(key_, pdfs, state):
+        yield from _fold_alerts(key_, pdfs, state, int(threshold), for_us)
+
+    return (
+        stream.select(
+            F_col(key).alias("series"),
+            F_col(ts_col).alias("ts"),
+            F_col(value_col).alias("v"),
+        )
+        .groupBy("series")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=ALERT_SCHEMA,
+            stateStructType=_ALERT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
