@@ -1658,6 +1658,18 @@ def q_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_staleness_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus staleness / absent_over_time per (event_type, hour)
+    over the DENSE grid (operators/intervals.py staleness): freshest-
+    sample age as of each bucket end, exact BIGINT µs, silent buckets
+    included — per-series LOCF window over tier rows, never keyless."""
+    from mq_to_db_spark.operators.intervals import staleness
+
+    return staleness(
+        _events(spark, sf_dir), ["event_type"], ts_col="ts", tier="1h"
+    )
+
+
 def q_quota_violations_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window rate-limit audit per (event_type, day)
     (operators/quota.py sliding_quota): trailing-2h sample count via a
@@ -1784,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_stats": q_lexical_stats,
         "quota_violations_1d": q_quota_violations_1d,
         "max_drawdown_1d": q_max_drawdown_1d,
+        "staleness_1h": q_staleness_1h,
         "changes_1h": q_changes_1h,
         "idelta_1h": q_idelta_1h,
         "deriv_predict_1d": q_deriv_predict_1d,
@@ -2241,6 +2254,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE d > 3.0 * mad) AS BIGINT)
                        AS n_outliers
             FROM mad GROUP BY 1, 2
+        """,
+        "staleness_1h": """
+            WITH pb AS (
+                SELECT event_type, date_trunc('hour', ts) AS b,
+                       max(ts) AS last_ts,
+                       CAST(count(*) AS BIGINT) AS n_samples
+                FROM events GROUP BY 1, 2
+            ),
+            ext AS (SELECT min(b) AS lo, max(b) AS hi FROM pb),
+            grid AS (
+                SELECT k.event_type,
+                       unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS g
+                FROM (SELECT DISTINCT event_type FROM pb) k CROSS JOIN ext
+            ),
+            j AS (
+                SELECT grid.event_type, grid.g, pb.last_ts, pb.n_samples
+                FROM grid LEFT JOIN pb
+                  ON pb.event_type = grid.event_type AND pb.b = grid.g
+            )
+            SELECT event_type, g AS bucket_start,
+                   COALESCE(n_samples, CAST(0 AS BIGINT)) AS n_samples,
+                   (n_samples IS NULL) AS absent,
+                   epoch_us(g + INTERVAL 1 HOUR)
+                     - epoch_us(last_value(last_ts IGNORE NULLS) OVER (
+                           PARTITION BY event_type ORDER BY g
+                           ROWS UNBOUNDED PRECEDING
+                       )) AS staleness_us
+            FROM j
         """,
         "quota_violations_1d": """
             WITH c AS (

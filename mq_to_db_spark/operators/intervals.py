@@ -230,3 +230,55 @@ def gap_stats(
             ).alias("avg_gap_us"),
         )
     )
+
+
+def staleness(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    tier: str = "1h",
+) -> DataFrame:
+    """Prometheus-staleness view over the dense tier grid: for EVERY
+    (series, bucket) — including buckets with no samples — how old is
+    the freshest sample as of the bucket's end?
+
+    Output per grid point: ``n_samples`` (0 for silent buckets),
+    ``absent`` (PromQL ``absent_over_time`` — true when the bucket saw
+    nothing), and ``staleness_us`` = bucket_end − most recent sample ts
+    at or before bucket end (exact BIGINT µs; NULL before a series'
+    first sample).  A dashboard reads ``staleness_us > tolerance`` as
+    the dead-series signal — the grid-aligned complement of
+    :func:`heartbeat_agg` (which measures uptime inside buckets) and
+    :func:`gap_stats` (inter-sample distances, samples only).
+
+    Plan: per-(series, bucket) agg (ONE shuffle, map-side combined),
+    dense grid join, then an LOCF window per series over TIER rows —
+    the window's partition is the series key, so no keyless sort; at
+    100 TB the windowed relation is tier-sized, never raw."""
+    from mq_to_db_spark.config import TIER_SECONDS
+    from mq_to_db_spark.operators.gapfill import time_grid
+    from mq_to_db_spark.operators.rollup import bucket_col
+
+    b = bucket_col(tier, ts_col)
+    per_bucket = df.groupBy(*keys, b.alias("bucket_start")).agg(
+        F.max(ts_col).alias("_last_ts"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+    grid = time_grid(per_bucket, tier, keys)
+    joined = grid.join(per_bucket, [*keys, "bucket_start"], "left")
+    w = (
+        W.partitionBy(*keys)
+        .orderBy("bucket_start")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    locf_ts = F.last("_last_ts", ignorenulls=True).over(w)
+    bucket_end_us = _epoch_micros(F.col("bucket_start")) + F.lit(
+        TIER_SECONDS[tier] * 1_000_000
+    )
+    return joined.select(
+        *keys,
+        "bucket_start",
+        F.coalesce("n_samples", F.lit(0)).alias("n_samples"),
+        F.col("n_samples").isNull().alias("absent"),
+        (bucket_end_us - _epoch_micros(locf_ts)).alias("staleness_us"),
+    )
