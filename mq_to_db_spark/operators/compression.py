@@ -268,3 +268,39 @@ def compression_report(chunks: DataFrame) -> DataFrame:
         F.sum("enc_bytes").alias("enc_bytes"),
         F.try_divide(F.sum("raw_bytes"), F.sum("enc_bytes")).alias("ratio"),
     )
+
+
+def decode_chunks_range(
+    chunks: DataFrame,
+    lo,
+    hi,
+    chunk_interval: str = "1 day",
+    conv_ids: list[str] | None = None,
+) -> DataFrame:
+    """Time-range (and optionally series-) pruned archive read: decode
+    ONLY the chunks that can overlap ``[lo, hi)``, then trim exactly.
+
+    The Gorilla/TSDB chunk-index idiom: ``chunk_start`` is the chunk's
+    alignment bucket (``date_trunc(chunk_interval, ts)`` at encode time),
+    so a chunk can contain timestamps in ``[chunk_start, chunk_start +
+    interval)`` and nothing else — a plain predicate on ``chunk_start``
+    is therefore an EXACT prune, evaluated on chunk metadata before any
+    blob is touched.  Against a chunk table partitioned or sorted by
+    ``chunk_start`` the predicate pushes into the parquet scan
+    (min/max row-group skipping), so a 1-day query over a year-long
+    archive decompresses ~1/365 of the blobs.
+
+    ``lo`` / ``hi``: timestamp-like (string or datetime); ``conv_ids``
+    optionally restricts the series (pure pushed filter too).  Result is
+    identical to ``decode_chunks(chunks).where(lo <= ts < hi)`` — the
+    equivalence a test asserts."""
+    unit = _TRUNC_UNIT[chunk_interval]
+    lo_c, hi_c = F.lit(lo).cast("timestamp"), F.lit(hi).cast("timestamp")
+    pruned = chunks.where(
+        (F.col("chunk_start") >= F.date_trunc(unit, lo_c))
+        & (F.col("chunk_start") < hi_c)
+    )
+    if conv_ids is not None:
+        pruned = pruned.where(F.col("conv_id").isin(list(conv_ids)))
+    out = decode_chunks(pruned)
+    return out.where((F.col("ts") >= lo_c) & (F.col("ts") < hi_c))

@@ -81,3 +81,44 @@ def test_empty_input(spark):
 
     empty = spark.createDataFrame([], schema=TRANSCRIPT_SCHEMA)
     assert decode_chunks(encode_chunks(empty)).count() == 0
+
+
+def test_decode_range_equals_decode_all_then_filter(spark, transcripts):
+    from mq_to_db_spark.operators.compression import decode_chunks_range
+
+    chunks = encode_chunks(transcripts).cache()
+    ext = transcripts.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    # a ~2-day slice in the middle of the extent
+    lo = ext.lo + (ext.hi - ext.lo) / 3
+    hi = lo + pd.Timedelta("2 days").to_pytimedelta()
+
+    got = decode_chunks_range(chunks, lo, hi).toPandas()
+    ref = (
+        decode_chunks(chunks)
+        .where((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        .toPandas()
+    )
+    key = ["conv_id", "turn_idx"]
+    pd.testing.assert_frame_equal(
+        got.sort_values(key, ignore_index=True)[ref.columns],
+        ref.sort_values(key, ignore_index=True),
+    )
+    assert len(got) > 0
+
+    # the prune must actually skip chunks: chunks feeding the ranged
+    # decode << all chunks (day-aligned slice of a multi-week archive)
+    n_all = chunks.count()
+    n_pruned = chunks.where(
+        (F.col("chunk_start") >= F.date_trunc("day", F.lit(lo)))
+        & (F.col("chunk_start") < F.lit(hi))
+    ).count()
+    # 2 days of the fixture's ~6-day span → roughly a third of chunks
+    assert 0 < n_pruned < n_all * 0.7
+
+    # conv_ids restriction composes
+    some = [r.conv_id for r in chunks.select("conv_id").distinct().limit(2).collect()]
+    sub = decode_chunks_range(chunks, lo, hi, conv_ids=some).toPandas()
+    assert set(sub["conv_id"].unique()) <= set(some)
+    chunks.unpersist()
