@@ -104,6 +104,7 @@ EXTENDED_QUERIES = (
     "lexical_stats",
     "quota_violations_1d",
     "max_drawdown_1d",
+    "staleness_1h",
 )
 
 

@@ -713,6 +713,41 @@ class RollupPipeline:
                     tbl.vacuum()
         return out
 
+    def retention_report(
+        self, retention_days: dict[str, int], as_of: dt.date
+    ) -> dict[str, dict]:
+        """Dry run of :meth:`apply_retention`: per tier table, the exact
+        cutoff, the ``date`` partitions that would be dropped, and the
+        file count — computed from snapshot metadata only (no data read,
+        no commit).  The change-review step an operator runs before
+        pointing a new retention ladder at a year of tiers; the
+        subsequent ``apply_retention`` removes exactly these files
+        (asserted by test)."""
+        from mq_to_db_spark.sources.tableio import partition_values
+
+        out: dict[str, dict] = {}
+        for tier, days in retention_days.items():
+            if tier not in self.cfg.tiers:
+                raise ValueError(f"unknown tier {tier!r}")
+            cutoff = (as_of - dt.timedelta(days=days)).isoformat()
+            for dim in DIMENSIONS:
+                name = f"rollup_{dim}_{tier}"
+                tbl = self.tables[name]
+                snap = tbl.snapshot()
+                doomed = [
+                    f
+                    for f in (snap.all_files if snap else [])
+                    if partition_values(f).get("date", "") < cutoff
+                ]
+                out[name] = {
+                    "cutoff": cutoff,
+                    "dates": sorted(
+                        {partition_values(f).get("date", "") for f in doomed}
+                    ),
+                    "n_files": len(doomed),
+                }
+        return out
+
     def read_dead_letter(self, spark: SparkSession) -> DataFrame:
         return self.dead_letter.read(spark)
 

@@ -79,3 +79,28 @@ def test_retention_is_metadata_only_then_vacuum_reclaims(spark, transcripts, pip
 def test_retention_unknown_tier_raises(pipe):
     with pytest.raises(ValueError):
         pipe.apply_retention({"5s": 1}, as_of=dt.date(2025, 1, 1))
+
+
+def test_retention_report_is_exact_dry_run(spark, transcripts, pipe):
+    """The report names exactly the files apply_retention then removes,
+    and itself commits nothing (current_version unchanged)."""
+    policies = {"1m": 2, "1h": 4}
+    dates = [r[0] for r in pipe.tables["rollup_global_1m"].read(spark)
+             .select(F.to_date("bucket_start")).distinct().collect()]
+    as_of = max(dates)
+
+    v_before = pipe.tables["rollup_global_1m"].current_version()
+    rep = pipe.retention_report(policies, as_of=as_of)
+    assert pipe.tables["rollup_global_1m"].current_version() == v_before
+
+    # same cutoffs, some files doomed at the fine tier
+    assert rep["rollup_global_1m"]["cutoff"] == (
+        as_of - dt.timedelta(days=2)
+    ).isoformat()
+    assert rep["rollup_global_1m"]["n_files"] > 0
+    assert all(d < rep["rollup_global_1m"]["cutoff"]
+               for d in rep["rollup_global_1m"]["dates"])
+
+    removed = pipe.apply_retention(policies, as_of=as_of)
+    for name, meta in rep.items():
+        assert removed[name] == meta["n_files"], name
