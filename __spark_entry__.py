@@ -1658,6 +1658,51 @@ def q_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wow_delta_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week offset comparison per (event_type, hour)
+    (operators/derivatives.py offset_delta): lag-168 over the
+    ZERO-FILLED per-key hourly grid — exact integer deltas, one
+    double-division ratio; one key-partitioned exchange."""
+    from mq_to_db_spark.operators.derivatives import offset_delta
+    from mq_to_db_spark.operators.gapfill import time_grid
+    from mq_to_db_spark.operators.rollup import bucket_col
+
+    bucketed = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", bucket_col("1h", "ts").alias("bucket_start")
+        )
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    series = time_grid(bucketed, "1h", ["event_type"]).join(
+        bucketed, ["event_type", "bucket_start"], "left"
+    ).select(
+        "event_type", "bucket_start", F.coalesce("v", F.lit(0)).alias("v")
+    )
+    return offset_delta(series, ["event_type"], offset_buckets=168)
+
+
+def q_topk_others_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grafana "top N + Others" per day (operators/topk.py
+    top_k_with_others): top-3 users by event count keep identity, the
+    rest collapse to one exact-sum __others__ row so every day still
+    totals — tier-sized window shuffle + one re-agg, deterministic
+    ties (count desc, key asc)."""
+    from mq_to_db_spark.operators.topk import top_k_with_others
+
+    tier = (
+        _events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("day", "ts").alias("day_start"),
+            F.col("user_id").cast("string").alias("user_key"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return top_k_with_others(
+        tier, ["day_start"], "user_key", "n_events", k=3
+    )
+
+
 def q_staleness_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prometheus staleness / absent_over_time per (event_type, hour)
     over the DENSE grid (operators/intervals.py staleness): freshest-
@@ -1797,6 +1842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_violations_1d": q_quota_violations_1d,
         "max_drawdown_1d": q_max_drawdown_1d,
         "staleness_1h": q_staleness_1h,
+        "wow_delta_1h": q_wow_delta_1h,
+        "topk_others_1d": q_topk_others_1d,
         "changes_1h": q_changes_1h,
         "idelta_1h": q_idelta_1h,
         "deriv_predict_1d": q_deriv_predict_1d,
@@ -2254,6 +2301,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE d > 3.0 * mad) AS BIGINT)
                        AS n_outliers
             FROM mad GROUP BY 1, 2
+        """,
+        "wow_delta_1h": """
+            WITH hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS b,
+                       CAST(count(*) AS BIGINT) AS v
+                FROM events GROUP BY 1, 2
+            ),
+            ext AS (SELECT min(b) AS lo, max(b) AS hi FROM hourly),
+            grid AS (
+                SELECT k.event_type,
+                       unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS g
+                FROM (SELECT DISTINCT event_type FROM hourly) k
+                CROSS JOIN ext
+            ),
+            filled AS (
+                SELECT grid.event_type, grid.g AS bucket_start,
+                       COALESCE(hourly.v, CAST(0 AS BIGINT)) AS v
+                FROM grid LEFT JOIN hourly
+                  ON hourly.event_type = grid.event_type AND hourly.b = grid.g
+            ),
+            lagged AS (
+                SELECT *, lag(v, 168) OVER (
+                    PARTITION BY event_type ORDER BY bucket_start
+                ) AS v_prev
+                FROM filled
+            )
+            SELECT event_type, bucket_start, v, v_prev,
+                   v - v_prev AS delta,
+                   round(CAST(v AS DOUBLE)
+                         / nullif(CAST(v_prev AS DOUBLE), 0.0), 6) AS ratio
+            FROM lagged
+        """,
+        "topk_others_1d": """
+            WITH tier AS (
+                SELECT date_trunc('day', ts) AS day_start,
+                       CAST(user_id AS VARCHAR) AS user_key,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1, 2
+            ),
+            ranked AS (
+                SELECT *, CAST(row_number() OVER (
+                    PARTITION BY day_start
+                    ORDER BY n_events DESC, user_key ASC
+                ) AS INT) AS rank
+                FROM tier
+            )
+            SELECT day_start, user_key, n_events, rank
+            FROM ranked WHERE rank <= 3
+            UNION ALL
+            SELECT day_start, '__others__' AS user_key,
+                   sum(n_events) AS n_events, CAST(4 AS INT) AS rank
+            FROM ranked WHERE rank > 3 GROUP BY day_start
         """,
         "staleness_1h": """
             WITH pb AS (

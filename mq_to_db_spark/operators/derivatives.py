@@ -189,3 +189,39 @@ def predict_linear(
     return fit.withColumn(
         "predicted", F.col("intercept") + F.col("slope") * x_end
     )
+
+
+def offset_delta(
+    series: DataFrame,
+    keys: list[str],
+    offset_buckets: int,
+    bucket_col_name: str = "bucket_start",
+    v_col: str = "v",
+) -> DataFrame:
+    """PromQL ``offset`` comparison in batch: each grid point minus (and
+    over) its value ``offset_buckets`` earlier — week-over-week is
+    ``offset_buckets=168`` on an hourly grid, day-over-day 24.
+
+    Feed a ZERO-FILLED series (the tier grid): on a sparse series a row
+    lag is not a time lag, and missing buckets silently shift the
+    comparison.  Output adds ``v_prev`` (NULL for the leading buckets),
+    ``delta`` (exact integer difference) and ``ratio``
+    (round(v/v_prev, 6), NULL when v_prev is 0 — a dashboard's WoW%).
+
+    One exchange: the lag window hash-partitions on the series keys over
+    tier-sized rows."""
+    w = W.Window.partitionBy(*keys).orderBy(bucket_col_name)
+    prev = F.lag(v_col, int(offset_buckets)).over(w)
+    v = F.col(v_col)
+    return (
+        series.withColumn("v_prev", prev)
+        .withColumn("delta", v - F.col("v_prev"))
+        .withColumn(
+            "ratio",
+            F.round(
+                v.cast("double")
+                / F.nullif(F.col("v_prev").cast("double"), F.lit(0.0)),
+                6,
+            ),
+        )
+    )

@@ -66,3 +66,41 @@ def top_tools_hourly(turns: DataFrame, k: int = 3) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_calls"))
     )
     return top_k_per_window(tier, ["bucket_start"], "tool", "n_calls", k)
+
+
+def top_k_with_others(
+    tier: DataFrame,
+    window_cols: list[str],
+    key_col: str,
+    metric_col: str,
+    k: int,
+    others_label: str = "__others__",
+) -> DataFrame:
+    """Grafana's "top N + Others" panel semantics: the top-k keys per
+    window keep their identity; every remaining key collapses into ONE
+    ``others_label`` row whose metric is their exact sum (so each
+    window's rows still total the window — the property a stacked chart
+    needs).  Windows with ≤ k keys emit no others row.
+
+    Output: window_cols…, key_col, metric_col, ``rank`` (1..k, and
+    k+1 for the others row).  Same single tier-sized window shuffle as
+    :func:`top_k_per_window` plus one re-aggregation of the spilled
+    keys, both over tier rows."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = W.partitionBy(*window_cols).orderBy(
+        F.col(metric_col).desc(), F.col(key_col).asc()
+    )
+    ranked = tier.withColumn("rank", F.row_number().over(w).cast("int"))
+    top = ranked.where(F.col("rank") <= k).select(
+        *window_cols, key_col, metric_col, "rank"
+    )
+    others = (
+        ranked.where(F.col("rank") > k)
+        .groupBy(*window_cols)
+        .agg(F.sum(metric_col).alias(metric_col))
+        .withColumn(key_col, F.lit(others_label))
+        .withColumn("rank", F.lit(k + 1).cast("int"))
+        .select(*window_cols, key_col, metric_col, "rank")
+    )
+    return top.unionByName(others)

@@ -95,3 +95,17 @@ def test_changes_single_exchange_plan(spark):
     df = _series(spark, [("a", 0, 1), ("b", 10, 2)])
     plan = discrete_changes(df, ["k"], tier="1h", tiebreak=("rid",))._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_offset_delta_wow_semantics(spark):
+    from mq_to_db_spark.operators.derivatives import offset_delta
+
+    rows = [("a", dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), v)
+            for h, v in enumerate([10, 0, 4, 20, 5, 8])]
+    df = spark.createDataFrame(rows, "k string, bucket_start timestamp, v long")
+    got = {r.bucket_start.hour: (r.v_prev, r.delta, r.ratio)
+           for r in offset_delta(df, ["k"], offset_buckets=3).collect()}
+    assert got[0] == (None, None, None)   # leading buckets: no baseline
+    assert got[3] == (10, 10, 2.0)
+    assert got[4] == (0, 5, None)         # prev=0 → ratio NULL, delta exact
+    assert got[5] == (4, 4, 2.0)

@@ -261,3 +261,23 @@ def test_bm25_validations(docs):
         bm25_scores(docs, [])
     with pytest.raises(ValueError, match="distinct"):
         bm25_scores(docs, ["a", "a"])
+
+
+def test_top_k_with_others_sums_and_ranks(spark):
+    from mq_to_db_spark.operators.topk import top_k_with_others
+
+    tier = spark.createDataFrame(
+        [("d1", "u1", 50), ("d1", "u2", 30), ("d1", "u3", 30),
+         ("d1", "u4", 7), ("d1", "u5", 3),
+         ("d2", "u1", 9)],
+        "w string, key string, n long",
+    )
+    got = top_k_with_others(tier, ["w"], "key", "n", k=2).collect()
+    d1 = sorted([(r.key, r.n, r.rank) for r in got if r.w == "d1"])
+    # tie at 30 breaks by key asc → u2 in, u3 spills to others
+    assert d1 == [("__others__", 40, 3), ("u1", 50, 1), ("u2", 30, 2)]
+    # window totals preserved
+    assert sum(n for _, n, _ in d1) == 120
+    # a window with <= k keys emits no others row
+    d2 = [(r.key, r.n, r.rank) for r in got if r.w == "d2"]
+    assert d2 == [("u1", 9, 1)]
