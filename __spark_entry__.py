@@ -1658,6 +1658,27 @@ def q_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_openmetrics_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenMetrics text exposition of the hourly count tier
+    (functions/serialize.py with_openmetrics): byte-stable
+    ``events_total{event_type="…"} v ts_s`` lines — pure JVM string
+    expressions, spec-escaped labels, whole-second timestamps; the
+    bridge that replays a rolled-up tier into any Prometheus-compatible
+    consumer.  Oracle rebuilds the exact bytes with SQL concat."""
+    from mq_to_db_spark.functions.serialize import with_openmetrics
+
+    tier = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket_start")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return with_openmetrics(
+        tier, "events_total", ["event_type"], "n_events"
+    ).select("event_type", "bucket_start", "n_events", "exposition")
+
+
 def q_wow_delta_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Week-over-week offset comparison per (event_type, hour)
     (operators/derivatives.py offset_delta): lag-168 over the
@@ -1844,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "staleness_1h": q_staleness_1h,
         "wow_delta_1h": q_wow_delta_1h,
         "topk_others_1d": q_topk_others_1d,
+        "openmetrics_1h": q_openmetrics_1h,
         "changes_1h": q_changes_1h,
         "idelta_1h": q_idelta_1h,
         "deriv_predict_1d": q_deriv_predict_1d,
@@ -2301,6 +2323,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE d > 3.0 * mad) AS BIGINT)
                        AS n_outliers
             FROM mad GROUP BY 1, 2
+        """,
+        "openmetrics_1h": """
+            WITH tier AS (
+                SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, bucket_start, n_events,
+                   'events_total{event_type="'
+                     || replace(replace(event_type, '\\', '\\\\'), '"', '\\"')
+                     || '"} ' || CAST(n_events AS VARCHAR) || ' '
+                     || CAST(epoch_us(bucket_start) // 1000000 AS VARCHAR)
+                       AS exposition
+            FROM tier
         """,
         "wow_delta_1h": """
             WITH hourly AS (

@@ -82,3 +82,67 @@ def parse_turn_json(col: Column | str) -> Column:
         "tool string, ts timestamp"
     )
     return F.from_json(col, schema, _OPTS)
+
+
+# -- OpenMetrics exposition (the Prometheus scrape-surface analogue) ----------
+
+
+def openmetrics_line(
+    metric: str,
+    label_cols: dict[str, Column | str],
+    value: Column | str,
+    ts_col: Column | str,
+) -> Column:
+    """One OpenMetrics text-exposition line per row:
+    ``name{k="v",…} value timestamp_s`` — the format the reference's
+    /metrics endpoint speaks (Prometheus client_golang exposition,
+    internal/metrics), so a rolled-up tier can be replayed INTO a
+    Prometheus-compatible consumer (remote-write bridges, mimirtool
+    loads) byte-stably.
+
+    Pure string expressions (JVM codegen, no Python): label values are
+    backslash/quote-escaped per the spec, labels render in the given
+    dict order (fixed → byte-stable), values via BIGINT-safe string
+    cast (callers pass integer series; float callers format upstream),
+    and the timestamp as whole epoch seconds (exposition timestamps are
+    seconds)."""
+    c = lambda x: F.col(x) if isinstance(x, str) else x  # noqa: E731
+    # literal replace, NOT regexp_replace: Java regex replacement strings
+    # treat backslash as an escape, which silently un-escapes the quote
+    esc = lambda x: F.replace(  # noqa: E731
+        F.replace(c(x).cast("string"), F.lit("\\"), F.lit("\\\\")),
+        F.lit('"'),
+        F.lit('\\"'),
+    )
+    parts = [F.lit(metric), F.lit("{")]
+    for i, (k, v) in enumerate(label_cols.items()):
+        if i:
+            parts.append(F.lit(","))
+        parts += [F.lit(f'{k}="'), esc(v), F.lit('"')]
+    ts_s = (F.unix_micros(c(ts_col).cast("timestamp_ltz")) / F.lit(1_000_000)).cast(
+        "long"
+    )
+    parts += [
+        F.lit("} "),
+        c(value).cast("long").cast("string"),
+        F.lit(" "),
+        ts_s.cast("string"),
+    ]
+    return F.concat(*parts)
+
+
+def with_openmetrics(
+    df: DataFrame,
+    metric: str,
+    label_cols: list[str],
+    value_col: str,
+    ts_col: str = "bucket_start",
+    out_col: str = "exposition",
+) -> DataFrame:
+    """Add the exposition line column for a rolled-up tier frame."""
+    return df.withColumn(
+        out_col,
+        openmetrics_line(
+            metric, {k: k for k in label_cols}, value_col, ts_col
+        ),
+    )

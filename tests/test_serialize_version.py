@@ -99,3 +99,19 @@ def test_turn_yaml_golden(spark):
         "  ts: 2025-01-02 03:04:05.123456\n"
     )
     assert got == want
+
+
+def test_openmetrics_exposition_escaping_and_format(spark):
+    import datetime as dt
+
+    from mq_to_db_spark.functions.serialize import with_openmetrics
+
+    df = spark.createDataFrame(
+        [('api "v1"\\prod', dt.datetime(2024, 1, 1, 5), 42)],
+        "event_type string, bucket_start timestamp, n_events long",
+    )
+    [r] = with_openmetrics(df, "events_total", ["event_type"], "n_events").collect()
+    # label escaped per the exposition spec; ts in whole epoch seconds
+    assert r.exposition == (
+        'events_total{event_type="api \\"v1\\"\\\\prod"} 42 1704085200'
+    )
