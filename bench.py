@@ -105,6 +105,9 @@ EXTENDED_QUERIES = (
     "quota_violations_1d",
     "max_drawdown_1d",
     "staleness_1h",
+    "wow_delta_1h",
+    "topk_others_1d",
+    "openmetrics_1h",
 )
 
 

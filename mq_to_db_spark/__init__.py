@@ -115,6 +115,21 @@ _PUBLIC = {
     "double_ewma": "mq_to_db_spark.operators.ewma",
     "mad_outliers": "mq_to_db_spark.operators.rolling",
     "gap_stats": "mq_to_db_spark.operators.intervals",
+    # alerting / governance / dashboard canon (round 4)
+    "cusum": "mq_to_db_spark.operators.changepoint",
+    "threshold_episodes": "mq_to_db_spark.operators.changepoint",
+    "series_churn": "mq_to_db_spark.operators.lifecycle",
+    "exemplars": "mq_to_db_spark.operators.lifecycle",
+    "sliding_quota": "mq_to_db_spark.operators.quota",
+    "max_drawdown": "mq_to_db_spark.operators.quota",
+    "staleness": "mq_to_db_spark.operators.intervals",
+    "autocorr": "mq_to_db_spark.operators.correlate",
+    "lexical_stats": "mq_to_db_spark.functions.text",
+    "offset_delta": "mq_to_db_spark.operators.derivatives",
+    "top_k_with_others": "mq_to_db_spark.operators.topk",
+    "with_openmetrics": "mq_to_db_spark.functions.serialize",
+    "streaming_alerts": "mq_to_db_spark.streaming.stateful",
+    "decode_chunks_range": "mq_to_db_spark.operators.compression",
 }
 
 
