@@ -39,6 +39,11 @@ _WHITELIST = {
     # broadcast(1-row global extent) — same grid materialization as
     # gapfill_1h, output = |series| · |grid|
     "staleness_1h": ("BroadcastNestedLoopJoin",),
+    # __spark_entry__:q_wow_delta_1h → gapfill.time_grid(keys): the
+    # offset comparison requires the ZERO-FILLED per-key grid (a row
+    # lag is only a time lag on a dense series), so it inherits the
+    # same series × broadcast(1-row extent) grid build
+    "wow_delta_1h": ("BroadcastNestedLoopJoin",),
 }
 
 
