@@ -304,3 +304,59 @@ def decode_chunks_range(
         pruned = pruned.where(F.col("conv_id").isin(list(conv_ids)))
     out = decode_chunks(pruned)
     return out.where((F.col("ts") >= lo_c) & (F.col("ts") < hi_c))
+
+
+def merge_late_chunks(
+    chunks: DataFrame,
+    late_turns: DataFrame,
+    value_col: str = "value",
+    chunk_interval: str = "1 day",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Late-data compaction: fold a batch of late-arriving turns into an
+    existing chunk archive, re-encoding ONLY the touched chunks.
+
+    The TSDB compactor idiom (and the batch answer to the reference's
+    requeue-on-late path, internal/consumer/rmq/rmq.go:219-247): a
+    Gorilla blob is immutable, so late points for a sealed chunk mean
+    decode → merge → re-encode of exactly that ``(conv_id,
+    chunk_start)`` — never a rewrite of the archive.
+
+    Plan shape: the touched-key set is ``late.distinct()`` over the two
+    key columns (tiny — one row per touched chunk, not per late turn);
+    the archive splits by one LEFT SEMI / LEFT ANTI join pair against it
+    (both prunable scans; at 10^12 turns the anti side — virtually the
+    whole archive — is pass-through, never decoded); only the semi side
+    is decoded, unioned with the late turns, and re-encoded through the
+    same single-shuffle `encode_chunks` path.  Late turns for chunks
+    that do not exist yet simply become new chunks (the decode side of
+    their key is empty).  Result schema == `CHUNK_SCHEMA`, so the output
+    unions/overwrites back into the archive table.
+    """
+    from mq_to_db_spark.operators.rollup import with_text_stats
+
+    unit = _TRUNC_UNIT[chunk_interval]
+    if value_col not in late_turns.columns:
+        late_turns = with_text_stats(late_turns)
+    late = late_turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        "ts",
+        F.col(value_col).cast("double").alias("value"),
+    )
+    touched_keys = late.select(
+        "conv_id", F.date_trunc(unit, "ts").alias("chunk_start")
+    ).distinct()
+    touched = chunks.join(touched_keys, ["conv_id", "chunk_start"], "left_semi")
+    untouched = chunks.join(touched_keys, ["conv_id", "chunk_start"], "left_anti")
+    merged_turns = decode_chunks(touched).unionByName(late)
+    reencoded = encode_chunks(
+        merged_turns,
+        value_col="value",
+        chunk_interval=chunk_interval,
+        partitions=partitions,
+    )
+    return untouched.unionByName(reencoded)
