@@ -1338,6 +1338,222 @@ def _pack_sequences_oracle() -> str:
         "documents", PACK_SEED, PACK_SHARDS, PACK_BUDGET
     )
 
+# --------------------------------------------------------------------------
+# cross-tier stitching / tier governance (operators/stitch.py) + late-data
+# compaction (operators/compression.py merge_late_chunks)
+# --------------------------------------------------------------------------
+
+#: fixed stitch window over the events table (2024-01-01..30): minute
+#: fringes, hour edges, 23 interior whole days
+STITCH_T0 = "2024-01-03 07:23:00"
+STITCH_T1 = "2024-01-27 18:41:00"
+
+HIST_FINE_EDGES = [5.0, 10.0, 25.0, 50.0, 100.0, 250.0]
+HIST_COARSE_EDGES = [10.0, 50.0, 250.0]
+
+
+def q_tier_stitch(spark, sf_dir):
+    """Cross-tier range query (operators/stitch.py stitch_range): an
+    arbitrary [t0, t1) aggregate answered from the 1m/1h/1d tier tables
+    alone — interior days from the 1d tier, edge hours from 1h, minute
+    fringes from 1m, merged by the same exact partial-merge the cascade
+    uses.  Provenance counters prove the coarse tiers served the
+    interior.  The oracle aggregates RAW rows over the same range —
+    equality proves the covering + merge is exact, never re-reads raw."""
+    from mq_to_db_spark.operators.rollup import rollup_tiers
+    from mq_to_db_spark.operators.stitch import stitch_range
+
+    tiers = rollup_tiers(_events_as_transcripts(spark, sf_dir), keys=["role"])
+    return stitch_range(tiers, STITCH_T0, STITCH_T1, keys=["role"]).select(
+        "role",
+        "n_turns",
+        "text_len_sum",
+        "text_len_min",
+        "text_len_max",
+        "n_partials",
+        "n_1m",
+        "n_1h",
+        "n_1d",
+    )
+
+
+def q_tier_audit(spark, sf_dir):
+    """Tier-consistency audit (operators/stitch.py audit_tiers): stored
+    1d tier vs the exact cascade of the 1h tier, full-outer diff on
+    (bucket, series).  The stored tier is built with a deterministic
+    refresh hole (error-role turns on odd days with minute < 20 dropped)
+    plus one fabricated stale bucket, so all three violation classes
+    appear; the oracle reconstructs both sides from raw."""
+    from datetime import datetime
+
+    from mq_to_db_spark.operators.rollup import rollup_from_raw
+    from mq_to_db_spark.operators.stitch import audit_tiers
+
+    tr = _events_as_transcripts(spark, sf_dir)
+    finer = rollup_from_raw(tr, "1h", ["role"])
+    hole = (
+        (F.col("role") == "error")
+        & (F.dayofmonth("ts") % 2 == 1)
+        & (F.minute("ts") < 20)
+    )
+    stored = rollup_from_raw(tr.filter(~hole), "1d", ["role"]).select(
+        "bucket_start", "role", "n_turns", "text_len_sum"
+    )
+    ghost = spark.createDataFrame(
+        [(datetime(2030, 1, 1), "ghost", 5, 1000)],
+        "bucket_start timestamp, role string, n_turns bigint, text_len_sum bigint",
+    )
+    return audit_tiers(
+        finer,
+        stored.unionByName(ghost),
+        "1d",
+        keys=["role"],
+        check_cols=("n_turns", "text_len_sum"),
+    )
+
+
+def q_hist_rebin_1d(spark, sf_dir):
+    """Long-retention histogram rebinning (operators/stitch.py
+    rebin_histogram): the fine recording-rule histogram collapsed to a
+    nested subset of its edges — exact because every coarse bucket is a
+    union of fine ones.  The oracle bins raw values directly at the
+    coarse edges: equality proves the rebin re-agg is lossless."""
+    from mq_to_db_spark.operators.rollup import fixed_bucket_histogram
+    from mq_to_db_spark.operators.stitch import rebin_histogram
+
+    fine = fixed_bucket_histogram(
+        _events(spark, sf_dir), "value", HIST_FINE_EDGES, "1d", ["event_type"]
+    )
+    return rebin_histogram(
+        fine, HIST_FINE_EDGES, HIST_COARSE_EDGES, keys=["event_type"]
+    )
+
+
+def q_compact_late(spark, sf_dir):
+    """Late-data compaction (operators/compression.py merge_late_chunks):
+    every 5th turn arrives late, the archive is compacted by decoding +
+    re-encoding ONLY the touched (conv_id, chunk) blobs, then the whole
+    archive is decoded and re-aggregated.  The oracle aggregates the full
+    raw table — equality proves the compaction is lossless end-to-end
+    (counts, float values, text bytes, timestamps)."""
+    from mq_to_db_spark.operators.compression import (
+        decode_chunks,
+        encode_chunks,
+        merge_late_chunks,
+    )
+
+    tr = _events_as_transcripts(spark, sf_dir)
+    base = tr.filter(F.col("turn_idx") % 5 != 0)
+    late = tr.filter(F.col("turn_idx") % 5 == 0)
+    chunks = encode_chunks(base, value_col="value")
+    merged = merge_late_chunks(chunks, late, value_col="value")
+    return decode_chunks(merged).groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+        F.sum(F.coalesce(F.length("text"), F.lit(0))).alias("text_len_sum"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+    )
+
+
+
+def q_vector_ratio_1h(spark, sf_dir):
+    """PromQL vector matching, arithmetic path (operators/vectormatch.py
+    vector_binop): per-(hour, event_type) counts divided by the
+    per-hour total via many-to-one ``group_left`` matching on the
+    bucket — the dashboard's ``rate(x{label}) / rate(x)`` share panel.
+    One equi-join between two tier-sized recording rules."""
+    from mq_to_db_spark.operators.vectormatch import vector_binop
+
+    ev = _events(spark, sf_dir)
+    per_type = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_start"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("double").alias("value"))
+    totals = ev.groupBy(F.date_trunc("hour", "ts").alias("bucket_start")).agg(
+        F.count(F.lit(1)).cast("double").alias("value")
+    )
+    return vector_binop(
+        per_type, totals, "/", on=["bucket_start"], group_left=True,
+        out_col="share",
+    ).withColumn("share", F.round("share", 6))
+
+
+def q_vector_setops_1h(spark, sf_dir):
+    """PromQL vector matching, set-algebra path (vector_and /
+    vector_unless): hourly purchase series split into buckets that also
+    saw errors (``and``) vs error-free buckets (``unless``) — LEFT
+    SEMI / LEFT ANTI on the bucket label, values pass through
+    untouched; the two segments partition the left side exactly."""
+    from mq_to_db_spark.operators.vectormatch import vector_and, vector_unless
+
+    ev = _events(spark, sf_dir)
+    def series(t):
+        return ev.filter(F.col("event_type") == t).groupBy(
+            F.date_trunc("hour", "ts").alias("bucket_start")
+        ).agg(F.count(F.lit(1)).cast("double").alias("value"))
+
+    p, e = series("purchase"), series("error")
+    return (
+        vector_and(p, e).withColumn("segment", F.lit("with_errors"))
+        .unionByName(
+            vector_unless(p, e).withColumn("segment", F.lit("no_errors"))
+        )
+    )
+
+
+def _tier_stitch_oracle() -> str:
+    """DuckDB replay: the same driver-side covering plan (cover_range is
+    pure timestamp arithmetic, so both engines see identical literal
+    segments), aggregate from raw, provenance = distinct active buckets
+    per segment tier."""
+    from mq_to_db_spark.operators.stitch import cover_range
+
+    unit = {"1m": "minute", "1h": "hour", "1d": "day"}
+    seg_sql = "\n                UNION ALL ".join(
+        f"SELECT event_type AS role, '{t}' AS tier, "
+        f"date_trunc('{unit[t]}', ts) AS b FROM events "
+        f"WHERE ts >= TIMESTAMP '{lo}' AND ts < TIMESTAMP '{hi}'"
+        for t, lo, hi in cover_range(STITCH_T0, STITCH_T1)
+    )
+    return f"""
+        WITH seg AS (
+            {seg_sql}
+        ),
+        prov AS (
+            SELECT role,
+                   CAST(count(DISTINCT CASE WHEN tier = '1m' THEN b END) AS BIGINT) AS n_1m,
+                   CAST(count(DISTINCT CASE WHEN tier = '1h' THEN b END) AS BIGINT) AS n_1h,
+                   CAST(count(DISTINCT CASE WHEN tier = '1d' THEN b END) AS BIGINT) AS n_1d
+            FROM seg GROUP BY 1
+        ),
+        agg AS (
+            SELECT event_type AS role,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(coalesce(length(props), 0)) AS BIGINT) AS text_len_sum,
+                   CAST(min(coalesce(length(props), 0)) AS BIGINT) AS text_len_min,
+                   CAST(max(coalesce(length(props), 0)) AS BIGINT) AS text_len_max
+            FROM events
+            WHERE ts >= TIMESTAMP '{STITCH_T0}' AND ts < TIMESTAMP '{STITCH_T1}'
+            GROUP BY 1
+        )
+        SELECT a.role, a.n_turns, a.text_len_sum, a.text_len_min, a.text_len_max,
+               p.n_1m + p.n_1h + p.n_1d AS n_partials, p.n_1m, p.n_1h, p.n_1d
+        FROM agg a JOIN prov p USING (role)
+    """
+
+
+def _hist_rebin_oracle() -> str:
+    cases = " ".join(
+        f"WHEN value <= {e} THEN {e}" for e in HIST_COARSE_EDGES
+    )
+    return f"""
+        SELECT date_trunc('day', ts) AS bucket_start, event_type,
+               CASE {cases} ELSE CAST('inf' AS DOUBLE) END AS le,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2, 3
+    """
+
+
 
 # --------------------------------------------------------------------------
 
@@ -1847,13 +2063,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver's correctness gate records at most the first ~50 entries
     (r03 recorded exactly the first 50 of 57 in dict order), so the
     least-driver-proven queries come FIRST — this round's additions
-    (82 registered in total; the committed full-contract snapshot at
+    (88 registered in total; the committed full-contract snapshot at
     BENCH/correctness_r04_local.json covers every one), then round-3's
     (one green driver record), round-2's (two), and the round-1
     originals (three green records each) last, where any truncation
     costs the least."""
     return {
         # -- never in a driver CORRECTNESS file (r03 cap) + round-4 new --
+        "vector_ratio_1h": q_vector_ratio_1h,
+        "vector_setops_1h": q_vector_setops_1h,
+        "tier_stitch": q_tier_stitch,
+        "tier_audit": q_tier_audit,
+        "hist_rebin_1d": q_hist_rebin_1d,
+        "compact_late": q_compact_late,
         "cusum_alarms_1d": q_cusum_alarms_1d,
         "alert_episodes": q_alert_episodes,
         "series_churn_1d": q_series_churn_1d,
@@ -2150,6 +2372,85 @@ def oracle_sql() -> dict[str, str]:
         f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES
     )
     return {
+        "vector_ratio_1h": """
+            WITH pr AS (
+                SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+                       CAST(count(*) AS DOUBLE) AS value
+                FROM events GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT date_trunc('hour', ts) AS bucket_start,
+                       CAST(count(*) AS DOUBLE) AS t
+                FROM events GROUP BY 1
+            )
+            SELECT pr.bucket_start, pr.event_type,
+                   round(pr.value / tot.t, 6) AS share
+            FROM pr JOIN tot USING (bucket_start)
+        """,
+        "vector_setops_1h": """
+            WITH p AS (
+                SELECT date_trunc('hour', ts) AS bucket_start,
+                       CAST(count(*) AS DOUBLE) AS value
+                FROM events WHERE event_type = 'purchase' GROUP BY 1
+            ),
+            e AS (
+                SELECT DISTINCT date_trunc('hour', ts) AS bucket_start
+                FROM events WHERE event_type = 'error'
+            )
+            SELECT p.bucket_start, p.value,
+                   CASE WHEN e.bucket_start IS NULL
+                        THEN 'no_errors' ELSE 'with_errors' END AS segment
+            FROM p LEFT JOIN e USING (bucket_start)
+        """,
+        "tier_stitch": _tier_stitch_oracle(),
+        "tier_audit": """
+            WITH truth AS (
+                SELECT event_type AS role, date_trunc('day', ts) AS bucket_start,
+                       CAST(count(*) AS BIGINT) AS t_n,
+                       CAST(sum(coalesce(length(props), 0)) AS BIGINT) AS t_s
+                FROM events GROUP BY 1, 2
+            ),
+            stored AS (
+                SELECT event_type AS role, date_trunc('day', ts) AS bucket_start,
+                       CAST(count(*) AS BIGINT) AS s_n,
+                       CAST(sum(coalesce(length(props), 0)) AS BIGINT) AS s_s
+                FROM events
+                WHERE NOT (event_type = 'error'
+                           AND (day(ts) % 2) = 1 AND minute(ts) < 20)
+                GROUP BY 1, 2
+                UNION ALL
+                SELECT 'ghost', TIMESTAMP '2030-01-01',
+                       CAST(5 AS BIGINT), CAST(1000 AS BIGINT)
+            ),
+            j AS (
+                SELECT coalesce(t.role, s.role) AS role,
+                       coalesce(t.bucket_start, s.bucket_start) AS bucket_start,
+                       t_n, t_s, s_n, s_s,
+                       t.role IS NOT NULL AS in_t, s.role IS NOT NULL AS in_s
+                FROM truth t FULL OUTER JOIN stored s
+                  ON t.role = s.role AND t.bucket_start = s.bucket_start
+            )
+            SELECT bucket_start, role,
+                   CASE WHEN NOT in_s THEN 'missing_in_stored'
+                        WHEN NOT in_t THEN 'unexpected_in_stored'
+                        ELSE 'mismatch' END AS status,
+                   coalesce(s_n, 0) - coalesce(t_n, 0) AS d_n_turns,
+                   coalesce(s_s, 0) - coalesce(t_s, 0) AS d_text_len_sum
+            FROM j
+            WHERE NOT in_s OR NOT in_t
+               OR coalesce(s_n, 0) <> coalesce(t_n, 0)
+               OR coalesce(s_s, 0) <> coalesce(t_s, 0)
+        """,
+        "hist_rebin_1d": _hist_rebin_oracle(),
+        "compact_late": """
+            SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                   CAST(count(*) AS BIGINT) AS n_points,
+                   round(sum(value), 6) AS value_sum,
+                   CAST(sum(coalesce(length(props), 0)) AS BIGINT) AS text_len_sum,
+                   min(ts) AS ts_min,
+                   max(ts) AS ts_max
+            FROM events GROUP BY 1
+        """,
         # trailing time-RANGE sums of BIGINT tier counts; the budget is
         # interpolated as the Python-computed DOUBLE literal (DuckDB
         # would otherwise fold 1.0 - 0.95 in exact DECIMAL, landing one

@@ -108,6 +108,12 @@ EXTENDED_QUERIES = (
     "wow_delta_1h",
     "topk_others_1d",
     "openmetrics_1h",
+    "tier_stitch",
+    "tier_audit",
+    "hist_rebin_1d",
+    "compact_late",
+    "vector_ratio_1h",
+    "vector_setops_1h",
 )
 
 
