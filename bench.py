@@ -114,6 +114,8 @@ EXTENDED_QUERIES = (
     "compact_late",
     "vector_ratio_1h",
     "vector_setops_1h",
+    "counter_adjust",
+    "archive_spikes",
 )
 
 

@@ -45,6 +45,12 @@ CHUNK_SCHEMA = T.StructType(
         T.StructField("chunk_start", T.TimestampType()),
         T.StructField("codec", T.StringType()),
         T.StructField("n_points", T.IntegerType()),
+        # chunk value sketch: min/max of the XOR-coded series, computed in
+        # the encode pass — value predicates prune on metadata before any
+        # blob is touched (NaN for all-null chunks, which no value
+        # predicate can match anyway)
+        T.StructField("val_min", T.DoubleType()),
+        T.StructField("val_max", T.DoubleType()),
         T.StructField("ts_blob", T.BinaryType()),
         T.StructField("turn_blob", T.BinaryType()),
         T.StructField("val_blob", T.BinaryType()),
@@ -117,6 +123,9 @@ def _encode_partition(batches):
         ]
         k = len(starts)
         n_points = ends - starts
+        # fmin/fmax ignore NaN (null values) — all-NaN groups stay NaN
+        val_min = np.fmin.reduceat(val, starts)
+        val_max = np.fmax.reduceat(val, starts)
         raw = (
             n_points * 24
             + text_raw
@@ -139,6 +148,8 @@ def _encode_partition(batches):
                 "chunk_start": pd.Series(chunk[starts]),
                 "codec": pd.Series(np.full(k, CODEC_NAME, dtype=object)),
                 "n_points": n_points.astype("int32"),
+                "val_min": val_min,
+                "val_max": val_max,
                 "ts_blob": pd.Series(ts_blobs, dtype=object),
                 "turn_blob": pd.Series(turn_blobs, dtype=object),
                 "val_blob": pd.Series(val_blobs, dtype=object),
@@ -360,3 +371,33 @@ def merge_late_chunks(
         partitions=partitions,
     )
     return untouched.unionByName(reencoded)
+
+
+def decode_chunks_value_range(
+    chunks: DataFrame,
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """Value-predicate-pruned archive read: decode ONLY chunks whose
+    [val_min, val_max] sketch can overlap [lo, hi], then trim exactly.
+
+    The complement of :func:`decode_chunks_range`: per-chunk min/max are
+    computed during encode (one reduceat in the same numpy pass), so a
+    value predicate — "where did the series exceed X?" — prunes on chunk
+    METADATA, pushed into the parquet scan, before any blob decompresses.
+    On a flat-mostly series a spike hunt decodes only spiky chunks.
+    Result is identical to ``decode_chunks(chunks).where(lo <= value <=
+    hi)`` — the equivalence a test asserts (NaN sketches — all-null
+    chunks — prune out, matching the filter that would drop their rows).
+    """
+    pruned = chunks
+    if lo is not None:
+        pruned = pruned.where(F.col("val_max") >= F.lit(float(lo)))
+    if hi is not None:
+        pruned = pruned.where(F.col("val_min") <= F.lit(float(hi)))
+    out = decode_chunks(pruned)
+    if lo is not None:
+        out = out.where(F.col("value") >= F.lit(float(lo)))
+    if hi is not None:
+        out = out.where(F.col("value") <= F.lit(float(hi)))
+    return out

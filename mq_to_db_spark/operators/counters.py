@@ -189,3 +189,68 @@ def counter_rate(
     """``rate()`` convenience view: per-bucket reset-aware rate only."""
     inc = counter_increase(df, keys, ts_col, value_col, tier, tiebreak)
     return inc.select(*keys, "bucket_start", "rate_per_sec")
+
+
+def adjust_resets(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak: tuple[str, ...] = (),
+    out_col: str = "adjusted",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Counter reset adjustment: rebuild the TRUE monotonic cumulative
+    series from a resetting counter (the Thanos/M3 "counter adjustment"
+    that long-range ``increase`` is defined against)::
+
+        adjusted(t) = v(t) + Σ over resets s ≤ t of v_prev(s)
+
+    i.e. every restart's lost progress (the predecessor's value) is
+    folded into a running offset, so downstream math can treat the
+    series as never having reset.  Output = input rows + ``out_col``;
+    per-series non-decreasing by construction.
+
+    Plan shape mirrors :func:`counter_increase`: keyed → lag + running
+    sum over the SAME window partitioning (one exchange, both windows
+    planned back to back); keyless → range-partitioned lag
+    (:func:`_keyless_lag`) then a range-partitioned global prefix sum
+    (rangewin.range_running_sum) — never a single global window.
+    Offsets accumulate in the value column's own type (pass
+    integer-scaled counters for bit-exact cross-engine replay).
+    """
+    order = [F.col(ts_col), *[F.col(t) for t in tiebreak]]
+    value = F.col(value_col)
+    zero = F.lit(0).cast("long") * value  # type-preserving 0
+    if keys:
+        w = W.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+        staged = df.withColumn("_prev", F.lag(value_col).over(w))
+        off = (
+            F.when(
+                F.col("_prev").isNotNull() & (value < F.col("_prev")),
+                F.col("_prev"),
+            )
+            .otherwise(zero)
+        )
+        w_cum = w.rowsBetween(W.unboundedPreceding, 0)
+        return staged.withColumn(
+            out_col, value + F.sum(off).over(w_cum)
+        ).drop("_prev")
+    from mq_to_db_spark.operators.rangewin import range_running_sum
+
+    staged = _keyless_lag(df, ts_col, value_col, tiebreak, n_buckets)
+    off = (
+        F.when(
+            F.col("_prev").isNotNull() & (value < F.col("_prev")),
+            F.col("_prev"),
+        )
+        .otherwise(zero)
+    )
+    staged = staged.withColumn("_off", off).drop("_prev")
+    summed = range_running_sum(
+        staged, ts_col, "_off", tiebreak=tiebreak, out_col="_cumoff",
+        n_buckets=n_buckets,
+    )
+    return summed.withColumn(out_col, value + F.col("_cumoff")).drop(
+        "_off", "_cumoff"
+    )
