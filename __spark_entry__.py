@@ -1542,6 +1542,67 @@ def q_archive_spikes(spark, sf_dir):
     )
 
 
+
+def _resample_input(spark, sf_dir):
+    """Gauge sample stream: per (event_type, ts) max(value) — unique
+    series timestamps so the as-of tie-break is engine-independent."""
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type", "ts")
+        .agg(F.max("value").alias("value"))
+    )
+
+
+def q_resample_locf_10m(spark, sf_dir):
+    """Grid resampling, PromQL-instant-query semantics
+    (operators/resample.py resample_locf): the irregular gauge stream
+    evaluated every 10 minutes — most recent sample at or before each
+    instant, series silent longer than the 15-minute lookback read NULL
+    (Prometheus staleness).  Grid generated from per-series extents;
+    one as-of join, no grid x samples product."""
+    from mq_to_db_spark.operators.resample import resample_locf
+
+    out = resample_locf(
+        _resample_input(spark, sf_dir),
+        "10 minutes",
+        ["event_type"],
+        lookback="15 minutes",
+    )
+    return out.withColumn("value", F.round("value", 6))
+
+
+def q_resample_interp_10m(spark, sf_dir):
+    """Grid resampling, TimescaleDB-interpolate semantics
+    (resample_interpolate): linear value between the bracketing samples
+    at every 10-minute instant, exact BIGINT-us deltas with one double
+    division — bit-replayable by epoch_us arithmetic; LOCF tail past
+    the last sample, NULL before the first.  Two as-of joins."""
+    from mq_to_db_spark.operators.resample import resample_interpolate
+
+    out = resample_interpolate(
+        _resample_input(spark, sf_dir), "10 minutes", ["event_type"]
+    )
+    return out.withColumn("value", F.round("value", 6))
+
+
+
+def q_label_count_values_1d(spark, sf_dir):
+    """PromQL label utilities (operators/labels.py): label_replace
+    rewrites matching series labels (anchored full-match, untouched on
+    miss), then count_values histograms the exact payload-length values
+    per (day, rewritten label) with the value itself becoming a label —
+    pure projections + one hash agg."""
+    from mq_to_db_spark.operators.labels import count_values, label_replace
+
+    df = _events(spark, sf_dir).select(
+        F.date_trunc("day", "ts").alias("day_start"),
+        "event_type",
+        F.length("props").alias("plen"),
+    )
+    df = label_replace(df, "kind", "$1-like", "event_type", "(click|view)")
+    return count_values(df, "plen_label", "plen", keys=["day_start", "kind"])
+
+
 def _tier_stitch_oracle() -> str:
     """DuckDB replay: the same driver-side covering plan (cover_range is
     pure timestamp arithmetic, so both engines see identical literal
@@ -2104,13 +2165,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver's correctness gate records at most the first ~50 entries
     (r03 recorded exactly the first 50 of 57 in dict order), so the
     least-driver-proven queries come FIRST — this round's additions
-    (90 registered in total; the committed full-contract snapshot at
+    (93 registered in total; the committed full-contract snapshot at
     BENCH/correctness_r04_local.json covers every one), then round-3's
     (one green driver record), round-2's (two), and the round-1
     originals (three green records each) last, where any truncation
     costs the least."""
     return {
         # -- never in a driver CORRECTNESS file (r03 cap) + round-4 new --
+        "label_count_values_1d": q_label_count_values_1d,
+        "resample_locf_10m": q_resample_locf_10m,
+        "resample_interp_10m": q_resample_interp_10m,
         "counter_adjust": q_counter_adjust,
         "archive_spikes": q_archive_spikes,
         "vector_ratio_1h": q_vector_ratio_1h,
@@ -2415,6 +2479,79 @@ def oracle_sql() -> dict[str, str]:
         f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES
     )
     return {
+        "label_count_values_1d": """
+            SELECT date_trunc('day', ts) AS day_start,
+                   CASE WHEN event_type IN ('click', 'view')
+                        THEN event_type || '-like' END AS kind,
+                   CAST(CAST(length(props) AS BIGINT) AS VARCHAR) AS plen_label,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events
+            GROUP BY 1, 2, 3
+        """,
+        "resample_locf_10m": """
+            WITH samp AS (
+                SELECT event_type, ts, max(value) AS value
+                FROM events GROUP BY 1, 2
+            ),
+            ext AS (
+                SELECT event_type,
+                       date_trunc('minute', min(ts)) AS lo,
+                       date_trunc('minute', max(ts)) AS hi
+                FROM samp GROUP BY 1
+            ),
+            grid AS (
+                SELECT event_type,
+                       unnest(generate_series(lo, hi, INTERVAL 10 MINUTE)) AS g
+                FROM ext
+            ),
+            m AS (
+                SELECT grid.event_type, grid.g, samp.value, samp.ts
+                FROM grid ASOF LEFT JOIN samp
+                  ON grid.event_type = samp.event_type AND grid.g >= samp.ts
+            )
+            SELECT event_type, g AS grid_ts,
+                   CASE WHEN ts >= g - INTERVAL 15 MINUTE
+                        THEN round(value, 6) END AS value,
+                   CASE WHEN ts >= g - INTERVAL 15 MINUTE
+                        THEN ts END AS sample_ts
+            FROM m
+        """,
+        "resample_interp_10m": """
+            WITH samp AS (
+                SELECT event_type, ts, max(value) AS value
+                FROM events GROUP BY 1, 2
+            ),
+            ext AS (
+                SELECT event_type,
+                       date_trunc('minute', min(ts)) AS lo,
+                       date_trunc('minute', max(ts)) AS hi
+                FROM samp GROUP BY 1
+            ),
+            grid AS (
+                SELECT event_type,
+                       unnest(generate_series(lo, hi, INTERVAL 10 MINUTE)) AS g
+                FROM ext
+            ),
+            p AS (
+                SELECT grid.event_type, grid.g, samp.value AS v0, samp.ts AS t0
+                FROM grid ASOF LEFT JOIN samp
+                  ON grid.event_type = samp.event_type AND grid.g >= samp.ts
+            ),
+            b AS (
+                SELECT p.event_type, p.g, p.v0, p.t0, samp.value AS v1, samp.ts AS t1
+                FROM p ASOF LEFT JOIN samp
+                  ON p.event_type = samp.event_type AND p.g <= samp.ts
+            )
+            SELECT event_type, g AS grid_ts,
+                   round(CASE
+                       WHEN t1 = t0 THEN v0
+                       WHEN t1 IS NULL THEN v0
+                       ELSE v0 + (v1 - v0)
+                            * CAST(epoch_us(g) - epoch_us(t0) AS DOUBLE)
+                            / CAST(epoch_us(t1) - epoch_us(t0) AS DOUBLE)
+                   END, 6) AS value
+            FROM b
+        """,
         "counter_adjust": """
             WITH ctr AS (
                 SELECT event_type, ts, event_id,

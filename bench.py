@@ -116,6 +116,9 @@ EXTENDED_QUERIES = (
     "vector_setops_1h",
     "counter_adjust",
     "archive_spikes",
+    "resample_locf_10m",
+    "resample_interp_10m",
+    "label_count_values_1d",
 )
 
 

@@ -1,0 +1,136 @@
+"""Grid resampling (LOCF / linear) + label utilities vs pandas oracles."""
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from mq_to_db_spark.operators.labels import count_values, label_join, label_replace
+from mq_to_db_spark.operators.resample import (
+    instant_series_grid,
+    resample_interpolate,
+    resample_locf,
+)
+from tests.conftest import assert_pdf_equal
+
+T0 = datetime(2025, 1, 1, 0, 0)
+
+
+def _series(spark):
+    # irregular samples, two series
+    rows = []
+    for key, pts in {
+        "a": [(0.5, 10.0), (2.2, 20.0), (2.8, 14.0), (7.0, 0.0)],
+        "b": [(1.0, 5.0), (9.5, 105.0)],
+    }.items():
+        for m, v in pts:
+            rows.append((key, T0 + timedelta(minutes=m), v))
+    return spark.createDataFrame(rows, "k string, ts timestamp, value double")
+
+
+def test_grid_spans_each_series(spark):
+    df = _series(spark)
+    g = instant_series_grid(df, "1 minute", ["k"]).toPandas()
+    a = g[g["k"] == "a"]["grid_ts"]
+    assert a.min() == T0 and a.max() == T0 + timedelta(minutes=7)
+    b = g[g["k"] == "b"]["grid_ts"]
+    assert b.min() == T0 + timedelta(minutes=1)
+    assert b.max() == T0 + timedelta(minutes=9)
+
+
+def test_locf_matches_pandas_asof(spark):
+    df = _series(spark)
+    got = resample_locf(df, "1 minute", ["k"]).toPandas()
+    pdf = df.toPandas()
+    outs = []
+    for k, g in pdf.groupby("k"):
+        g = g.sort_values("ts")
+        grid = pd.date_range(
+            g["ts"].min().floor("min"), g["ts"].max().floor("min"), freq="min"
+        )
+        m = pd.merge_asof(
+            pd.DataFrame({"grid_ts": grid}),
+            g.rename(columns={"ts": "sample_ts"}),
+            left_on="grid_ts",
+            right_on="sample_ts",
+        )
+        m["k"] = k
+        outs.append(m[["k", "grid_ts", "value", "sample_ts"]])
+    want = pd.concat(outs, ignore_index=True)
+    assert_pdf_equal(got, want, ["k", "grid_ts"])
+
+
+def test_locf_lookback_marks_stale_null(spark):
+    df = _series(spark)
+    got = resample_locf(df, "1 minute", ["k"], lookback="2 minutes").toPandas()
+    b5 = got[(got["k"] == "b") & (got["grid_ts"] == T0 + timedelta(minutes=5))]
+    assert b5["value"].isna().all()
+    b1 = got[(got["k"] == "b") & (got["grid_ts"] == T0 + timedelta(minutes=1))]
+    assert (b1["value"] == 5.0).all()
+
+
+def test_interpolate_known_values(spark):
+    df = _series(spark)
+    got = resample_interpolate(df, "1 minute", ["k"]).toPandas()
+    vals = {
+        (r["k"], r["grid_ts"]): r["value"] for _, r in got.iterrows()
+    }
+    # series a: samples at 0.5→10, 2.2→20, 2.8→14, 7.0→0
+    assert vals[("a", T0)] is None or np.isnan(vals[("a", T0)])  # before first
+    # t=1.0: between (0.5,10) and (2.2,20): 10 + 10*(0.5/1.7)
+    assert abs(vals[("a", T0 + timedelta(minutes=1))] - (10 + 10 * (0.5 / 1.7))) < 1e-9
+    # t=2.0 between same pair
+    assert abs(vals[("a", T0 + timedelta(minutes=2))] - (10 + 10 * (1.5 / 1.7))) < 1e-9
+    # t=3.0 between (2.8,14) and (7.0,0): 14 - 14*(0.2/4.2)
+    assert abs(vals[("a", T0 + timedelta(minutes=3))] - (14 - 14 * (0.2 / 4.2))) < 1e-9
+    # t=7.0 exactly at a sample
+    assert vals[("a", T0 + timedelta(minutes=7))] == 0.0
+    # series b tail: LOCF after last? b's grid ends at 9.0 (floor) which is
+    # between samples (1.0, 5) and (9.5, 105): linear
+    assert abs(vals[("b", T0 + timedelta(minutes=9))] - (5 + 100 * (8.0 / 8.5))) < 1e-9
+
+
+def test_interpolate_at_sample_reads_sample(spark):
+    df = _series(spark)
+    got = resample_interpolate(df, "1 minute", ["k"]).toPandas()
+    b1 = got[(got["k"] == "b") & (got["grid_ts"] == T0 + timedelta(minutes=1))]
+    assert (b1["value"] == 5.0).all()
+
+
+# ------------------------------------------------------------ labels
+
+
+def test_label_replace_full_match_and_miss(spark):
+    df = spark.createDataFrame(
+        [("api-us-east-1", "x"), ("worker", "y"), (None, "z")],
+        "job string, dst string",
+    )
+    got = label_replace(
+        df, "dst", "$1", "job", r"api-(us-[a-z]+-\d)"
+    ).toPandas().set_index("job", drop=False)
+    assert got.loc["api-us-east-1", "dst"] == "us-east-1"
+    assert got.loc["worker", "dst"] == "y"  # miss → untouched
+    assert got[got["job"].isna()]["dst"].iloc[0] == "z"
+
+
+def test_label_replace_new_column_and_bad_regex(spark):
+    df = spark.createDataFrame([("a",)], "job string")
+    got = label_replace(df, "region", "r-$1", "job", r"(a)").toPandas()
+    assert got["region"].iloc[0] == "r-a"
+    with pytest.raises(Exception):
+        label_replace(df, "region", "x", "job", r"(unclosed")
+
+
+def test_label_join_and_count_values(spark):
+    df = spark.createDataFrame(
+        [("u1", "click", 2.0), ("u2", "click", 2.0), ("u3", "view", 3.5)],
+        "user string, et string, value double",
+    )
+    j = label_join(df, "series", "/", "et", "user").toPandas()
+    assert set(j["series"]) == {"click/u1", "click/u2", "view/u3"}
+    cv = count_values(df, "v", "value").toPandas().set_index("v")
+    assert cv.loc["2", "n"] == 2  # integral double prints bare
+    assert cv.loc["3.5", "n"] == 1
