@@ -1445,7 +1445,10 @@ def q_compact_late(spark, sf_dir):
     tr = _events_as_transcripts(spark, sf_dir)
     base = tr.filter(F.col("turn_idx") % 5 != 0)
     late = tr.filter(F.col("turn_idx") % 5 == 0)
-    chunks = encode_chunks(base, value_col="value")
+    # cache = the stored archive table (in production the semi/anti split
+    # reads a materialized chunk table; without it Spark re-runs the whole
+    # encode mapInPandas once per branch — measured 2x on this query)
+    chunks = encode_chunks(base, value_col="value").cache()
     merged = merge_late_chunks(chunks, late, value_col="value")
     return decode_chunks(merged).groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_points"),
@@ -1455,6 +1458,40 @@ def q_compact_late(spark, sf_dir):
         F.max("ts").alias("ts_max"),
     )
 
+
+# hybrid-read bounds: deliberately sub-minute (10.5 s / 55.25 s offsets)
+# so BOTH edge slivers must come from the compressed archive, and chosen
+# so both slivers contain events at sf0.01 (head minute has turns at
+# s30/s38, tail minute at s<=43).
+HYBRID_T0 = "2024-01-04 00:16:10.500000"
+HYBRID_T1 = "2024-01-23 23:46:55.250000"
+
+
+def q_hybrid_read(spark, sf_dir):
+    """Hybrid tier+archive read (plans/readpath.py hybrid_read): an
+    aggregate over MICROSECOND-precision bounds answered without ever
+    scanning the raw table — minute-aligned interior from the 1m/1h/1d
+    tier tables (stitch_range covering), the sub-minute edge slivers
+    decoded from the Gorilla chunk archive (metadata-pruned), merged by
+    the cascade's exact partial merge.  ``n_raw`` proves archive slivers
+    contributed; the oracle aggregates raw rows over the same range —
+    equality proves the whole read path is exact to the microsecond."""
+    from mq_to_db_spark.operators.compression import encode_chunks
+    from mq_to_db_spark.operators.rollup import rollup_tiers
+    from mq_to_db_spark.plans.readpath import hybrid_read
+
+    tr = _events_as_transcripts(spark, sf_dir)
+    tiers = rollup_tiers(tr, keys=["role"])
+    chunks = encode_chunks(tr, value_col="value")
+    return hybrid_read(tiers, chunks, HYBRID_T0, HYBRID_T1, keys=["role"]).select(
+        "role",
+        "n_turns",
+        "text_len_sum",
+        "text_len_min",
+        "text_len_max",
+        "n_partials",
+        "n_raw",
+    )
 
 
 def q_vector_ratio_1h(spark, sf_dir):
@@ -1640,6 +1677,57 @@ def _tier_stitch_oracle() -> str:
         )
         SELECT a.role, a.n_turns, a.text_len_sum, a.text_len_min, a.text_len_max,
                p.n_1m + p.n_1h + p.n_1d AS n_partials, p.n_1m, p.n_1h, p.n_1d
+        FROM agg a JOIN prov p USING (role)
+    """
+
+
+def _hybrid_read_oracle() -> str:
+    """DuckDB replay of the hybrid read: identical covering plan for the
+    minute-aligned interior (cover_range is pure timestamp arithmetic)
+    plus the two raw edge slivers, provenance = distinct active buckets
+    per segment tier (+ slivers with >=1 turn), aggregate from raw."""
+    from mq_to_db_spark.operators.stitch import _as_dt, _floor, cover_range
+    from mq_to_db_spark.plans.readpath import _ceil_minute
+
+    t0, t1 = _as_dt(HYBRID_T0), _as_dt(HYBRID_T1)
+    t0c, t1f = _ceil_minute(t0), _floor(t1, "1m")
+    unit = {"1m": "minute", "1h": "hour", "1d": "day"}
+    segs = [
+        (t, f"date_trunc('{unit[t]}', ts)", lo, hi)
+        for t, lo, hi in cover_range(t0c, t1f)
+    ]
+    segs.append(("raw", f"TIMESTAMP '{_floor(t0, '1m')}'", t0, t0c))
+    segs.append(("raw", f"TIMESTAMP '{_floor(t1, '1m')}'", t1f, t1))
+    seg_sql = "\n                UNION ALL ".join(
+        f"SELECT event_type AS role, '{t}' AS tier, {bexpr} AS b FROM events "
+        f"WHERE ts >= TIMESTAMP '{lo}' AND ts < TIMESTAMP '{hi}'"
+        for t, bexpr, lo, hi in segs
+    )
+    return f"""
+        WITH seg AS (
+            {seg_sql}
+        ),
+        prov AS (
+            SELECT role,
+                   CAST(count(DISTINCT CASE WHEN tier = '1m' THEN b END)
+                      + count(DISTINCT CASE WHEN tier = '1h' THEN b END)
+                      + count(DISTINCT CASE WHEN tier = '1d' THEN b END)
+                      + count(DISTINCT CASE WHEN tier = 'raw' THEN b END) AS BIGINT) AS n_partials,
+                   CAST(count(DISTINCT CASE WHEN tier = 'raw' THEN b END) AS BIGINT) AS n_raw
+            FROM seg GROUP BY 1
+        ),
+        agg AS (
+            SELECT event_type AS role,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(coalesce(length(props), 0)) AS BIGINT) AS text_len_sum,
+                   CAST(min(coalesce(length(props), 0)) AS BIGINT) AS text_len_min,
+                   CAST(max(coalesce(length(props), 0)) AS BIGINT) AS text_len_max
+            FROM events
+            WHERE ts >= TIMESTAMP '{HYBRID_T0}' AND ts < TIMESTAMP '{HYBRID_T1}'
+            GROUP BY 1
+        )
+        SELECT a.role, a.n_turns, a.text_len_sum, a.text_len_min, a.text_len_max,
+               p.n_partials, p.n_raw
         FROM agg a JOIN prov p USING (role)
     """
 
@@ -2180,6 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_ratio_1h": q_vector_ratio_1h,
         "vector_setops_1h": q_vector_setops_1h,
         "tier_stitch": q_tier_stitch,
+        "hybrid_read": q_hybrid_read,
         "tier_audit": q_tier_audit,
         "hist_rebin_1d": q_hist_rebin_1d,
         "compact_late": q_compact_late,
@@ -2613,6 +2702,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p LEFT JOIN e USING (bucket_start)
         """,
         "tier_stitch": _tier_stitch_oracle(),
+        "hybrid_read": _hybrid_read_oracle(),
         "tier_audit": """
             WITH truth AS (
                 SELECT event_type AS role, date_trunc('day', ts) AS bucket_start,

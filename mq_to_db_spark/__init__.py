@@ -130,6 +130,25 @@ _PUBLIC = {
     "with_openmetrics": "mq_to_db_spark.functions.serialize",
     "streaming_alerts": "mq_to_db_spark.streaming.stateful",
     "decode_chunks_range": "mq_to_db_spark.operators.compression",
+    # tier governance / archive compaction / PromQL surface (round 4)
+    "cover_range": "mq_to_db_spark.operators.stitch",
+    "stitch_range": "mq_to_db_spark.operators.stitch",
+    "audit_tiers": "mq_to_db_spark.operators.stitch",
+    "rebin_histogram": "mq_to_db_spark.operators.stitch",
+    "merge_late_chunks": "mq_to_db_spark.operators.compression",
+    "decode_chunks_value_range": "mq_to_db_spark.operators.compression",
+    "adjust_resets": "mq_to_db_spark.operators.counters",
+    "vector_binop": "mq_to_db_spark.operators.vectormatch",
+    "vector_and": "mq_to_db_spark.operators.vectormatch",
+    "vector_or": "mq_to_db_spark.operators.vectormatch",
+    "vector_unless": "mq_to_db_spark.operators.vectormatch",
+    "resample_locf": "mq_to_db_spark.operators.resample",
+    "resample_interpolate": "mq_to_db_spark.operators.resample",
+    "label_replace": "mq_to_db_spark.operators.labels",
+    "label_join": "mq_to_db_spark.operators.labels",
+    "count_values": "mq_to_db_spark.operators.labels",
+    "hybrid_read": "mq_to_db_spark.plans.readpath",
+    "TierReader": "mq_to_db_spark.plans.readpath",
 }
 
 
