@@ -1494,6 +1494,36 @@ def q_hybrid_read(spark, sf_dir):
     )
 
 
+RANGE_EVAL_T0 = "2024-01-02 00:00:00"
+RANGE_EVAL_T1 = "2024-01-28 00:00:00"
+RANGE_EVAL_STEP = 6 * 3600  # 6h grid → coarsest dividing tier is 1h
+
+
+def q_range_eval_6h(spark, sf_dir):
+    """PromQL query_range served from tiers (plans/readpath.py
+    range_eval): one merged point per role per 6-hour grid cell, read
+    from the COARSEST tier that divides the step (1h here — 1d doesn't
+    divide 6h), re-aggregated by the cascade's exact partial merge.
+    ``n_src_buckets`` is the read amplification (≤6 tier rows per cell
+    per series — never raw-sized).  The oracle grids raw rows directly:
+    equality proves the resolution-selection + re-agg is exact."""
+    from mq_to_db_spark.operators.rollup import rollup_tiers
+    from mq_to_db_spark.plans.readpath import range_eval
+
+    tiers = rollup_tiers(_events_as_transcripts(spark, sf_dir), keys=["role"])
+    return range_eval(
+        tiers, RANGE_EVAL_T0, RANGE_EVAL_T1, RANGE_EVAL_STEP, keys=["role"]
+    ).select(
+        "grid_ts",
+        "role",
+        "n_turns",
+        "text_len_sum",
+        "text_len_min",
+        "text_len_max",
+        "n_src_buckets",
+    )
+
+
 def q_vector_ratio_1h(spark, sf_dir):
     """PromQL vector matching, arithmetic path (operators/vectormatch.py
     vector_binop): per-(hour, event_type) counts divided by the
@@ -1729,6 +1759,34 @@ def _hybrid_read_oracle() -> str:
         SELECT a.role, a.n_turns, a.text_len_sum, a.text_len_min, a.text_len_max,
                p.n_partials, p.n_raw
         FROM agg a JOIN prov p USING (role)
+    """
+
+
+def _range_eval_oracle() -> str:
+    """DuckDB replay of the 6h query_range: raw rows gridded by epoch
+    arithmetic anchored at t0 (identical cell rule), n_src_buckets =
+    distinct active 1h tier buckets per (cell, role)."""
+    step = RANGE_EVAL_STEP
+    return f"""
+        WITH g AS (
+            SELECT event_type AS role,
+                   TIMESTAMP '{RANGE_EVAL_T0}'
+                     + INTERVAL 1 SECOND
+                       * (CAST(floor(epoch(ts - TIMESTAMP '{RANGE_EVAL_T0}') / {step})
+                               AS BIGINT) * {step}) AS grid_ts,
+                   date_trunc('hour', ts) AS src_bucket,
+                   coalesce(length(props), 0) AS tl
+            FROM events
+            WHERE ts >= TIMESTAMP '{RANGE_EVAL_T0}'
+              AND ts < TIMESTAMP '{RANGE_EVAL_T1}'
+        )
+        SELECT grid_ts, role,
+               CAST(count(*) AS BIGINT) AS n_turns,
+               CAST(sum(tl) AS BIGINT) AS text_len_sum,
+               CAST(min(tl) AS BIGINT) AS text_len_min,
+               CAST(max(tl) AS BIGINT) AS text_len_max,
+               CAST(count(DISTINCT src_bucket) AS BIGINT) AS n_src_buckets
+        FROM g GROUP BY 1, 2
     """
 
 
@@ -2269,6 +2327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_setops_1h": q_vector_setops_1h,
         "tier_stitch": q_tier_stitch,
         "hybrid_read": q_hybrid_read,
+        "range_eval_6h": q_range_eval_6h,
         "tier_audit": q_tier_audit,
         "hist_rebin_1d": q_hist_rebin_1d,
         "compact_late": q_compact_late,
@@ -2703,6 +2762,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tier_stitch": _tier_stitch_oracle(),
         "hybrid_read": _hybrid_read_oracle(),
+        "range_eval_6h": _range_eval_oracle(),
         "tier_audit": """
             WITH truth AS (
                 SELECT event_type AS role, date_trunc('day', ts) AS bucket_start,

@@ -148,6 +148,8 @@ _PUBLIC = {
     "label_join": "mq_to_db_spark.operators.labels",
     "count_values": "mq_to_db_spark.operators.labels",
     "hybrid_read": "mq_to_db_spark.plans.readpath",
+    "range_eval": "mq_to_db_spark.plans.readpath",
+    "pick_tier": "mq_to_db_spark.plans.readpath",
     "TierReader": "mq_to_db_spark.plans.readpath",
 }
 

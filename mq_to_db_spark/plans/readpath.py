@@ -118,6 +118,93 @@ def hybrid_read(
     )
 
 
+_TIER_SECONDS = {"1m": 60, "1h": 3600, "1d": 86400}
+
+
+def pick_tier(step_seconds: int, available: tuple[str, ...] = ("1m", "1h", "1d")) -> str:
+    """Resolution selection (the Prometheus downsample / M3 resolution
+    rule): the COARSEST stored tier whose bucket width divides the query
+    step — coarsest means fewest rows scanned and merged, divisibility
+    means every grid cell is a union of whole tier buckets, so the
+    re-aggregation is exact (same partial-merge as the cascade).
+
+    A 6h dashboard step reads the 1h tier (24× fewer rows than 1m); a
+    weekly report reads 1d.  A step no tier divides (e.g. 90 s) falls
+    back to the finest available tier only if it divides — otherwise
+    raises, because serving it would require the raw table (use
+    :func:`hybrid_read` per cell for that).
+    """
+    fits = [
+        t for t in available
+        if step_seconds % _TIER_SECONDS[t] == 0
+    ]
+    if not fits:
+        raise ValueError(
+            f"no stored tier divides step={step_seconds}s; "
+            f"available={available} — evaluate via hybrid_read instead"
+        )
+    return max(fits, key=lambda t: _TIER_SECONDS[t])
+
+
+def range_eval(
+    tier_dfs: dict[str, DataFrame],
+    t0,
+    t1,
+    step_seconds: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Step-grid evaluation over ``[t0, t1)`` served from ONE tier: the
+    PromQL ``query_range`` / Grafana panel shape (one point per ``keys``
+    per ``step``), with the source tier chosen by :func:`pick_tier`.
+
+    ``t0`` must be aligned to the chosen tier's bucket width (a grid
+    cell must be a union of whole buckets to re-aggregate exactly) —
+    enforced, not silently floored.  Output: ``grid_ts`` (cell start),
+    keys, the merged tier stats, and ``n_src_buckets`` (how many stored
+    tier rows served the cell — the read-amplification figure; at a 6h
+    step over the 1h tier it is ≤6 per cell per series, never raw-sized).
+
+    One partition-prunable range scan over tier rows + one hash
+    aggregation on ``(grid cell, keys)`` — no raw scan, no shuffle of
+    anything bigger than tier partials; a dashboard of any zoom level
+    costs O(points on screen × tier fan-in).
+    """
+    keys = list(keys or [])
+    t0, t1 = _as_dt(t0), _as_dt(t1)
+    if not t0 < t1:
+        raise ValueError(f"empty range: {t0!r} >= {t1!r}")
+    if step_seconds <= 0:
+        raise ValueError(f"step must be positive, got {step_seconds}")
+    tier = pick_tier(step_seconds, tuple(tier_dfs))
+    width = _TIER_SECONDS[tier]
+    # the session pins spark.sql.session.timeZone=UTC (session.py), so a
+    # naive bound is a UTC instant — don't let the HOST timezone leak in
+    from datetime import timezone
+
+    epoch0 = int(t0.replace(tzinfo=t0.tzinfo or timezone.utc).timestamp())
+    if epoch0 % width != 0:
+        raise ValueError(
+            f"t0={t0} is not aligned to the chosen tier {tier!r} "
+            f"({width}s buckets); align t0 or query via hybrid_read"
+        )
+    src = tier_dfs[tier].filter(
+        (F.col("bucket_start") >= F.lit(t0)) & (F.col("bucket_start") < F.lit(t1))
+    )
+    cell = (
+        F.lit(epoch0)
+        + ((F.unix_timestamp("bucket_start") - F.lit(epoch0)) / F.lit(step_seconds))
+        .cast("long") * F.lit(step_seconds)
+    )
+    return (
+        src.withColumn("grid_ts", F.timestamp_seconds(cell))
+        .groupBy("grid_ts", *keys)
+        .agg(
+            *_merge_aggs(),
+            F.count(F.lit(1)).alias("n_src_buckets"),
+        )
+    )
+
+
 class TierReader:
     """Bound read façade over one logical series store: the tier dict +
     the chunk archive produced by the write path.
@@ -137,3 +224,11 @@ class TierReader:
 
     def points(self, lo, hi, conv_ids: list[str] | None = None) -> DataFrame:
         return decode_chunks_range(self.chunks, lo, hi, conv_ids=conv_ids)
+
+    def query_range(
+        self, t0, t1, step_seconds: int, keys: list[str] | None = None
+    ) -> DataFrame:
+        """PromQL ``query_range`` shape: one merged point per ``keys``
+        per ``step`` over ``[t0, t1)``, served from the coarsest tier
+        that divides the step (:func:`range_eval`)."""
+        return range_eval(self.tiers, t0, t1, step_seconds, keys)

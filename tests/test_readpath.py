@@ -104,3 +104,65 @@ def test_points_pruned_read(store, transcripts_pdf):
 def test_empty_range_rejected(store):
     with pytest.raises(ValueError):
         store.aggregate(datetime(2025, 1, 2), datetime(2025, 1, 2))
+
+# ---------------------------------------------------------------------------
+# range_eval: PromQL query_range served from the coarsest dividing tier
+# ---------------------------------------------------------------------------
+
+
+def test_pick_tier_resolution_rule():
+    from mq_to_db_spark.plans.readpath import pick_tier
+
+    assert pick_tier(60) == "1m"
+    assert pick_tier(600) == "1m"          # 10m: only 1m divides
+    assert pick_tier(3600) == "1h"
+    assert pick_tier(6 * 3600) == "1h"     # 6h: 1d doesn't divide
+    assert pick_tier(86400) == "1d"
+    assert pick_tier(7 * 86400) == "1d"    # weekly
+    with pytest.raises(ValueError):
+        pick_tier(90)                       # no tier divides 90s
+    assert pick_tier(6 * 3600, available=("1m",)) == "1m"
+
+
+@pytest.mark.parametrize("step", [6 * 3600, 86400, 600])
+def test_range_eval_matches_raw_grid(store, transcripts_pdf, step):
+    from mq_to_db_spark.plans.readpath import range_eval
+
+    t0, t1 = datetime(2025, 1, 2), datetime(2025, 1, 6)
+    got = (
+        range_eval(store.tiers, t0, t1, step, keys=["role"])
+        .select("grid_ts", "role", "n_turns", "text_len_sum", "n_src_buckets")
+        .toPandas()
+        .sort_values(["grid_ts", "role"], ignore_index=True)
+    )
+    p = transcripts_pdf[(transcripts_pdf["ts"] >= t0) & (transcripts_pdf["ts"] < t1)].copy()
+    p["text_len"] = p["text"].str.len().fillna(0).astype("int64")
+    p["grid_ts"] = p["ts"].dt.floor(f"{step}s")
+    want = (
+        p.groupby(["grid_ts", "role"])
+        .agg(n_turns=("text_len", "size"), text_len_sum=("text_len", "sum"))
+        .reset_index()
+        .sort_values(["grid_ts", "role"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["grid_ts", "role", "n_turns", "text_len_sum"]], want, check_dtype=False
+    )
+    # read amplification bounded by the tier fan-in per cell
+    fan_in = {600: 10, 6 * 3600: 6, 86400: 1}[step]
+    assert (got["n_src_buckets"] <= fan_in).all()
+
+
+def test_range_eval_alignment_enforced(store):
+    from mq_to_db_spark.plans.readpath import range_eval
+
+    with pytest.raises(ValueError):
+        # 6h step picks the 1h tier; t0 at :30 is not hour-aligned
+        range_eval(store.tiers, datetime(2025, 1, 2, 0, 30), datetime(2025, 1, 4), 6 * 3600)
+
+
+def test_query_range_facade(store, transcripts_pdf):
+    t0, t1 = datetime(2025, 1, 2), datetime(2025, 1, 5)
+    got = store.query_range(t0, t1, 86400).toPandas()
+    p = transcripts_pdf[(transcripts_pdf["ts"] >= t0) & (transcripts_pdf["ts"] < t1)]
+    assert got["n_turns"].sum() == len(p)
+    assert len(got) == 3  # one point per day
