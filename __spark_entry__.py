@@ -800,6 +800,78 @@ def q_counter_increase(spark, sf_dir):
     )
 
 
+def q_subquery_maxrate_1h(spark, sf_dir):
+    """PromQL subquery ``max_over_time(rate(v[10m])[1h:10m])``
+    (operators/subquery.py): the reset-aware 10-minute rate evaluated on
+    the inner grid, then the worst such rate per hour — the Grafana
+    "peak 10m ingest rate per hour" panel as one batch operator.  Values
+    floor-scaled to integer micro-units so the nested lag/sum replay is
+    bit-exact; ONE exchange (lag window + both nested aggs all reuse the
+    event_type hash partitioning, plan-asserted in tests)."""
+    from mq_to_db_spark.operators.subquery import subquery_eval
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1e6).cast("long").alias("v"),
+    )
+    return subquery_eval(
+        ev, ["event_type"], inner_step=600, outer_range=3600,
+        inner_fn="rate", outer_fn="max", value_col="v",
+        tiebreak=("event_id",),
+    )
+
+
+def q_irate_10m(spark, sf_dir):
+    """PromQL ``irate()`` per (event_type, 10m bucket) (operators/
+    subquery.py): instantaneous per-second rate from the bucket's LAST
+    TWO samples, reset-aware, divisor the exact microsecond gap between
+    them (never the bucket width).  Single-sample buckets yield NULL.
+    Micro-unit values + fixed-order ``contribution * 1e6 / gap_us``
+    formula → bit-exact epoch_us replay."""
+    from mq_to_db_spark.operators.subquery import irate
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1e6).cast("long").alias("v"),
+    )
+    return irate(
+        ev, ["event_type"], step=600, value_col="v", tiebreak=("event_id",)
+    )
+
+
+def q_replica_dedup_1h(spark, sf_dir):
+    """HA replica deduplication (operators/replicas.py — the Mimir
+    HA-tracker rule in batch): a synthetic 2-replica split of the event
+    stream (``event_id`` parity) is collapsed back to ONE replica per
+    (event_type, hour) — most samples wins, ties to the smaller replica
+    id — then the survivors aggregate.  The sample table never window-
+    functions: counts are map-side-combined partials, the winner set
+    joins back broadcast.  Oracle replays election + join + re-agg."""
+    from mq_to_db_spark.operators.replicas import dedup_replicas
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 1e6).cast("long").alias("v"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("replica"),
+    )
+    kept = dedup_replicas(ev, ["event_type"], tier="1h")
+    return kept.groupBy(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("bucket_start"),
+        "replica",
+    ).agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum("v").alias("v_sum"),
+    )
+
+
 def q_downsample_ohlc(spark, sf_dir):
     """OHLC downsample per (event_type, 1h) — the Grafana panel-
     resolution read path as a first-class operator (operators/
@@ -2318,6 +2390,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     costs the least."""
     return {
         # -- never in a driver CORRECTNESS file (r03 cap) + round-4 new --
+        "subquery_maxrate_1h": q_subquery_maxrate_1h,
+        "irate_10m": q_irate_10m,
+        "replica_dedup_1h": q_replica_dedup_1h,
         "label_count_values_1d": q_label_count_values_1d,
         "resample_locf_10m": q_resample_locf_10m,
         "resample_interp_10m": q_resample_interp_10m,
@@ -4073,6 +4148,97 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, bucket_start, increase, n_samples,
                    round(increase / 3600, 6) AS rate_per_sec
             FROM agg
+        """,
+        # PromQL subquery max_over_time(rate(v[10m])[1h:10m]): the same
+        # reset-aware lag contributions gridded at 10m, then max per 1h
+        "subquery_maxrate_1h": """
+            WITH s AS (
+                SELECT event_type, ts, event_id,
+                       CAST(floor(value * 1000000.0) AS BIGINT) AS v
+                FROM events
+            ),
+            lagged AS (
+                SELECT event_type, ts, v,
+                       lag(v) OVER (
+                           PARTITION BY event_type ORDER BY ts, event_id
+                       ) AS pv
+                FROM s
+            ),
+            inner_g AS (
+                SELECT event_type,
+                       TIMESTAMP '1970-01-01 00:00:00' + INTERVAL 1 SECOND
+                         * (CAST(floor(epoch(ts) / 600) AS BIGINT) * 600)
+                         AS inner_ts,
+                       sum(CASE WHEN pv IS NULL THEN 0
+                                WHEN v >= pv THEN v - pv
+                                ELSE v END) / 600.0 AS r
+                FROM lagged GROUP BY 1, 2
+            )
+            SELECT event_type,
+                   TIMESTAMP '1970-01-01 00:00:00' + INTERVAL 1 SECOND
+                     * (CAST(floor(epoch(inner_ts) / 3600) AS BIGINT) * 3600)
+                     AS bucket_start,
+                   max(r) AS max_rate,
+                   CAST(count(*) AS BIGINT) AS n_inner
+            FROM inner_g GROUP BY 1, 2
+        """,
+        # irate: last two samples per 10m bucket, reset-aware, exact µs gap
+        "irate_10m": """
+            WITH s AS (
+                SELECT event_type, ts, event_id,
+                       CAST(floor(value * 1000000.0) AS BIGINT) AS v,
+                       TIMESTAMP '1970-01-01 00:00:00' + INTERVAL 1 SECOND
+                         * (CAST(floor(epoch(ts) / 600) AS BIGINT) * 600)
+                         AS bucket_start
+                FROM events
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY event_type, bucket_start
+                    ORDER BY ts DESC, event_id DESC
+                ) AS rn
+                FROM s
+            ),
+            p AS (
+                SELECT event_type, bucket_start,
+                       max(CASE WHEN rn = 1 THEN v END) AS lv,
+                       max(CASE WHEN rn = 1 THEN epoch_us(ts) END) AS lt,
+                       max(CASE WHEN rn = 2 THEN v END) AS pv,
+                       max(CASE WHEN rn = 2 THEN epoch_us(ts) END) AS pt
+                FROM r WHERE rn <= 2 GROUP BY 1, 2
+            )
+            SELECT event_type, bucket_start,
+                   CASE WHEN pv IS NOT NULL AND lt > pt THEN
+                        (CASE WHEN lv >= pv THEN lv - pv ELSE lv END)
+                          * 1000000.0 / (lt - pt)
+                   END AS irate
+            FROM p
+        """,
+        # HA replica dedup: election (count desc, replica asc) + join-back
+        "replica_dedup_1h": """
+            WITH s AS (
+                SELECT event_type, ts, date_trunc('hour', ts) AS bucket_start,
+                       CAST(floor(value * 1000000.0) AS BIGINT) AS v,
+                       CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END
+                         AS replica
+                FROM events
+            ),
+            w AS (
+                SELECT event_type, bucket_start, replica FROM (
+                    SELECT event_type, bucket_start, replica,
+                           count(*) AS n
+                    FROM s GROUP BY 1, 2, 3
+                )
+                QUALIFY row_number() OVER (
+                    PARTITION BY event_type, bucket_start
+                    ORDER BY n DESC, replica ASC
+                ) = 1
+            )
+            SELECT s.event_type, s.bucket_start, s.replica,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   CAST(sum(s.v) AS BIGINT) AS v_sum
+            FROM s JOIN w USING (event_type, bucket_start, replica)
+            GROUP BY 1, 2, 3
         """,
         # OHLC: open/close via first/last value in (ts, event_id) order
         # (DuckDB arg_min can't take a struct key → window + group-by)

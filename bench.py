@@ -119,6 +119,11 @@ EXTENDED_QUERIES = (
     "resample_locf_10m",
     "resample_interp_10m",
     "label_count_values_1d",
+    "hybrid_read",
+    "range_eval_6h",
+    "subquery_maxrate_1h",
+    "irate_10m",
+    "replica_dedup_1h",
 )
 
 

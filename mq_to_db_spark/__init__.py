@@ -147,6 +147,10 @@ _PUBLIC = {
     "label_replace": "mq_to_db_spark.operators.labels",
     "label_join": "mq_to_db_spark.operators.labels",
     "count_values": "mq_to_db_spark.operators.labels",
+    "subquery_eval": "mq_to_db_spark.operators.subquery",
+    "irate": "mq_to_db_spark.operators.subquery",
+    "dedup_replicas": "mq_to_db_spark.operators.replicas",
+    "elect_replicas": "mq_to_db_spark.operators.replicas",
     "hybrid_read": "mq_to_db_spark.plans.readpath",
     "range_eval": "mq_to_db_spark.plans.readpath",
     "pick_tier": "mq_to_db_spark.plans.readpath",
