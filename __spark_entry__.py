@@ -195,6 +195,26 @@ def q_hist_quantile_1d(spark, sf_dir):
     return out.select("bucket_start", F.round("q90", 6).alias("q90"))
 
 
+def q_hist_fraction_1d(spark, sf_dir):
+    """PromQL ``histogram_fraction`` — share of observations ≤ 10 per
+    day, reconstructed from fixed-bucket counts (operators/rollup.py
+    histogram_fraction): full buckets at or below the bound count whole,
+    the straddling (5, 20] bucket contributes linearly, the +inf bucket
+    never interpolates.  ONE hash agg, no window (strictly narrower than
+    the quantile's cumsum — a literal bound needs no running rank)."""
+    from mq_to_db_spark.operators.rollup import (
+        fixed_bucket_histogram,
+        histogram_fraction,
+    )
+
+    ev = _events(spark, sf_dir).withColumnRenamed("value", "v")
+    hist = fixed_bucket_histogram(ev, "v", [1.0, 5.0, 20.0, 100.0], "1d")
+    out = histogram_fraction(hist, 10.0)
+    return out.select(
+        "bucket_start", F.round("fraction", 6).alias("frac_le_10")
+    )
+
+
 def q_gapfill_1h(spark, sf_dir):
     """Gap-fill (C9): dense (event_type × hour) grid over the global
     extent, zero-filled counts — via the engine's grid/gapfill operator."""
@@ -2068,6 +2088,26 @@ def q_idelta_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_delta_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL delta() per (event_type, 1h): last sample minus FIRST
+    sample — the gauge counterpart of increase, no reset folding
+    (operators/derivatives.py gauge_delta).  ONE hash agg, no window:
+    both endpoints picked by max_by/min_by on the (ts, event_id) struct
+    order; single-sample buckets read 0."""
+    from mq_to_db_spark.operators.derivatives import gauge_delta
+
+    return gauge_delta(
+        _events(spark, sf_dir),
+        ["event_type"],
+        ts_col="ts",
+        value_col="value",
+        tier="1h",
+        tiebreak=("event_id",),
+    ).select(
+        "event_type", "bucket_start", F.round("delta", 6).alias("delta")
+    )
+
+
 def q_deriv_predict_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PromQL deriv() + predict_linear() per (event_type, day) over the
     per-minute event-count series (operators/derivatives.py): the
@@ -2393,6 +2433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "subquery_maxrate_1h": q_subquery_maxrate_1h,
         "irate_10m": q_irate_10m,
         "replica_dedup_1h": q_replica_dedup_1h,
+        "hist_fraction_1d": q_hist_fraction_1d,
+        "delta_1h": q_delta_1h,
         "label_count_values_1d": q_label_count_values_1d,
         "resample_locf_10m": q_resample_locf_10m,
         "resample_interp_10m": q_resample_interp_10m,
@@ -3428,6 +3470,26 @@ def oracle_sql() -> dict[str, str]:
                          - max(CASE WHEN rn = 2 THEN value END), 6) AS idelta
             FROM r WHERE rn <= 2 GROUP BY 1, 2
         """,
+        # delta(): last minus FIRST sample per bucket (gauge semantics)
+        "delta_1h": """
+            WITH r AS (
+                SELECT event_type, date_trunc('hour', ts) AS bucket_start, value,
+                       row_number() OVER (
+                           PARTITION BY event_type, date_trunc('hour', ts)
+                           ORDER BY ts DESC, event_id DESC
+                       ) AS rn_last,
+                       row_number() OVER (
+                           PARTITION BY event_type, date_trunc('hour', ts)
+                           ORDER BY ts ASC, event_id ASC
+                       ) AS rn_first
+                FROM events
+            )
+            SELECT event_type, bucket_start,
+                   round(max(CASE WHEN rn_last = 1 THEN value END)
+                         - max(CASE WHEN rn_first = 1 THEN value END), 6)
+                     AS delta
+            FROM r WHERE rn_last = 1 OR rn_first = 1 GROUP BY 1, 2
+        """,
         "deriv_predict_1d": """
             WITH mins AS (
                 SELECT event_type, date_trunc('minute', ts) AS mt,
@@ -4213,6 +4275,38 @@ def oracle_sql() -> dict[str, str]:
                           * 1000000.0 / (lt - pt)
                    END AS irate
             FROM p
+        """,
+        # histogram_fraction: full buckets + one interpolated straddler;
+        # the (5,20] bucket's n is re-joined by its le (one row per le)
+        "hist_fraction_1d": """
+            WITH h AS (
+                SELECT date_trunc('day', ts) AS bucket_start,
+                       CASE WHEN value <= 1.0 THEN 1.0
+                            WHEN value <= 5.0 THEN 5.0
+                            WHEN value <= 20.0 THEN 20.0
+                            WHEN value <= 100.0 THEN 100.0
+                            ELSE 'infinity'::DOUBLE END AS le,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            a AS (
+                SELECT bucket_start,
+                       sum(n) AS tot,
+                       sum(CASE WHEN le <= 10.0 THEN n ELSE 0 END) AS full_n,
+                       min(CASE WHEN le > 10.0 AND le != 'infinity'::DOUBLE
+                                THEN le END) AS ple,
+                       max(CASE WHEN le <= 10.0 THEN le END) AS lo
+                FROM h GROUP BY 1
+            )
+            SELECT a.bucket_start,
+                   round((a.full_n + coalesce(
+                       p.n * greatest(0.0, least(1.0,
+                           (10.0 - coalesce(a.lo, 0.0))
+                             / (a.ple - coalesce(a.lo, 0.0)))),
+                       0.0)) / a.tot, 6) AS frac_le_10
+            FROM a LEFT JOIN h p
+              ON p.bucket_start = a.bucket_start AND p.le = a.ple
+            WHERE a.tot > 0
         """,
         # HA replica dedup: election (count desc, replica asc) + join-back
         "replica_dedup_1h": """

@@ -124,6 +124,8 @@ EXTENDED_QUERIES = (
     "subquery_maxrate_1h",
     "irate_10m",
     "replica_dedup_1h",
+    "hist_fraction_1d",
+    "delta_1h",
 )
 
 

@@ -147,6 +147,8 @@ _PUBLIC = {
     "label_replace": "mq_to_db_spark.operators.labels",
     "label_join": "mq_to_db_spark.operators.labels",
     "count_values": "mq_to_db_spark.operators.labels",
+    "histogram_fraction": "mq_to_db_spark.operators.rollup",
+    "gauge_delta": "mq_to_db_spark.operators.derivatives",
     "subquery_eval": "mq_to_db_spark.operators.subquery",
     "irate": "mq_to_db_spark.operators.subquery",
     "dedup_replicas": "mq_to_db_spark.operators.replicas",

@@ -107,6 +107,39 @@ def idelta(
     )
 
 
+def gauge_delta(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tier: str = "1h",
+    tiebreak: tuple[str, ...] = (),
+    out_col: str = "delta",
+) -> DataFrame:
+    """PromQL ``delta()`` per (keys, bucket): the bucket's last sample
+    minus its FIRST sample — the gauge counterpart of ``increase``
+    (no reset folding: gauges go down legitimately).  Single-sample
+    buckets yield 0 (first == last), empty buckets no row.  Discrete
+    endpoint semantics, not Prometheus window-edge extrapolation: the
+    tiers hold complete streams, so the difference is exact.
+
+    ONE hash aggregation, no window: both endpoints are picked by
+    ``max_by``/``min_by`` on a (ts, tiebreak) struct inside the same
+    groupBy — strictly cheaper than ``idelta``'s rank window (which
+    cannot avoid ranking because it needs the last TWO samples, not the
+    two ends).  Map-side combinable, skew-free."""
+    keys = list(keys)
+    b = bucket_col(tier, ts_col).alias("bucket_start")
+    order = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak])
+    return (
+        df.select(*keys, b, ts_col, *tiebreak, F.col(value_col).alias("_v"))
+        .groupBy(*keys, "bucket_start")
+        .agg(
+            (F.max_by("_v", order) - F.min_by("_v", order)).alias(out_col),
+        )
+    )
+
+
 def _fit_sums(x: Column, y: Column) -> list[Column]:
     """The five exact BIGINT sums of a least-squares fit."""
     return [

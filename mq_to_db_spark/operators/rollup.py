@@ -357,6 +357,66 @@ def histogram_quantile(
     return picked
 
 
+def histogram_fraction(
+    hist: DataFrame,
+    bound: float,
+    keys: list[str] | None = None,
+    le_col: str = "le",
+    n_col: str = "n",
+    out_col: str = "fraction",
+) -> DataFrame:
+    """Fraction of observations ≤ ``bound`` from a fixed-bucket histogram
+    — the inverse of :func:`histogram_quantile` (PromQL
+    ``histogram_fraction``; the "what share of workers finished under 5 s"
+    panel next to the reference's p90 latency panel,
+    docker-compose/grafana/dashboards/mq-to-db.json:868).
+
+    Input is :func:`fixed_bucket_histogram` output (per-window per-``le``
+    counts).  Semantics mirror the quantile's interpolation convention:
+    buckets with ``le ≤ bound`` count fully; the single bucket straddling
+    ``bound`` contributes ``n · (bound - lo) / (le - lo)`` with the first
+    bucket's lower edge taken as 0 (ratio clamped to [0, 1], so a
+    negative ``bound`` reads 0); the +inf bucket never interpolates (its
+    width is unbounded — observations above the highest finite edge count
+    only when that edge ≤ ``bound``).  Windows with zero total emit no
+    row (same as the quantile).
+
+    Plan: ONE hash aggregation, no window — strictly narrower than the
+    quantile's cumsum, because the fraction at a literal bound needs no
+    running rank.  Conditional partial aggregation (sum/min of CASE) is
+    map-side combined; tier-sized input in, one row per window out.
+    """
+    keys = ["bucket_start", *(keys or [])]
+    b = F.lit(float(bound))
+    le = F.col(le_col).cast("double")
+    n = F.col(n_col)
+    inf = F.lit(float("inf"))
+    agg = (
+        hist.groupBy(*keys)
+        .agg(
+            F.sum(n).alias("_tot"),
+            F.sum(F.when(le <= b, n).otherwise(F.lit(0))).alias("_full"),
+            # the straddling bucket: smallest finite edge above the bound
+            F.min(
+                F.when((le > b) & (le != inf), F.struct(le.alias("le"), n.alias("n")))
+            ).alias("_part"),
+            # its lower edge: largest edge at or below the bound
+            F.max(F.when(le <= b, le)).alias("_lo"),
+        )
+        .filter(F.col("_tot") > 0)
+    )
+    lo = F.coalesce(F.col("_lo"), F.lit(0.0))
+    ratio = F.greatest(
+        F.lit(0.0),
+        F.least(F.lit(1.0), (b - lo) / (F.col("_part.le") - lo)),
+    )
+    partial = F.coalesce(F.col("_part.n") * ratio, F.lit(0.0))
+    return agg.select(
+        *keys,
+        F.try_divide(F.col("_full") + partial, F.col("_tot")).alias(out_col),
+    )
+
+
 def role_transitions(
     df: DataFrame,
     tier: str | None = "1d",

@@ -109,3 +109,38 @@ def test_offset_delta_wow_semantics(spark):
     assert got[3] == (10, 10, 2.0)
     assert got[4] == (0, 5, None)         # prev=0 → ratio NULL, delta exact
     assert got[5] == (4, 4, 2.0)
+
+
+def test_gauge_delta_last_minus_first(spark):
+    from mq_to_db_spark.operators.derivatives import gauge_delta
+
+    # k=a hour 0: 5 → 2 → 9: delta = 9 - 5 = 4 (interior ignored, no
+    # reset folding — a gauge may dip below its start legitimately)
+    # k=b hour 0: single sample → 0
+    # k=c hour 0: descending 8 → 3 → negative delta
+    df = _series(spark, [
+        ("a", 0, 5), ("a", 600, 2), ("a", 1200, 9),
+        ("b", 30, 42),
+        ("c", 0, 8), ("c", 60, 3),
+    ])
+    got = {r.k: r.delta for r in
+           gauge_delta(df, ["k"], tier="1h", tiebreak=("rid",)).collect()}
+    assert got == {"a": 4.0, "b": 0.0, "c": -5.0}
+
+
+def test_gauge_delta_tiebreak_and_plan(spark):
+    from mq_to_db_spark.operators.derivatives import gauge_delta
+
+    # two samples share ts=0: rid orders them (5 first, 7 second);
+    # last sample is at 10s → delta = 1 - 5
+    df = _series(spark, [("a", 0, 5), ("a", 0, 7), ("a", 10, 1)])
+    assert gauge_delta(df, ["k"], tier="1h", tiebreak=("rid",)).collect()[0]["delta"] == -4.0
+    # fresh plan: a collected DF's plan string carries BOTH the AQE
+    # final and initial plans, double-counting every Exchange
+    plan = (
+        gauge_delta(df, ["k"], tier="1h", tiebreak=("rid",))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # ONE hash agg, no window sort
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan

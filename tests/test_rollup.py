@@ -277,3 +277,76 @@ def test_histogram_cascade_exact(spark, transcripts):
         return {(r.bucket_start, r.role, r.le): r.n for r in h.collect()}
 
     assert norm(merged) == norm(direct)
+
+
+def test_histogram_fraction_matches_numpy_oracle(spark, transcripts):
+    """histogram_fraction (inverse of histogram_quantile) vs a numpy
+    replay of the same interpolation convention."""
+    import numpy as np
+    from mq_to_db_spark.operators.rollup import (
+        fixed_bucket_histogram,
+        histogram_fraction,
+        with_text_stats,
+    )
+
+    edges = [10.0, 25.0, 50.0, 100.0, 200.0]
+    bound = 40.0  # strictly inside the (25, 50] bucket → real interpolation
+    df = with_text_stats(transcripts)
+    hist = fixed_bucket_histogram(df, "text_len", edges, "1d")
+    got = {
+        r.bucket_start: r.fraction
+        for r in histogram_fraction(hist, bound).collect()
+    }
+
+    pdf = df.select("ts", "text_len").toPandas()
+    pdf["bucket_start"] = pdf["ts"].dt.floor("D")
+    for b, grp in pdf.groupby("bucket_start"):
+        vals = grp["text_len"].to_numpy()
+        bounds = [-np.inf, *edges, np.inf]
+        counts = np.array(
+            [
+                ((vals > bounds[i]) & (vals <= bounds[i + 1])).sum()
+                for i in range(len(bounds) - 1)
+            ]
+        )
+        full = counts[: np.searchsorted(edges, bound, side="right")].sum()
+        i = int(np.searchsorted(edges, bound, side="right"))
+        lo = 0.0 if i == 0 else edges[i - 1]
+        partial = (
+            counts[i] * min(1.0, max(0.0, (bound - lo) / (edges[i] - lo)))
+            if i < len(edges)
+            else 0.0
+        )
+        want = (full + partial) / counts.sum()
+        assert abs(got[b] - want) < 1e-12, (b, got[b], want)
+
+
+def test_histogram_fraction_edges(spark):
+    """Hand-built histogram: bound below/at/above edges, +inf bucket
+    never interpolates, zero-total window absent."""
+    from datetime import datetime
+
+    import pandas as pd
+
+    from mq_to_db_spark.operators.rollup import histogram_fraction
+
+    day = datetime(2025, 1, 1)
+    hist = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "bucket_start": [day] * 3,
+                "le": [1.0, 5.0, float("inf")],
+                "n": [2, 6, 2],
+            }
+        )
+    )
+
+    def frac(b):
+        rows = histogram_fraction(hist, b).collect()
+        return rows[0]["fraction"] if rows else None
+
+    assert frac(-3.0) == 0.0                     # clamped below the 0 floor
+    assert frac(1.0) == pytest.approx(0.2)       # exact edge: full buckets only
+    assert frac(3.0) == pytest.approx((2 + 6 * 0.5) / 10)   # mid-(1,5] interp
+    assert frac(5.0) == pytest.approx(0.8)
+    assert frac(1e9) == pytest.approx(0.8)       # +inf bucket never interpolates
