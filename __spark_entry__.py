@@ -820,6 +820,71 @@ def q_counter_increase(spark, sf_dir):
     )
 
 
+def q_rate_extrap_1h(spark, sf_dir):
+    """Prometheus-served ``rate()``/``increase()`` WITH window-edge
+    extrapolation (operators/counters.py rate_extrapolated — the literal
+    extrapolatedRate algorithm, prometheus/promql/functions.go): the
+    sampled interval stretches toward each bucket edge when the edge gap
+    is under 1.1× the average sample spacing, by half a spacing
+    otherwise, and counters clamp the start stretch at the linear
+    zero-crossing (durationToZero).  Values floor-scaled to integer
+    micro-units so the reset-aware result is bit-exact; every double op
+    is in fixed order so the oracle replay hash-matches.  ONE exchange:
+    the within-bucket lag window partitions on (event_type, bucket) and
+    the agg reuses it."""
+    from mq_to_db_spark.operators.counters import rate_extrapolated
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1e6).cast("long").alias("v"),
+    )
+    out = rate_extrapolated(
+        ev, ["event_type"], ts_col="ts", value_col="v", tier="1h",
+        tiebreak=("event_id",),
+    )
+    return out.select(
+        "event_type",
+        "bucket_start",
+        "n_samples",
+        F.round("increase_ext", 6).alias("increase_ext"),
+        F.round("rate_ext", 6).alias("rate_ext"),
+    )
+
+
+def q_over_time_1h10m(spark, sf_dir):
+    """PromQL ``*_over_time(v[1h])`` on a sliding 10-minute grid
+    (operators/resample.py over_time_grid): every epoch-aligned instant
+    evaluates the left-open window (t−1h, t] — each sample feeds SIX
+    overlapping windows via the bounded explode (fan-out = range/step),
+    then ONE hash agg; empty windows are absent exactly as PromQL emits
+    no point.  Micro-unit values keep count/sum/min/max/last BIGINT; avg
+    is the single double division."""
+    from mq_to_db_spark.operators.resample import over_time_grid
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1e6).cast("long").alias("v"),
+    )
+    out = over_time_grid(
+        ev, ["event_type"], value_col="v", range_s=3600, step_s=600,
+        tiebreak=("event_id",),
+    )
+    return out.select(
+        "event_type",
+        "grid_ts",
+        "n_samples",
+        "sum_v",
+        F.round("avg_v", 6).alias("avg_v"),
+        "min_v",
+        "max_v",
+        "last_v",
+    )
+
+
 def q_subquery_maxrate_1h(spark, sf_dir):
     """PromQL subquery ``max_over_time(rate(v[10m])[1h:10m])``
     (operators/subquery.py): the reset-aware 10-minute rate evaluated on
@@ -2435,6 +2500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "replica_dedup_1h": q_replica_dedup_1h,
         "hist_fraction_1d": q_hist_fraction_1d,
         "delta_1h": q_delta_1h,
+        "rate_extrap_1h": q_rate_extrap_1h,
+        "over_time_1h10m": q_over_time_1h10m,
         "label_count_values_1d": q_label_count_values_1d,
         "resample_locf_10m": q_resample_locf_10m,
         "resample_interp_10m": q_resample_interp_10m,
@@ -4210,6 +4277,109 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, bucket_start, increase, n_samples,
                    round(increase / 3600, 6) AS rate_per_sec
             FROM agg
+        """,
+        # Prometheus extrapolatedRate: within-bucket reset-aware result,
+        # then the fixed-order double extrapolation replayed verbatim
+        "rate_extrap_1h": """
+            WITH s AS (
+                SELECT event_type, ts, event_id,
+                       date_trunc('hour', ts) AS bucket_start,
+                       epoch_us(ts) AS tus,
+                       CAST(floor(value * 1000000.0) AS BIGINT) AS v
+                FROM events
+            ),
+            lagged AS (
+                SELECT *, lag(v) OVER (
+                           PARTITION BY event_type, bucket_start
+                           ORDER BY ts, event_id
+                       ) AS pv,
+                       row_number() OVER (
+                           PARTITION BY event_type, bucket_start
+                           ORDER BY ts, event_id
+                       ) AS rn
+                FROM s
+            ),
+            agg AS (
+                SELECT event_type, bucket_start,
+                       CAST(sum(CASE WHEN pv IS NULL THEN 0
+                                     WHEN v >= pv THEN v - pv
+                                     ELSE v END) AS BIGINT) AS res,
+                       CAST(count(*) AS BIGINT) AS n_samples,
+                       min(tus) AS first_us, max(tus) AS last_us,
+                       max(CASE WHEN rn = 1 THEN v END) AS first_v
+                FROM lagged GROUP BY 1, 2
+            ),
+            m AS (
+                SELECT *,
+                       epoch_us(bucket_start) AS rs_us,
+                       last_us - first_us AS sampled,
+                       CAST(last_us - first_us AS DOUBLE) AS sampled_d,
+                       CAST(last_us - first_us AS DOUBLE)
+                         / CAST(n_samples - 1 AS DOUBLE) AS avg_dur
+                FROM agg
+            ),
+            e AS (
+                SELECT *,
+                       CASE WHEN res > 0 AND first_v >= 0
+                            THEN least(
+                                CAST(first_us - rs_us AS DOUBLE),
+                                sampled_d * (CAST(first_v AS DOUBLE)
+                                             / CAST(res AS DOUBLE)))
+                            ELSE CAST(first_us - rs_us AS DOUBLE)
+                       END AS dts,
+                       CAST(rs_us + 3600000000 - last_us AS DOUBLE) AS dte,
+                       avg_dur * 1.1 AS thr
+                FROM m
+            ),
+            x AS (
+                SELECT *,
+                       CASE WHEN n_samples >= 2 AND sampled > 0 THEN
+                           CAST(res AS DOUBLE) * ((sampled_d
+                             + (CASE WHEN dts < thr THEN dts
+                                     ELSE avg_dur / 2.0 END)
+                             + (CASE WHEN dte < thr THEN dte
+                                     ELSE avg_dur / 2.0 END))
+                             / sampled_d)
+                       END AS inc
+                FROM e
+            )
+            SELECT event_type, bucket_start, n_samples,
+                   round(inc, 6) AS increase_ext,
+                   round(inc / 3600.0, 6) AS rate_ext
+            FROM x
+        """,
+        # sliding *_over_time grid: the same bounded explode replayed —
+        # each sample's affected instants via generate_series, one group
+        "over_time_1h10m": """
+            WITH s AS (
+                SELECT event_type, epoch_us(ts) AS tus, event_id,
+                       CAST(floor(value * 1000000.0) AS BIGINT) AS v
+                FROM events
+            ),
+            g AS (
+                SELECT event_type, v, tus, event_id,
+                       unnest(generate_series(
+                           ((tus + 599999999) // 600000000) * 600000000,
+                           tus + 3599999999,
+                           600000000)) AS gus
+                FROM s
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY event_type, gus
+                           ORDER BY tus DESC, event_id DESC
+                       ) AS rn
+                FROM g
+            )
+            SELECT event_type, make_timestamp(gus) AS grid_ts,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   CAST(sum(v) AS BIGINT) AS sum_v,
+                   round(CAST(sum(v) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS avg_v,
+                   min(v) AS min_v,
+                   max(v) AS max_v,
+                   max(CASE WHEN rn = 1 THEN v END) AS last_v
+            FROM r GROUP BY 1, 2
         """,
         # PromQL subquery max_over_time(rate(v[10m])[1h:10m]): the same
         # reset-aware lag contributions gridded at 10m, then max per 1h

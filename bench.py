@@ -126,6 +126,8 @@ EXTENDED_QUERIES = (
     "replica_dedup_1h",
     "hist_fraction_1d",
     "delta_1h",
+    "rate_extrap_1h",
+    "over_time_1h10m",
 )
 
 

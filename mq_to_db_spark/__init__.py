@@ -149,6 +149,8 @@ _PUBLIC = {
     "count_values": "mq_to_db_spark.operators.labels",
     "histogram_fraction": "mq_to_db_spark.operators.rollup",
     "gauge_delta": "mq_to_db_spark.operators.derivatives",
+    "rate_extrapolated": "mq_to_db_spark.operators.counters",
+    "over_time_grid": "mq_to_db_spark.operators.resample",
     "subquery_eval": "mq_to_db_spark.operators.subquery",
     "irate": "mq_to_db_spark.operators.subquery",
     "dedup_replicas": "mq_to_db_spark.operators.replicas",

@@ -191,6 +191,110 @@ def counter_rate(
     return inc.select(*keys, "bucket_start", "rate_per_sec")
 
 
+def rate_extrapolated(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tier: str = "1h",
+    is_counter: bool = True,
+    tiebreak: tuple[str, ...] = (),
+) -> DataFrame:
+    """Prometheus ``rate()``/``increase()`` with WINDOW-EDGE EXTRAPOLATION
+    — the estimator Prometheus actually serves (``extrapolatedRate``,
+    prometheus/promql/functions.go), in contrast to
+    :func:`counter_increase`'s exact discrete sum.
+
+    Per ``(keys…, bucket)`` window ``[rangeStart, rangeEnd)``:
+
+    * ``result`` = last − first + Σ reset corrections, pairs WITHIN the
+      bucket (the bucket's first sample is the baseline, not a step);
+    * the sampled interval ``[firstTs, lastTs]`` is extrapolated toward
+      each window edge: fully when the gap to the edge is under 1.1× the
+      average sample spacing, by half an average spacing otherwise;
+    * counters additionally clamp the start extrapolation at the point
+      the counter (linearly) would have been zero —
+      ``durationToZero = sampledInterval · firstValue / result``;
+    * buckets with fewer than 2 samples (or zero sampled interval) are
+      NULL — Prometheus returns no point there.
+
+    ``increase_ext`` is in the value column's units, ``rate_ext`` per
+    second.  All durations are exact epoch-µs BIGINTs; the extrapolation
+    factor is IEEE-double arithmetic in a FIXED operation order so a SQL
+    replay of the same expression tree hash-matches bit-for-bit (pass
+    integer-scaled counters for a bit-exact ``result``).
+
+    Scale design: ONE exchange — the within-bucket lag window partitions
+    on ``(keys…, bucket)`` and the aggregation groups on the same keys,
+    so Catalyst plans window + agg back to back on one shuffle; keyless
+    inputs still parallelize (time buckets ARE the partition key).
+    """
+    order = [F.col(ts_col), *[F.col(t) for t in tiebreak]]
+    value = F.col(value_col)
+    bucket = bucket_col(tier, ts_col)
+    staged = df.withColumn("_bkt", bucket)
+    w = W.partitionBy(*[F.col(k) for k in keys], F.col("_bkt")).orderBy(*order)
+    staged = staged.withColumn("_prev", F.lag(value_col).over(w))
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    order_key = F.struct(
+        F.col(ts_col).alias("t"), *[F.col(t) for t in tiebreak]
+    )
+    agg = (
+        staged.select(
+            *keys,
+            F.col("_bkt").alias("bucket_start"),
+            _contrib(value, F.col("_prev")).alias("_inc"),
+            us.alias("_us"),
+            order_key.alias("_ok"),
+            value.alias("_v"),
+        )
+        .groupBy(*keys, "bucket_start")
+        .agg(
+            F.sum("_inc").alias("_res"),
+            F.count(F.lit(1)).alias("n_samples"),
+            F.min("_us").alias("_first_us"),
+            F.max("_us").alias("_last_us"),
+            F.min_by("_v", F.col("_ok")).alias("_first_v"),
+        )
+    )
+    tier_us = TIER_SECONDS[tier] * 1_000_000
+    rs_us = F.unix_micros(F.col("bucket_start").cast("timestamp_ltz"))
+    re_us = rs_us + F.lit(tier_us)
+    n = F.col("n_samples")
+    res_d = F.col("_res").cast("double")
+    sampled = F.col("_last_us") - F.col("_first_us")
+    sampled_d = sampled.cast("double")
+    avg_dur = sampled_d / (n - F.lit(1)).cast("double")
+    dts_d = (F.col("_first_us") - rs_us).cast("double")
+    dte_d = (re_us - F.col("_last_us")).cast("double")
+    dtz = sampled_d * (F.col("_first_v").cast("double") / res_d)
+    dts_eff = (
+        F.when(
+            F.lit(is_counter)
+            & (F.col("_res") > 0)
+            & (F.col("_first_v") >= 0),
+            F.least(dts_d, dtz),
+        ).otherwise(dts_d)
+    )
+    thr = avg_dur * F.lit(1.1)
+    ext = (
+        sampled_d
+        + F.when(dts_eff < thr, dts_eff).otherwise(avg_dur / F.lit(2.0))
+        + F.when(dte_d < thr, dte_d).otherwise(avg_dur / F.lit(2.0))
+    )
+    inc = res_d * (ext / sampled_d)
+    valid = (n >= 2) & (sampled > 0)
+    return agg.select(
+        *keys,
+        "bucket_start",
+        "n_samples",
+        F.when(valid, inc).alias("increase_ext"),
+        F.when(valid, inc / F.lit(float(TIER_SECONDS[tier]))).alias(
+            "rate_ext"
+        ),
+    )
+
+
 def adjust_resets(
     df: DataFrame,
     keys: list[str],

@@ -134,3 +134,88 @@ def resample_interpolate(
         F.col(ts_col).alias("grid_ts"),
         interp.alias(value_col),
     )
+
+
+def over_time_grid(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    range_s: int = 3600,
+    step_s: int = 600,
+    tiebreak: tuple[str, ...] = (),
+    out_col: str = "grid_ts",
+) -> DataFrame:
+    """PromQL ``*_over_time`` range-vector functions on a SLIDING step
+    grid: ``avg/min/max/sum/count/last_over_time(v[range])`` evaluated at
+    every epoch-aligned ``step_s`` instant ``t``, window ``(t − range,
+    t]`` (the PromQL left-open range selector).  This is the overlapping
+    complement of the engine's tumbling surfaces — subquery_eval's outer
+    buckets and range_eval's tiers never overlap, but a Grafana panel
+    asking for ``avg_over_time(v[1h])`` at 10-minute resolution reads
+    each sample into SIX windows.
+
+    Implementation is the bounded-explode trick, not a grid×samples
+    product: each sample emits exactly the grid instants it affects
+    (``sequence`` from the first instant at-or-after the sample to the
+    last one strictly inside ``ts + range`` — fan-out = ⌈range/step⌉,
+    THE scale dial), then ONE hash aggregation per ``(keys…, instant)``.
+    Instants with an empty window are absent, exactly as PromQL returns
+    no point there.  Exactness: pass integer-scaled values — count/sum/
+    min/max stay BIGINT, ``avg`` is one double division, ``last`` is a
+    ``max_by`` over the (ts, tiebreak) total order.
+
+    Scale: explode is narrow (no shuffle), the single agg map-side
+    combines, and the instant key spreads hot series across ``range/
+    step`` reducers; memory per task is O(1).
+    """
+    if step_s > range_s:
+        raise ValueError(f"step {step_s}s exceeds range {range_s}s")
+    step_us = step_s * 1_000_000
+    range_us = range_s * 1_000_000
+    order_key = F.struct(
+        F.col(ts_col).alias("t"), *[F.col(t) for t in tiebreak]
+    )
+    staged = df.select(
+        *keys,
+        F.unix_micros(F.col(ts_col).cast("timestamp_ltz")).alias("_tus"),
+        F.col(value_col).alias("_v"),
+        order_key.alias("_ok"),
+    ).withColumn(
+        "_t0",
+        F.expr(f"((_tus + {step_us - 1}) div {step_us}) * {step_us}"),
+    )
+    exploded = staged.select(
+        *keys,
+        "_v",
+        "_ok",
+        F.explode(
+            F.sequence(
+                F.col("_t0"),
+                F.col("_tus") + F.lit(range_us - 1),
+                F.lit(step_us),
+            )
+        ).alias("_gus"),
+    )
+    return (
+        exploded.groupBy(*keys, "_gus")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("_v").alias("sum_v"),
+            F.min("_v").alias("min_v"),
+            F.max("_v").alias("max_v"),
+            F.max_by("_v", F.col("_ok")).alias("last_v"),
+        )
+        .select(
+            *keys,
+            F.timestamp_micros(F.col("_gus"))
+            .cast("timestamp_ntz")
+            .alias(out_col),
+            "n_samples",
+            "sum_v",
+            (F.col("sum_v").cast("double") / F.col("n_samples").cast("double")).alias("avg_v"),
+            "min_v",
+            "max_v",
+            "last_v",
+        )
+    )

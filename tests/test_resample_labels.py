@@ -134,3 +134,111 @@ def test_label_join_and_count_values(spark):
     cv = count_values(df, "v", "value").toPandas().set_index("v")
     assert cv.loc["2", "n"] == 2  # integral double prints bare
     assert cv.loc["3.5", "n"] == 1
+
+
+# ------------------------------------------------------------ over_time_grid
+
+
+def test_over_time_grid_matches_pandas_window_replay(spark):
+    """Every emitted (series, instant) must equal a brute-force pandas
+    evaluation of the PromQL (t − range, t] window — all six aggregates,
+    and no extra instants (empty windows are absent)."""
+    from mq_to_db_spark.operators.resample import over_time_grid
+
+    rng = pd.date_range("2024-03-01 00:03:00", periods=40, freq="7min")
+    pdf = pd.DataFrame(
+        {
+            "series": ["a"] * 25 + ["b"] * 15,
+            "ts": list(rng[:25]) + list(rng[:15]),
+            "sid": range(40),
+            "value": [(i * 37) % 100 for i in range(40)],
+        }
+    )
+    df = spark.createDataFrame(pdf).withColumn(
+        "value", F.col("value").cast("long")
+    )
+    out = over_time_grid(
+        df, ["series"], range_s=1800, step_s=600, tiebreak=("sid",)
+    )
+    got = {
+        (r.series, r.grid_ts): (
+            r.n_samples, r.sum_v, r.avg_v, r.min_v, r.max_v, r.last_v
+        )
+        for r in out.collect()
+    }
+    want = {}
+    lo = pdf["ts"].min().floor("10min")
+    hi = pdf["ts"].max().ceil("10min") + pd.Timedelta(minutes=30)
+    for s, g in pdf.groupby("series"):
+        for t in pd.date_range(lo, hi, freq="10min"):
+            w = g[(g["ts"] > t - pd.Timedelta(seconds=1800)) & (g["ts"] <= t)]
+            if len(w):
+                last = w.sort_values(["ts", "sid"]).iloc[-1]["value"]
+                want[(s, t.to_pydatetime())] = (
+                    len(w), w["value"].sum(), w["value"].sum() / len(w),
+                    w["value"].min(), w["value"].max(), last,
+                )
+    assert got == want
+
+
+def test_over_time_grid_boundary_semantics(spark):
+    """PromQL left-open window: a sample AT the instant is included; a
+    sample exactly range before it is excluded."""
+    from mq_to_db_spark.operators.resample import over_time_grid
+
+    pdf = pd.DataFrame(
+        {
+            "ts": [
+                pd.Timestamp("2024-01-01 00:00:00"),  # == t - range for t=01:00
+                pd.Timestamp("2024-01-01 01:00:00"),  # == instant t
+            ],
+            "sid": [0, 1],
+            "value": [100, 7],
+        }
+    )
+    df = spark.createDataFrame(pdf).withColumn(
+        "value", F.col("value").cast("long")
+    )
+    out = over_time_grid(df, [], range_s=3600, step_s=3600, tiebreak=("sid",))
+    rows = {r.grid_ts: r for r in out.collect()}
+    t = pd.Timestamp("2024-01-01 01:00:00").to_pydatetime()
+    assert rows[t].n_samples == 1 and rows[t].sum_v == 7  # 00:00 excluded
+    t0 = pd.Timestamp("2024-01-01 00:00:00").to_pydatetime()
+    assert rows[t0].n_samples == 1 and rows[t0].sum_v == 100  # at-instant in
+
+
+def test_over_time_grid_step_exceeding_range_raises(spark):
+    from mq_to_db_spark.operators.resample import over_time_grid
+
+    df = spark.range(1).select(
+        F.lit("2024-01-01").cast("timestamp").alias("ts"),
+        F.lit(1).alias("value"),
+    )
+    try:
+        over_time_grid(df, [], range_s=60, step_s=600)
+    except ValueError as e:
+        assert "exceeds range" in str(e)
+    else:
+        raise AssertionError("step > range must raise")
+
+
+def test_over_time_grid_plan_one_exchange_no_window(spark):
+    """Bounded explode is narrow; the whole operator is ONE hash-agg
+    exchange — no window function, no cartesian/broadcast NLJ."""
+    from mq_to_db_spark.operators.resample import over_time_grid
+
+    pdf = pd.DataFrame(
+        {
+            "series": ["a", "b"] * 10,
+            "ts": pd.date_range("2024-01-01", periods=20, freq="3min"),
+            "sid": range(20),
+            "value": range(20),
+        }
+    )
+    df = spark.createDataFrame(pdf).withColumn(
+        "value", F.col("value").cast("long")
+    )
+    out = over_time_grid(df, ["series"], range_s=1800, step_s=600, tiebreak=("sid",))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan and "Cartesian" not in plan, plan
