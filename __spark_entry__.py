@@ -885,6 +885,34 @@ def q_over_time_1h10m(spark, sf_dir):
     )
 
 
+def q_quantile_over_time_1h(spark, sf_dir):
+    """PromQL ``quantile_over_time(φ, v[1h])`` at 10-minute resolution
+    (operators/resample.py over_time_grid quantiles): exact interpolated
+    p50/p90 per overlapping window — Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share the R-7 rule, rounded at 6 dp where the op
+    orders coincide.  Same bounded explode + ONE hash agg; per-group
+    buffer is O(window samples), Prometheus' own evaluation cost."""
+    from mq_to_db_spark.operators.resample import over_time_grid
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1e6).cast("long").alias("v"),
+    )
+    out = over_time_grid(
+        ev, ["event_type"], value_col="v", range_s=3600, step_s=600,
+        tiebreak=("event_id",), quantiles=(0.5, 0.9),
+    )
+    return out.select(
+        "event_type",
+        "grid_ts",
+        "n_samples",
+        F.round("p50", 6).alias("p50"),
+        F.round("p90", 6).alias("p90"),
+    )
+
+
 def q_subquery_maxrate_1h(spark, sf_dir):
     """PromQL subquery ``max_over_time(rate(v[10m])[1h:10m])``
     (operators/subquery.py): the reset-aware 10-minute rate evaluated on
@@ -2502,6 +2530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_1h": q_delta_1h,
         "rate_extrap_1h": q_rate_extrap_1h,
         "over_time_1h10m": q_over_time_1h10m,
+        "quantile_over_time_1h": q_quantile_over_time_1h,
         "label_count_values_1d": q_label_count_values_1d,
         "resample_locf_10m": q_resample_locf_10m,
         "resample_interp_10m": q_resample_interp_10m,
@@ -4380,6 +4409,27 @@ def oracle_sql() -> dict[str, str]:
                    max(v) AS max_v,
                    max(CASE WHEN rn = 1 THEN v END) AS last_v
             FROM r GROUP BY 1, 2
+        """,
+        # quantile_over_time: identical explode, exact R-7 quantiles
+        "quantile_over_time_1h": """
+            WITH s AS (
+                SELECT event_type, epoch_us(ts) AS tus,
+                       CAST(floor(value * 1000000.0) AS BIGINT) AS v
+                FROM events
+            ),
+            g AS (
+                SELECT event_type, v,
+                       unnest(generate_series(
+                           ((tus + 599999999) // 600000000) * 600000000,
+                           tus + 3599999999,
+                           600000000)) AS gus
+                FROM s
+            )
+            SELECT event_type, make_timestamp(gus) AS grid_ts,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   round(quantile_cont(v, 0.5), 6) AS p50,
+                   round(quantile_cont(v, 0.9), 6) AS p90
+            FROM g GROUP BY 1, 2
         """,
         # PromQL subquery max_over_time(rate(v[10m])[1h:10m]): the same
         # reset-aware lag contributions gridded at 10m, then max per 1h

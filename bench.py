@@ -128,6 +128,7 @@ EXTENDED_QUERIES = (
     "delta_1h",
     "rate_extrap_1h",
     "over_time_1h10m",
+    "quantile_over_time_1h",
 )
 
 

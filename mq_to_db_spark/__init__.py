@@ -53,6 +53,7 @@ _PUBLIC = {
     "range_locf": "mq_to_db_spark.operators.rangewin",
     "IcebergTableIO": "mq_to_db_spark.sources.iceberg",
     "run_streaming_pipeline": "mq_to_db_spark.streaming.stream",
+    "streaming_sliding_rollup": "mq_to_db_spark.streaming.stream",
     # storage seam (round 3)
     "LocalAtomicStore": "mq_to_db_spark.sources.store",
     # training-data plane: sampling / packing / heavy hitters (round 3)

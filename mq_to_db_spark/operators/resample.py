@@ -145,6 +145,7 @@ def over_time_grid(
     step_s: int = 600,
     tiebreak: tuple[str, ...] = (),
     out_col: str = "grid_ts",
+    quantiles: tuple[float, ...] = (),
 ) -> DataFrame:
     """PromQL ``*_over_time`` range-vector functions on a SLIDING step
     grid: ``avg/min/max/sum/count/last_over_time(v[range])`` evaluated at
@@ -163,7 +164,13 @@ def over_time_grid(
     Instants with an empty window are absent, exactly as PromQL returns
     no point there.  Exactness: pass integer-scaled values — count/sum/
     min/max stay BIGINT, ``avg`` is one double division, ``last`` is a
-    ``max_by`` over the (ts, tiebreak) total order.
+    ``max_by`` over the (ts, tiebreak) total order.  ``quantiles`` adds
+    PromQL ``quantile_over_time`` columns (``p50`` for 0.5, …) via the
+    exact interpolated ``percentile`` aggregate — same R-7 rule as
+    DuckDB's ``quantile_cont``, so replays hash-match; its per-group
+    buffer is O(window samples), exactly Prometheus' own cost (the
+    unbounded-cardinality scale path is the DDSketch rollup,
+    operators/sketch.py).
 
     Scale: explode is narrow (no shuffle), the single agg map-side
     combines, and the instant key spreads hot series across ``range/
@@ -205,6 +212,10 @@ def over_time_grid(
             F.min("_v").alias("min_v"),
             F.max("_v").alias("max_v"),
             F.max_by("_v", F.col("_ok")).alias("last_v"),
+            *[
+                F.percentile("_v", F.lit(q)).alias(f"p{int(round(q * 100))}")
+                for q in quantiles
+            ],
         )
         .select(
             *keys,
@@ -217,5 +228,6 @@ def over_time_grid(
             "min_v",
             "max_v",
             "last_v",
+            *[f"p{int(round(q * 100))}" for q in quantiles],
         )
     )

@@ -329,3 +329,45 @@ def await_batches(query, n_batches: int, timeout_sec: float = 120.0) -> int:
     query.stop()
     query.awaitTermination(30)
     return done
+
+
+def streaming_sliding_rollup(
+    stream: DataFrame,
+    range_dur: str = "1 hour",
+    slide: str = "10 minutes",
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window streaming rollup — the Structured Streaming twin of
+    the batch ``over_time_grid`` (operators/resample.py): every ``slide``
+    instant re-aggregates the trailing ``range_dur`` of turns, so a live
+    dashboard reads ``avg_over_time``-style overlapping windows straight
+    off the sink.  ``F.window(ts, range, slide)`` keeps one state row per
+    open window per key (range/slide concurrent windows — the same
+    fan-out dial as the batch explode) and the watermark bounds state:
+    a window emits once its END passes the watermark, late turns beyond
+    it are dropped.
+
+    Boundary note (documented divergence): Spark sliding windows are
+    ``[start, end)`` — a turn exactly ON a window edge joins the LATER
+    window — while PromQL's range selector is ``(t − range, t]``; off-
+    boundary data aggregates identically (parity-tested vs the batch
+    operator), boundary-µs samples differ by design.
+
+    ``grid_ts`` is the window END = the evaluation instant t, matching
+    the batch operator's output key.
+    """
+    keys = list(keys or [])
+    prepped = with_text_stats(stream).withWatermark("ts", watermark)
+    win = F.window("ts", range_dur, slide)
+    return (
+        prepped.groupBy(win.alias("w"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("text_len").alias("sum_v"),
+            F.min("text_len").alias("min_v"),
+            F.max("text_len").alias("max_v"),
+        )
+        .withColumn("grid_ts", F.col("w.end"))
+        .drop("w")
+    )

@@ -242,3 +242,36 @@ def test_over_time_grid_plan_one_exchange_no_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "Window" not in plan and "Cartesian" not in plan, plan
+
+
+def test_over_time_grid_quantiles_match_pandas(spark):
+    """quantile_over_time: exact R-7 interpolated percentiles per
+    sliding window — pandas' linear interpolation is the same rule."""
+    from mq_to_db_spark.operators.resample import over_time_grid
+
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.date_range("2024-03-01 00:02:00", periods=30, freq="4min"),
+            "sid": range(30),
+            "value": [(i * 53) % 41 for i in range(30)],
+        }
+    )
+    df = spark.createDataFrame(pdf).withColumn(
+        "value", F.col("value").cast("long")
+    )
+    out = over_time_grid(
+        df, [], range_s=1800, step_s=600, tiebreak=("sid",),
+        quantiles=(0.5, 0.9),
+    )
+    got = {r.grid_ts: (r.p50, r.p90) for r in out.collect()}
+    assert got  # non-empty
+    for t, (p50, p90) in got.items():
+        w = pdf[
+            (pdf["ts"] > pd.Timestamp(t) - pd.Timedelta(seconds=1800))
+            & (pdf["ts"] <= pd.Timestamp(t))
+        ]["value"]
+        # pandas interpolates a + (b-a)*f, Spark (like DuckDB
+        # quantile_cont) in a different op order — equal to within one
+        # ulp; the contract query rounds to 6 dp where they coincide
+        assert abs(p50 - w.quantile(0.5, interpolation="linear")) < 1e-9, t
+        assert abs(p90 - w.quantile(0.9, interpolation="linear")) < 1e-9, t

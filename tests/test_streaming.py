@@ -252,3 +252,68 @@ def test_streaming_pipeline_periodic_finalize(spark, tmp_path):
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
     )
+
+
+def test_streaming_sliding_rollup_matches_batch_over_time(
+    spark, transcripts, transcripts_pdf, tmp_path
+):
+    """Sliding-window streaming twin vs the batch over_time_grid: on
+    off-boundary data (the generator's timestamps are second-grained,
+    never on a 10-minute edge at µs precision... unless they are — so
+    boundary rows are filtered from BOTH sides) every emitted closed
+    window must carry identical count/sum/min/max."""
+    from mq_to_db_spark.operators.resample import over_time_grid
+    from mq_to_db_spark.streaming.stream import streaming_sliding_rollup
+
+    # keep only off-boundary turns so PromQL (t-range, t] and Spark
+    # [start, end) window semantics coincide
+    def off_boundary(pdf):
+        us = pdf.ts.astype("int64") // 1000
+        return pdf[(us % 600_000_000 != 0)]
+
+    pdf = off_boundary(transcripts_pdf)
+    inp = tmp_path / "in"
+    inp.mkdir()
+    pdf.to_parquet(inp / "part-0.parquet", index=False)
+    from mq_to_db_spark.streaming.stream import read_transcript_stream
+
+    roll = streaming_sliding_rollup(
+        read_transcript_stream(spark, str(inp)),
+        range_dur="30 minutes", slide="10 minutes", watermark="0 seconds",
+    )
+    q = (
+        roll.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(360)
+    got = {
+        r.grid_ts: (r.n_samples, r.sum_v, r.min_v, r.max_v)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got, "stream emitted nothing"
+    batch = over_time_grid(
+        spark.createDataFrame(pdf).withColumn(
+            "text_len", F.length("text").cast("long")
+        ),
+        [],
+        value_col="text_len",
+        range_s=1800,
+        step_s=600,
+        tiebreak=("conv_id", "turn_idx"),
+    )
+    want_all = {
+        r.grid_ts: (r.n_samples, r.sum_v, r.min_v, r.max_v)
+        for r in batch.collect()
+    }
+    # append mode: only windows whose end passed the final watermark
+    # emitted — every emitted window must match the batch evaluation
+    for t, vals in got.items():
+        assert want_all[t] == vals, (t, vals, want_all[t])
+    # and the emitted set is exactly the closed-window prefix
+    max_ts = pdf.ts.max()
+    closed = {t for t in want_all if t <= max_ts}
+    assert set(got) == closed
