@@ -2348,6 +2348,39 @@ def q_openmetrics_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_type", "bucket_start", "n_events", "exposition")
 
 
+def q_openmetrics_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenMetrics scrape-side parse (functions/serialize.py
+    parse_openmetrics — the inverse of openmetrics_1h's exposition):
+    every output column here comes FROM THE PARSED TEXT (metric name,
+    label map, value, whole-second timestamp), never from the original
+    tier columns, and the oracle computes the tier directly — equality
+    proves the expose→parse roundtrip is lossless against an
+    independent engine.  Pure JVM regexp/replace/transform expressions,
+    no Python crossing (plan-asserted in tests)."""
+    from mq_to_db_spark.functions.serialize import (
+        parse_openmetrics,
+        with_openmetrics,
+    )
+
+    tier = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket_start")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    exposed = with_openmetrics(
+        tier, "events_total", ["event_type"], "n_events"
+    ).select("exposition")
+    parsed = parse_openmetrics(exposed)
+    return parsed.select(
+        F.col("om_metric").alias("metric"),
+        F.col("om_labels")["event_type"].alias("event_type"),
+        F.col("om_ts").alias("bucket_start"),
+        F.col("om_value").alias("n_events"),
+    )
+
+
 def q_wow_delta_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Week-over-week offset comparison per (event_type, hour)
     (operators/derivatives.py offset_delta): lag-168 over the
@@ -2531,6 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_extrap_1h": q_rate_extrap_1h,
         "over_time_1h10m": q_over_time_1h10m,
         "quantile_over_time_1h": q_quantile_over_time_1h,
+        "openmetrics_roundtrip": q_openmetrics_roundtrip,
         "label_count_values_1d": q_label_count_values_1d,
         "resample_locf_10m": q_resample_locf_10m,
         "resample_interp_10m": q_resample_interp_10m,
@@ -4409,6 +4443,15 @@ def oracle_sql() -> dict[str, str]:
                    max(v) AS max_v,
                    max(CASE WHEN rn = 1 THEN v END) AS last_v
             FROM r GROUP BY 1, 2
+        """,
+        # openmetrics roundtrip: the oracle computes the tier DIRECTLY —
+        # the Spark side must recover identical rows from parsed text
+        "openmetrics_roundtrip": """
+            SELECT 'events_total' AS metric,
+                   event_type,
+                   date_trunc('hour', ts) AS bucket_start,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 2, 3
         """,
         # quantile_over_time: identical explode, exact R-7 quantiles
         "quantile_over_time_1h": """

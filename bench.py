@@ -129,6 +129,7 @@ EXTENDED_QUERIES = (
     "rate_extrap_1h",
     "over_time_1h10m",
     "quantile_over_time_1h",
+    "openmetrics_roundtrip",
 )
 
 

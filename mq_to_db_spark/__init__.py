@@ -129,6 +129,7 @@ _PUBLIC = {
     "offset_delta": "mq_to_db_spark.operators.derivatives",
     "top_k_with_others": "mq_to_db_spark.operators.topk",
     "with_openmetrics": "mq_to_db_spark.functions.serialize",
+    "parse_openmetrics": "mq_to_db_spark.functions.serialize",
     "streaming_alerts": "mq_to_db_spark.streaming.stateful",
     "decode_chunks_range": "mq_to_db_spark.operators.compression",
     # tier governance / archive compaction / PromQL surface (round 4)

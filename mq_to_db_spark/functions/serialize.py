@@ -146,3 +146,67 @@ def with_openmetrics(
             metric, {k: k for k in label_cols}, value_col, ts_col
         ),
     )
+
+
+def parse_openmetrics_line(line: Column | str) -> Column:
+    """Inverse of :func:`openmetrics_line` — parse one exposition line
+    ``name{k="v",…} value timestamp_s`` back into a struct
+    ``(metric string, labels map<string,string>, value long,
+    ts timestamp)``: the scrape side of the reference's metrics plane
+    (Prometheus scrapes /metrics and re-ingests exactly this text), so
+    an exposition written by one tier can be loaded lossless by another
+    engine instance.
+
+    Pure JVM expressions end to end: the label block is taken greedily
+    (label VALUES may contain ``}``, ``,`` or spaces — the trailing
+    ``value timestamp`` anchor disambiguates), pairs are matched with
+    the escape-aware ``k="(?:[^"\\\\]|\\\\.)*"`` regex, and values are
+    un-escaped by the two literal replaces in the exact inverse order
+    of the writer (``\\"`` → ``"`` first, then ``\\\\`` → ``\\``).
+    Malformed lines parse to NULL fields (never throw).
+    """
+    c = F.col(line) if isinstance(line, str) else line
+    nonempty = lambda col: F.when(col != "", col)  # noqa: E731 — ANSI-safe
+    metric = nonempty(F.regexp_extract(c, r"^([^{]+)\{", 1))
+    block = F.regexp_extract(c, r"^[^{]+\{(.*)\} -?\d+ \d+$", 1)
+    value = nonempty(F.regexp_extract(c, r"\} (-?\d+) \d+$", 1)).cast("long")
+    ts = F.timestamp_seconds(
+        nonempty(F.regexp_extract(c, r" (\d+)$", 1)).cast("long")
+    )
+    pair_re = r'[A-Za-z_][A-Za-z0-9_]*="(?:[^"\\]|\\.)*"'
+    pairs = F.regexp_extract_all(block, F.lit(pair_re), 0)
+    unesc = lambda v: F.replace(  # noqa: E731 — inverse of the writer
+        F.replace(v, F.lit('\\"'), F.lit('"')),
+        F.lit("\\\\"),
+        F.lit("\\"),
+    )
+    entries = F.transform(
+        pairs,
+        lambda p: F.struct(
+            F.regexp_extract(p, r"^([A-Za-z_][A-Za-z0-9_]*)=", 1).alias("key"),
+            unesc(
+                F.regexp_extract(p, r'^[A-Za-z_][A-Za-z0-9_]*="((?:[^"\\]|\\.)*)"$', 1)
+            ).alias("value"),
+        ),
+    )
+    return F.struct(
+        metric.alias("metric"),
+        F.map_from_entries(entries).alias("labels"),
+        value.alias("value"),
+        ts.alias("ts"),
+    )
+
+
+def parse_openmetrics(
+    df: DataFrame, line_col: str = "exposition", prefix: str = "om_"
+) -> DataFrame:
+    """Column-expanded :func:`parse_openmetrics_line` over a frame of
+    exposition lines: adds ``{prefix}metric/labels/value/ts``."""
+    s = parse_openmetrics_line(line_col)
+    return df.select(
+        "*",
+        s.getField("metric").alias(f"{prefix}metric"),
+        s.getField("labels").alias(f"{prefix}labels"),
+        s.getField("value").alias(f"{prefix}value"),
+        s.getField("ts").alias(f"{prefix}ts"),
+    )

@@ -115,3 +115,75 @@ def test_openmetrics_exposition_escaping_and_format(spark):
     assert r.exposition == (
         'events_total{event_type="api \\"v1\\"\\\\prod"} 42 1704085200'
     )
+
+
+# ------------------------------------------------------- openmetrics parse
+
+
+def test_openmetrics_roundtrip_nasty_labels(spark):
+    """parse(expose(row)) == row for label values exercising every
+    escape class: quotes, backslashes, commas, braces, spaces, the
+    literal sequence '} ' inside a value, and backslash-before-quote."""
+    import pandas as pd
+
+    from mq_to_db_spark.functions.serialize import (
+        parse_openmetrics,
+        with_openmetrics,
+    )
+
+    vals = [
+        'plain',
+        'with "quotes"',
+        "back\\slash",
+        "trailing\\",
+        '\\"both\\"',
+        "comma,and{brace}",
+        'evil"} 5"} tail',
+        "sp ace",
+        "",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "event_type": vals,
+            "bucket_start": [
+                pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i)
+                for i in range(len(vals))
+            ],
+            "n_events": [i * 7 + 1 for i in range(len(vals))],
+        }
+    )
+    df = spark.createDataFrame(pdf).withColumn(
+        "n_events", F.col("n_events").cast("long")
+    )
+    exposed = with_openmetrics(df, "events_total", ["event_type"], "n_events")
+    parsed = parse_openmetrics(exposed)
+    rows = parsed.collect()
+    assert len(rows) == len(vals)
+    for r in rows:
+        assert r.om_metric == "events_total"
+        assert r.om_labels["event_type"] == r.event_type, r.exposition
+        assert r.om_value == r.n_events
+        assert r.om_ts == r.bucket_start  # whole-second timestamps
+
+
+def test_openmetrics_parse_malformed_is_null_not_error(spark):
+    from mq_to_db_spark.functions.serialize import parse_openmetrics
+
+    df = spark.createDataFrame(
+        [("not a metric line",), ("{} 1",), ("m{k=unquoted} 1 2",)],
+        "exposition string",
+    )
+    rows = parse_openmetrics(df).collect()
+    assert all(r.om_metric is None or r.om_labels == {} for r in rows)
+
+
+def test_openmetrics_parse_plan_is_jvm_only(spark):
+    """No Python UDF crossing: the parse is regexp/replace/transform
+    expressions only."""
+    from mq_to_db_spark.functions.serialize import parse_openmetrics
+
+    df = spark.createDataFrame(
+        [('m{k="v"} 1 1700000000',)], "exposition string"
+    )
+    plan = parse_openmetrics(df)._jdf.queryExecution().executedPlan().toString()
+    assert "PythonUDF" not in plan and "ArrowEval" not in plan, plan
