@@ -2544,18 +2544,117 @@ def q_exemplars_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with value as exact integer cents — the integer-scaled
+    input the exponential-histogram cross-engine exactness argument
+    needs (operators/nativehist.py module docstring)."""
+    return _events(spark, sf_dir).select(
+        "event_type", "ts", F.round(F.col("value") * 100, 0).cast("long").alias("v")
+    )
+
+
+def q_exphist_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native exponential histogram, cascaded (operators/nativehist.py
+    exp_histogram → cascade_exp_histogram → exp_hist_explode): 1h
+    sketches merged into 1d by entry-wise map addition — proof the
+    sketch is mergeable across the retention cascade — then flattened to
+    (event_type, day, bucket_idx, n).  schema=0 buckets (2^(i−1), 2^i]
+    over integer cents: ceil(log2(v)) is cross-engine deterministic
+    there, and the oracle replays it in EXACT integer arithmetic
+    (binary-string length + power-of-two bit test), so the comparison
+    is airtight.  All-JVM: two hash aggs + the map merge, no window."""
+    from mq_to_db_spark.operators.nativehist import (
+        cascade_exp_histogram,
+        exp_hist_explode,
+        exp_histogram,
+    )
+
+    h1 = exp_histogram(
+        _events_cents(spark, sf_dir), "1h", "v", keys=["event_type"]
+    )
+    d1 = cascade_exp_histogram(h1, "1d", keys=["event_type"])
+    return exp_hist_explode(d1, keys=["event_type"]).select(
+        "event_type", "bucket_start", "bucket_idx", "n"
+    )
+
+
+def q_exphist_quantile_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``histogram_quantile`` on native exponential histograms
+    (operators/nativehist.py exp_hist_quantile): p90 per (event_type,
+    day) from the cascaded sketch — cumulative-count bucket pick +
+    linear interpolation inside (2^(i−1), 2^i].  The oracle replicates
+    the estimator arithmetic operation-for-operation (same IEEE order),
+    so values hash-match at 6 dp.  Explode + per-(series, bucket) window
+    over ≤64 sketch entries — tiny, uniformly-keyed partitions."""
+    from mq_to_db_spark.operators.nativehist import (
+        cascade_exp_histogram,
+        exp_hist_quantile,
+        exp_histogram,
+    )
+
+    h1 = exp_histogram(
+        _events_cents(spark, sf_dir), "1h", "v", keys=["event_type"]
+    )
+    d1 = cascade_exp_histogram(h1, "1d", keys=["event_type"])
+    out = exp_hist_quantile(d1, 0.9, keys=["event_type"])
+    return out.select(
+        "event_type", "bucket_start", F.round("qv", 6).alias("p90")
+    )
+
+
+def q_distinct_over_time_1h10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``count_distinct_over_time(user[1h])`` on the sliding 10-minute
+    grid (operators/resample.py over_time_grid distinct_col): distinct
+    active users per overlapping window via the same bounded explode —
+    fan-out = range/step — plus Spark's exact two-phase distinct
+    aggregate (partial dedup before the shuffle).  The unbounded-
+    cardinality scale path is the HLL sketch rollup; this is the exact
+    small-window tool a Grafana "active users (1h)" panel wants."""
+    from mq_to_db_spark.operators.resample import over_time_grid
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", "ts", "event_id", "user_id",
+        F.floor(F.col("value") * 1e6).cast("long").alias("v"),
+    )
+    out = over_time_grid(
+        ev, ["event_type"], value_col="v", range_s=3600, step_s=600,
+        tiebreak=("event_id",), distinct_col="user_id",
+    )
+    return out.select("event_type", "grid_ts", "n_samples", "n_distinct")
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle + round-robin sharding over the
+    corpus (operators/sampling.py epoch_shuffle): every document's
+    global shuffle position for (seed=42, epoch=1), split into 8 shards
+    — shard sizes differ by ≤1 and each shard is a uniform sample.  The
+    global rank is the range-partitioned running count (rangewin.py),
+    NOT a single-partition window — plan-asserted in tests; the oracle
+    replays the md5-coin order with row_number."""
+    from mq_to_db_spark.operators.sampling import epoch_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return epoch_shuffle(docs, "doc_id", epoch=1, n_shards=8).select(
+        "doc_id", "shard", "pos"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is EVIDENCE order, not build order: the
     driver's correctness gate records at most the first ~50 entries
     (r03 recorded exactly the first 50 of 57 in dict order), so the
     least-driver-proven queries come FIRST — this round's additions
-    (93 registered in total; the committed full-contract snapshot at
+    (108 registered in total; the committed full-contract snapshot at
     BENCH/correctness_r04_local.json covers every one), then round-3's
     (one green driver record), round-2's (two), and the round-1
     originals (three green records each) last, where any truncation
     costs the least."""
     return {
         # -- never in a driver CORRECTNESS file (r03 cap) + round-4 new --
+        "exphist_1d": q_exphist_1d,
+        "exphist_quantile_1d": q_exphist_quantile_1d,
+        "distinct_over_time_1h10m": q_distinct_over_time_1h10m,
+        "epoch_shuffle": q_epoch_shuffle,
         "subquery_maxrate_1h": q_subquery_maxrate_1h,
         "irate_10m": q_irate_10m,
         "replica_dedup_1h": q_replica_dedup_1h,
@@ -2874,6 +2973,108 @@ def oracle_sql() -> dict[str, str]:
         f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES
     )
     return {
+        # exphist: EXACT integer replay of ceil(log2(v)) — binary-string
+        # length (floor(log2)+1) minus 1 when v is a power of two
+        "exphist_1d": """
+            WITH c AS (
+                SELECT event_type, date_trunc('day', ts) AS bucket_start,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events WHERE value IS NOT NULL
+            ),
+            b AS (
+                SELECT event_type, bucket_start,
+                       CAST(length(to_base(v, 2)) - 1
+                            + CASE WHEN (v & (v - 1)) = 0 THEN 0 ELSE 1 END
+                            AS INT) AS bucket_idx
+                FROM c WHERE v > 0
+            )
+            SELECT event_type, bucket_start, bucket_idx,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM b GROUP BY 1, 2, 3
+        """,
+        # exphist quantile: the estimator arithmetic replicated in the
+        # same IEEE operation order as exp_hist_quantile
+        "exphist_quantile_1d": """
+            WITH c AS (
+                SELECT event_type, date_trunc('day', ts) AS bucket_start,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events WHERE value IS NOT NULL
+            ),
+            b AS (
+                SELECT event_type, bucket_start,
+                       CAST(length(to_base(v, 2)) - 1
+                            + CASE WHEN (v & (v - 1)) = 0 THEN 0 ELSE 1 END
+                            AS INT) AS bucket_idx
+                FROM c WHERE v > 0
+            ),
+            g AS (
+                SELECT event_type, bucket_start, bucket_idx,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM b GROUP BY 1, 2, 3
+            ),
+            r AS (
+                SELECT *,
+                       sum(n) OVER (PARTITION BY event_type, bucket_start
+                                    ORDER BY bucket_idx) AS cum,
+                       sum(n) OVER (PARTITION BY event_type, bucket_start)
+                           AS total
+                FROM g
+            ),
+            s AS (
+                SELECT event_type, bucket_start,
+                       arg_min(bucket_idx, bucket_idx) AS bidx,
+                       arg_min(n, bucket_idx) AS bn,
+                       arg_min(cum, bucket_idx) AS bcum,
+                       arg_min(0.9 * total, bucket_idx) AS rnk
+                FROM r WHERE cum >= 0.9 * total
+                GROUP BY 1, 2
+            )
+            SELECT event_type, bucket_start,
+                   round(pow(2.0, CAST(bidx AS DOUBLE) - 1.0)
+                         + (pow(2.0, CAST(bidx AS DOUBLE))
+                            - pow(2.0, CAST(bidx AS DOUBLE) - 1.0))
+                           * ((rnk - (bcum - bn)) / CAST(bn AS DOUBLE)),
+                         6) AS p90
+            FROM s
+        """,
+        # distinct_over_time: identical bounded explode, exact distinct
+        "distinct_over_time_1h10m": """
+            WITH s AS (
+                SELECT event_type, epoch_us(ts) AS tus, user_id
+                FROM events
+            ),
+            g AS (
+                SELECT event_type, user_id,
+                       unnest(generate_series(
+                           ((tus + 599999999) // 600000000) * 600000000,
+                           tus + 3599999999,
+                           600000000)) AS gus
+                FROM s
+            )
+            SELECT event_type, make_timestamp(gus) AS grid_ts,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM g GROUP BY 1, 2
+        """,
+        # epoch shuffle: row_number over the md5 coin replays the
+        # range-partitioned running count exactly
+        "epoch_shuffle": """
+            WITH h AS (
+                SELECT doc_id,
+                       ('0x' || substring(
+                            md5('42e1:' || CAST(doc_id AS VARCHAR)), 1, 15
+                        ))::BIGINT AS u
+                FROM documents
+            ),
+            r AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY u, doc_id) - 1 AS p
+                FROM h
+            )
+            SELECT doc_id, CAST(p % 8 AS INT) AS shard,
+                   CAST(p // 8 AS BIGINT) AS pos
+            FROM r
+        """,
         "label_count_values_1d": """
             SELECT date_trunc('day', ts) AS day_start,
                    CASE WHEN event_type IN ('click', 'view')

@@ -130,6 +130,10 @@ EXTENDED_QUERIES = (
     "over_time_1h10m",
     "quantile_over_time_1h",
     "openmetrics_roundtrip",
+    "exphist_1d",
+    "exphist_quantile_1d",
+    "distinct_over_time_1h10m",
+    "epoch_shuffle",
 )
 
 

@@ -130,6 +130,11 @@ _PUBLIC = {
     "top_k_with_others": "mq_to_db_spark.operators.topk",
     "with_openmetrics": "mq_to_db_spark.functions.serialize",
     "parse_openmetrics": "mq_to_db_spark.functions.serialize",
+    "exp_histogram": "mq_to_db_spark.operators.nativehist",
+    "cascade_exp_histogram": "mq_to_db_spark.operators.nativehist",
+    "exp_hist_explode": "mq_to_db_spark.operators.nativehist",
+    "exp_hist_quantile": "mq_to_db_spark.operators.nativehist",
+    "epoch_shuffle": "mq_to_db_spark.operators.sampling",
     "streaming_alerts": "mq_to_db_spark.streaming.stateful",
     "decode_chunks_range": "mq_to_db_spark.operators.compression",
     # tier governance / archive compaction / PromQL surface (round 4)

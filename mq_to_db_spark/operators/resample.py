@@ -146,6 +146,7 @@ def over_time_grid(
     tiebreak: tuple[str, ...] = (),
     out_col: str = "grid_ts",
     quantiles: tuple[float, ...] = (),
+    distinct_col: str | None = None,
 ) -> DataFrame:
     """PromQL ``*_over_time`` range-vector functions on a SLIDING step
     grid: ``avg/min/max/sum/count/last_over_time(v[range])`` evaluated at
@@ -172,6 +173,13 @@ def over_time_grid(
     unbounded-cardinality scale path is the DDSketch rollup,
     operators/sketch.py).
 
+    ``distinct_col`` adds PromQL-less but dashboard-real
+    ``count_distinct_over_time`` (distinct users per sliding window) as
+    an ``n_distinct`` column — an exact two-phase distinct aggregate
+    (partial dedup map-side), per-group state O(distinct values in the
+    window); the unbounded-cardinality scale path is the HLL sketch
+    rollup (operators/rollup.py rollup_distinct_sketch).
+
     Scale: explode is narrow (no shuffle), the single agg map-side
     combines, and the instant key spreads hot series across ``range/
     step`` reducers; memory per task is O(1).
@@ -183,11 +191,13 @@ def over_time_grid(
     order_key = F.struct(
         F.col(ts_col).alias("t"), *[F.col(t) for t in tiebreak]
     )
+    dcols = [F.col(distinct_col).alias("_d")] if distinct_col else []
     staged = df.select(
         *keys,
         F.unix_micros(F.col(ts_col).cast("timestamp_ltz")).alias("_tus"),
         F.col(value_col).alias("_v"),
         order_key.alias("_ok"),
+        *dcols,
     ).withColumn(
         "_t0",
         F.expr(f"((_tus + {step_us - 1}) div {step_us}) * {step_us}"),
@@ -196,6 +206,7 @@ def over_time_grid(
         *keys,
         "_v",
         "_ok",
+        *(["_d"] if distinct_col else []),
         F.explode(
             F.sequence(
                 F.col("_t0"),
@@ -216,6 +227,11 @@ def over_time_grid(
                 F.percentile("_v", F.lit(q)).alias(f"p{int(round(q * 100))}")
                 for q in quantiles
             ],
+            *(
+                [F.count_distinct(F.col("_d")).alias("n_distinct")]
+                if distinct_col
+                else []
+            ),
         )
         .select(
             *keys,
@@ -229,5 +245,6 @@ def over_time_grid(
             "max_v",
             "last_v",
             *[f"p{int(round(q * 100))}" for q in quantiles],
+            *(["n_distinct"] if distinct_col else []),
         )
     )

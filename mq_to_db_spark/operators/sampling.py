@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 HASH_SPACE = 1 << 60
 
 
-def hash_u60(id_col: str | Column, seed: int = 42) -> Column:
+def hash_u60(id_col: str | Column, seed: int | str = 42) -> Column:
     """60-bit uniform hash of ``seed:id`` — the sampling coin.
 
     DuckDB replay: ``('0x' || substring(md5(seed || ':' || CAST(id AS
@@ -133,3 +133,57 @@ def sample_stratified(
         else expr.otherwise(F.lit(_threshold(default_rate)))
     )
     return df.where(u < expr)
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int = 0,
+    n_shards: int = 8,
+    seed: int = 42,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global epoch shuffle + shard assignment — the
+    training loader's "shuffle the corpus each epoch" primitive, as a
+    reproducible dataset property instead of loader-local RNG.
+
+    Every row gets a global shuffle position (its rank under the
+    60-bit coin keyed by ``seed`` *and* ``epoch``), a round-robin
+    ``shard`` (each shard is therefore a uniform 1/n sample, and shard
+    sizes differ by at most 1 — no hash-mod imbalance), and ``pos`` =
+    its read order within the shard.  Changing ``epoch`` re-permutes
+    everything; re-running the same epoch is byte-identical, so a
+    preempted training job resumes mid-epoch without replaying or
+    skipping a single document.
+
+    Scale: the global rank is NOT a single-partition window — it is the
+    range-partitioned running count (operators/rangewin.py
+    range_running_sum: width_bucket ranging over the hash extent, a
+    per-bucket window at full parallelism, then a broadcast
+    n_buckets-row prefix carry).  The hash is uniform on [0, 2^60), so
+    the range buckets are balanced by construction — no skew cliff, no
+    driver collect.  Ties (60-bit collisions) break on the id itself,
+    keeping the order total and the replay exact.
+
+    DuckDB replay (the contract oracle): ``row_number() OVER (ORDER BY
+    ('0x' || substring(md5('{seed}e{epoch}:' || id), 1, 15))::BIGINT,
+    id) - 1`` then ``% n_shards`` / ``// n_shards``.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from mq_to_db_spark.operators.rangewin import range_running_sum
+
+    tagged = df.withColumn(
+        "_u", hash_u60(id_col, seed=f"{seed}e{epoch}")
+    ).withColumn("_one", F.lit(1).cast("long"))
+    ranked = range_running_sum(
+        tagged, "_u", "_one", tiebreak=(id_col,), out_col="_rank"
+    )
+    p0 = F.col("_rank") - F.lit(1)
+    return (
+        ranked.withColumn(shard_col, F.pmod(p0, F.lit(n_shards)).cast("int"))
+        # integer `div`, not float `/` — exact past 2^53 ranks
+        .withColumn(pos_col, F.expr(f"(_rank - 1) div {n_shards}"))
+        .drop("_u", "_one", "_rank")
+    )
