@@ -2327,6 +2327,56 @@ def q_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_alert_silences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alertmanager silences in batch (operators/intervals.py
+    subtract_intervals): the alert episodes of ``alert_episodes`` minus
+    a deterministic maintenance calendar — per event_type, every other
+    day carries two OVERLAPPING silence windows [02:00, 07:00) and
+    [05:00, 09:30) (merged to [02:00, 09:30) by merge_intervals) — the
+    surviving rows are the spans that would actually have notified.
+    Config-sized subtrahend broadcast; the episode table never shuffles
+    for the join.  Exact BIGINT µs spans."""
+    from mq_to_db_spark.operators.changepoint import threshold_episodes
+    from mq_to_db_spark.operators.intervals import subtract_intervals
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", "ts", "event_id",
+        F.floor(F.col("value") * 1e6).cast("long").alias("v"),
+    )
+    eps = threshold_episodes(
+        ev, ["event_type"], ts_col="ts", value_col="v",
+        threshold=50_000_000, min_duration_us=1_800_000_000,
+        tiebreak=("event_id",),
+    ).select("event_type", "start_ts", "end_ts")
+    days = spark.sql(
+        "SELECT explode(sequence(timestamp'2024-01-01', "
+        "timestamp'2024-01-27', interval 2 days)) AS d"
+    )
+    sil = (
+        ev.select("event_type").distinct()
+        .crossJoin(days)
+        .select(
+            "event_type",
+            F.explode(
+                F.array(
+                    F.struct(
+                        (F.col("d") + F.expr("interval 2 hours")).alias("s"),
+                        (F.col("d") + F.expr("interval 7 hours")).alias("e"),
+                    ),
+                    F.struct(
+                        (F.col("d") + F.expr("interval 5 hours")).alias("s"),
+                        (F.col("d") + F.expr("interval 9 hours 30 minutes")).alias("e"),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("event_type", F.col("w.s").alias("start_ts"), F.col("w.e").alias("end_ts"))
+    )
+    return subtract_intervals(eps, sil, ["event_type"]).select(
+        "event_type", "start_ts", "end_ts", "sub_start", "sub_end", "sub_us"
+    )
+
+
 def q_openmetrics_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OpenMetrics text exposition of the hourly count tier
     (functions/serialize.py with_openmetrics): byte-stable
@@ -2644,13 +2694,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver's correctness gate records at most the first ~50 entries
     (r03 recorded exactly the first 50 of 57 in dict order), so the
     least-driver-proven queries come FIRST — this round's additions
-    (108 registered in total; the committed full-contract snapshot at
+    (109 registered in total; the committed full-contract snapshot at
     BENCH/correctness_r04_local.json covers every one), then round-3's
     (one green driver record), round-2's (two), and the round-1
     originals (three green records each) last, where any truncation
     costs the least."""
     return {
         # -- never in a driver CORRECTNESS file (r03 cap) + round-4 new --
+        "alert_silences": q_alert_silences,
         "exphist_1d": q_exphist_1d,
         "exphist_quantile_1d": q_exphist_quantile_1d,
         "distinct_over_time_1h10m": q_distinct_over_time_1h10m,
@@ -2973,6 +3024,71 @@ def oracle_sql() -> dict[str, str]:
         f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES
     )
     return {
+        # alert silences: merged-calendar interval subtraction replayed
+        # with window-lag gaps over the SAME clipped, disjoint windows
+        "alert_silences": """
+            WITH s AS (
+                SELECT event_type, ts, event_id,
+                       CAST(floor(value * 1000000.0) AS BIGINT) AS v
+                FROM events
+            ),
+            f AS (
+                SELECT *,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY ts, event_id)
+                     - row_number() OVER (
+                           PARTITION BY event_type, (v > 50000000)
+                           ORDER BY ts, event_id) AS island
+                FROM s
+            ),
+            eps AS (
+                SELECT event_type, min(ts) AS start_ts, max(ts) AS end_ts
+                FROM f WHERE v > 50000000
+                GROUP BY event_type, island
+                HAVING epoch_us(max(ts)) - epoch_us(min(ts)) >= 1800000000
+            ),
+            msil AS (  -- the two daily windows pre-merged: [02:00, 09:30)
+                SELECT et.event_type,
+                       d + INTERVAL 2 HOUR AS ss,
+                       d + INTERVAL '9 hours 30 minutes' AS se
+                FROM (SELECT DISTINCT event_type FROM events) et,
+                     (SELECT unnest(generate_series(
+                          TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-27',
+                          INTERVAL 2 DAY)) AS d)
+            ),
+            ov AS (
+                SELECT e.event_type, e.start_ts, e.end_ts,
+                       greatest(epoch_us(m.ss), epoch_us(e.start_ts)) AS cs,
+                       least(epoch_us(m.se), epoch_us(e.end_ts)) AS ce
+                FROM eps e JOIN msil m
+                  ON m.event_type = e.event_type
+                 AND m.ss < e.end_ts AND m.se > e.start_ts
+            ),
+            gaps AS (
+                SELECT event_type, start_ts, end_ts,
+                       coalesce(lag(ce) OVER (
+                           PARTITION BY event_type, start_ts ORDER BY cs),
+                           epoch_us(start_ts)) AS gs,
+                       cs AS ge
+                FROM ov
+                UNION ALL
+                SELECT event_type, start_ts, end_ts, max(ce) AS gs,
+                       epoch_us(end_ts) AS ge
+                FROM ov GROUP BY 1, 2, 3
+                UNION ALL
+                SELECT e.event_type, e.start_ts, e.end_ts,
+                       epoch_us(e.start_ts), epoch_us(e.end_ts)
+                FROM eps e
+                WHERE NOT EXISTS (SELECT 1 FROM ov o
+                                  WHERE o.event_type = e.event_type
+                                    AND o.start_ts = e.start_ts)
+            )
+            SELECT event_type, start_ts, end_ts,
+                   make_timestamp(gs) AS sub_start,
+                   make_timestamp(ge) AS sub_end,
+                   ge - gs AS sub_us
+            FROM gaps WHERE ge > gs
+        """,
         # exphist: EXACT integer replay of ceil(log2(v)) — binary-string
         # length (floor(log2)+1) minus 1 when v is a power of two
         "exphist_1d": """

@@ -134,6 +134,7 @@ EXTENDED_QUERIES = (
     "exphist_quantile_1d",
     "distinct_over_time_1h10m",
     "epoch_shuffle",
+    "alert_silences",
 )
 
 

@@ -135,6 +135,8 @@ _PUBLIC = {
     "exp_hist_explode": "mq_to_db_spark.operators.nativehist",
     "exp_hist_quantile": "mq_to_db_spark.operators.nativehist",
     "epoch_shuffle": "mq_to_db_spark.operators.sampling",
+    "merge_intervals": "mq_to_db_spark.operators.intervals",
+    "subtract_intervals": "mq_to_db_spark.operators.intervals",
     "streaming_alerts": "mq_to_db_spark.streaming.stateful",
     "decode_chunks_range": "mq_to_db_spark.operators.compression",
     # tier governance / archive compaction / PromQL surface (round 4)

@@ -282,3 +282,117 @@ def staleness(
         F.col("n_samples").isNull().alias("absent"),
         (bucket_end_us - _epoch_micros(locf_ts)).alias("staleness_us"),
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    keys: list[str],
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+) -> DataFrame:
+    """Union of half-open ``[start, end)`` intervals per key: overlapping
+    or touching intervals merge into maximal disjoint islands — the
+    gaps-and-islands pattern :func:`heartbeat_agg` uses for liveness
+    covers, exposed for arbitrary interval tables (silence windows,
+    maintenance calendars, downtime logs).
+
+    ONE window shuffle on the key; empty/negative inputs are dropped.
+    Output: keys + ``start_ts``/``end_ts`` of each island.
+    """
+    s_us, e_us = _epoch_micros(F.col(start_col)), _epoch_micros(F.col(end_col))
+    live = df.filter(e_us > s_us).select(
+        *keys, s_us.alias("_s"), e_us.alias("_e")
+    )
+    w = W.partitionBy(*keys).orderBy("_s", "_e")
+    prev_max_e = F.max("_e").over(w.rowsBetween(W.unboundedPreceding, -1))
+    new_island = F.when(
+        prev_max_e.isNull() | (F.col("_s") > prev_max_e), 1
+    ).otherwise(0)
+    tagged = live.withColumn(
+        "_iid", F.sum(new_island).over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return tagged.groupBy(*keys, "_iid").agg(
+        F.timestamp_micros(F.min("_s")).cast("timestamp_ntz").alias(start_col),
+        F.timestamp_micros(F.max("_e")).cast("timestamp_ntz").alias(end_col),
+    ).drop("_iid")
+
+
+def subtract_intervals(
+    base: DataFrame,
+    sub: DataFrame,
+    keys: list[str],
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    out_start: str = "sub_start",
+    out_end: str = "sub_end",
+    broadcast_sub: bool = True,
+) -> DataFrame:
+    """Interval difference per key: the parts of each ``base`` interval
+    NOT covered by any ``sub`` interval — Alertmanager's silence rule in
+    batch (alert episodes minus merged silence windows = the spans that
+    actually notified).  All intervals half-open ``[start, end)``.
+
+    ``sub`` is merged via :func:`merge_intervals` first (so callers may
+    pass raw, overlapping silences), then each base interval's survivors
+    are the gaps between its clipped, disjoint subtrahends: one lag per
+    (key, base interval) plus a tail row from the group's max clip end.
+    Base intervals overlapping nothing pass through whole (left join's
+    NULL branch).  Output: keys + base ``start_ts``/``end_ts`` +
+    ``sub_start``/``sub_end``/``sub_us`` per surviving span (a fully
+    covered base interval emits no rows).
+
+    Scale: silences/maintenance windows are configuration-sized —
+    ``broadcast_sub=True`` (default) broadcasts the merged subtrahend so
+    the episode table never shuffles; set it False to hash-join two
+    genuinely large interval tables on the key.
+    """
+    merged = merge_intervals(sub, keys, start_col, end_col).select(
+        *keys,
+        _epoch_micros(F.col(start_col)).alias("_ss"),
+        _epoch_micros(F.col(end_col)).alias("_se"),
+    )
+    if broadcast_sub:
+        merged = F.broadcast(merged)
+    b = base.select(
+        *keys,
+        F.col(start_col),
+        F.col(end_col),
+        _epoch_micros(F.col(start_col)).alias("_bs"),
+        _epoch_micros(F.col(end_col)).alias("_be"),
+    )
+    j = b.join(
+        merged,
+        [*[b[k] == merged[k] for k in keys]]
+        + [merged["_ss"] < b["_be"], merged["_se"] > b["_bs"]],
+        "left",
+    ).select(
+        *[b[k] for k in keys], start_col, end_col, "_bs", "_be",
+        # greatest/least SKIP nulls in Spark — guard so a no-overlap
+        # left-join row keeps a NULL clip instead of a full-width one
+        F.when(F.col("_ss").isNotNull(), F.greatest("_ss", "_bs")).alias("_cs"),
+        F.when(F.col("_se").isNotNull(), F.least("_se", "_be")).alias("_ce"),
+    )
+    w = W.partitionBy(*keys, "_bs").orderBy("_cs")
+    gaps = j.filter(F.col("_cs").isNotNull()).select(
+        *keys, start_col, end_col, "_be",
+        F.coalesce(F.lag("_ce").over(w), F.col("_bs")).alias("_gs"),
+        F.col("_cs").alias("_ge"),
+    )
+    tails = (
+        j.groupBy(*keys, start_col, end_col, "_bs", "_be")
+        .agg(F.max("_ce").alias("_mce"))
+        .select(
+            *keys, start_col, end_col, "_be",
+            F.coalesce(F.col("_mce"), F.col("_bs")).alias("_gs"),
+            F.col("_be").alias("_ge"),
+        )
+    )
+    spans = gaps.unionByName(tails).filter(F.col("_ge") > F.col("_gs"))
+    return spans.select(
+        *keys,
+        start_col,
+        end_col,
+        F.timestamp_micros(F.col("_gs")).cast("timestamp_ntz").alias(out_start),
+        F.timestamp_micros(F.col("_ge")).cast("timestamp_ntz").alias(out_end),
+        (F.col("_ge") - F.col("_gs")).alias("sub_us"),
+    )

@@ -44,6 +44,12 @@ _WHITELIST = {
     # lag is only a time lag on a dense series), so it inherits the
     # same series × broadcast(1-row extent) grid build
     "wow_delta_1h": ("BroadcastNestedLoopJoin",),
+    # __spark_entry__:q_alert_silences — the maintenance CALENDAR build:
+    # distinct event_types × broadcast(14-row day spine), both sides
+    # config-sized literals (output = 140 silence rows).  The actual
+    # episode−silence subtraction is a BroadcastHashJoin on the key
+    # (plan shows it directly above the whitelisted cross).
+    "alert_silences": ("BroadcastNestedLoopJoin",),
 }
 
 

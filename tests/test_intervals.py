@@ -297,3 +297,109 @@ def test_twa_interp_hypothesis_matches_brute(spark):
         assert got == want
 
     check()
+
+
+# -- interval set algebra: merge + subtract (Alertmanager silences) ----------
+
+
+def _iv(spark, rows):
+    return (
+        spark.createDataFrame(rows, "k string, start_ts string, end_ts string")
+        .withColumn("start_ts", F.col("start_ts").cast("timestamp"))
+        .withColumn("end_ts", F.col("end_ts").cast("timestamp"))
+    )
+
+
+def test_merge_intervals_overlap_nest_touch(spark):
+    from mq_to_db_spark.operators.intervals import merge_intervals
+
+    sil = _iv(spark, [
+        ("a", "2024-01-01 00:00:00", "2024-01-01 02:00:00"),
+        ("a", "2024-01-01 01:00:00", "2024-01-01 03:00:00"),  # overlap
+        ("a", "2024-01-01 01:10:00", "2024-01-01 01:20:00"),  # nested
+        ("a", "2024-01-01 03:00:00", "2024-01-01 04:00:00"),  # touching merges
+        ("a", "2024-01-01 05:00:00", "2024-01-01 06:00:00"),  # separate
+        ("a", "2024-01-01 07:00:00", "2024-01-01 07:00:00"),  # empty → dropped
+        ("b", "2024-01-01 01:30:00", "2024-01-01 02:30:00"),  # key isolation
+    ])
+    got = sorted(
+        (r.k, str(r.start_ts), str(r.end_ts))
+        for r in merge_intervals(sil, ["k"]).collect()
+    )
+    assert got == [
+        ("a", "2024-01-01 00:00:00", "2024-01-01 04:00:00"),
+        ("a", "2024-01-01 05:00:00", "2024-01-01 06:00:00"),
+        ("b", "2024-01-01 01:30:00", "2024-01-01 02:30:00"),
+    ]
+
+
+def test_subtract_intervals_cases(spark):
+    from mq_to_db_spark.operators.intervals import subtract_intervals
+
+    base = _iv(spark, [
+        ("a", "2024-01-01 00:00:00", "2024-01-01 10:00:00"),  # holes cut
+        ("a", "2024-01-02 00:00:00", "2024-01-02 01:00:00"),  # untouched
+        ("a", "2024-01-03 00:00:00", "2024-01-03 02:00:00"),  # fully covered
+        ("a", "2024-01-04 00:00:00", "2024-01-04 02:00:00"),  # edge-touching
+        ("b", "2024-01-01 03:00:00", "2024-01-01 05:00:00"),  # key isolation
+    ])
+    sil = _iv(spark, [
+        ("a", "2024-01-01 02:00:00", "2024-01-01 04:00:00"),
+        ("a", "2024-01-01 03:00:00", "2024-01-01 05:00:00"),  # merge → [02,05)
+        ("a", "2024-01-01 07:00:00", "2024-01-01 08:00:00"),
+        ("a", "2024-01-02 23:00:00", "2024-01-03 23:00:00"),  # swallow ep 3
+        ("a", "2024-01-03 23:30:00", "2024-01-04 00:00:00"),  # ends AT ep4 start
+        ("a", "2024-01-04 02:00:00", "2024-01-04 03:00:00"),  # starts AT ep4 end
+    ])
+    got = sorted(
+        (r.k, str(r.start_ts), str(r.sub_start), str(r.sub_end), r.sub_us)
+        for r in subtract_intervals(base, sil, ["k"]).collect()
+    )
+    h2 = 7_200_000_000
+    assert got == [
+        ("a", "2024-01-01 00:00:00", "2024-01-01 00:00:00", "2024-01-01 02:00:00", h2),
+        ("a", "2024-01-01 00:00:00", "2024-01-01 05:00:00", "2024-01-01 07:00:00", h2),
+        ("a", "2024-01-01 00:00:00", "2024-01-01 08:00:00", "2024-01-01 10:00:00", h2),
+        ("a", "2024-01-02 00:00:00", "2024-01-02 00:00:00", "2024-01-02 01:00:00", 3_600_000_000),
+        # half-open: silences touching ep4's endpoints cut nothing
+        ("a", "2024-01-04 00:00:00", "2024-01-04 00:00:00", "2024-01-04 02:00:00", h2),
+        ("b", "2024-01-01 03:00:00", "2024-01-01 03:00:00", "2024-01-01 05:00:00", h2),
+    ]
+
+
+def test_subtract_intervals_conservation(spark):
+    # survivors + clipped silence coverage == base width, per interval
+    from mq_to_db_spark.operators.intervals import (
+        merge_intervals,
+        subtract_intervals,
+    )
+
+    base = _iv(spark, [("a", "2024-01-01 00:00:00", "2024-01-01 12:00:00")])
+    sil = _iv(spark, [
+        ("a", "2024-01-01 01:00:00", "2024-01-01 02:00:00"),
+        ("a", "2024-01-01 01:30:00", "2024-01-01 03:00:00"),
+        ("a", "2024-01-01 11:00:00", "2024-01-01 13:00:00"),  # clipped at end
+    ])
+    kept = sum(
+        r.sub_us for r in subtract_intervals(base, sil, ["k"]).collect()
+    )
+    merged = merge_intervals(sil, ["k"]).collect()
+    covered = sum(
+        (min(r.end_ts.timestamp(), 12 * 3600 + 1704067200)
+         - max(r.start_ts.timestamp(), 1704067200)) * 1_000_000
+        for r in merged
+    )
+    assert kept + covered == 12 * 3_600_000_000
+
+
+def test_subtract_intervals_broadcast_plan(spark):
+    from mq_to_db_spark.operators.intervals import subtract_intervals
+
+    base = _iv(spark, [("a", "2024-01-01 00:00:00", "2024-01-01 10:00:00")])
+    sil = _iv(spark, [("a", "2024-01-01 02:00:00", "2024-01-01 04:00:00")])
+    plan = (
+        subtract_intervals(base, sil, ["k"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Python" not in plan
