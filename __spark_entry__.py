@@ -2652,6 +2652,30 @@ def q_exphist_quantile_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exphist_fraction_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``histogram_fraction(0, 5000, h)`` on the native
+    exponential sketch (operators/nativehist.py exp_hist_fraction):
+    share of observations ≤ 5000 cents per (event_type, day) — whole
+    buckets sum as BIGINT, the single straddling bucket ((4096, 8192]
+    here) contributes one closed-form double, so the result is
+    aggregation-order-independent and the oracle hash-matches at 6 dp.
+    One explode + ONE hash agg, no window."""
+    from mq_to_db_spark.operators.nativehist import (
+        cascade_exp_histogram,
+        exp_hist_fraction,
+        exp_histogram,
+    )
+
+    h1 = exp_histogram(
+        _events_cents(spark, sf_dir), "1h", "v", keys=["event_type"]
+    )
+    d1 = cascade_exp_histogram(h1, "1d", keys=["event_type"])
+    out = exp_hist_fraction(d1, 5000.0, keys=["event_type"])
+    return out.select(
+        "event_type", "bucket_start", F.round("fraction", 6).alias("frac_le")
+    )
+
+
 def q_distinct_over_time_1h10m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``count_distinct_over_time(user[1h])`` on the sliding 10-minute
     grid (operators/resample.py over_time_grid distinct_col): distinct
@@ -2671,6 +2695,58 @@ def q_distinct_over_time_1h10m(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak=("event_id",), distinct_col="user_id",
     )
     return out.select("event_type", "grid_ts", "n_samples", "n_distinct")
+
+
+def q_lww_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-write-wins out-of-order upsert (operators/replicas.py
+    lww_upsert): three deterministic ingest batches of the same points —
+    the original stream (seq 1), a correction wave (seq 2, every 3rd
+    event, value doubled) and a STALE replay arriving last but with the
+    lowest sequence (seq 0, every 5th event) — collapsed to one version
+    per logical point by a single max_by hash agg.  The oracle replays
+    the same union with a row_number pick; corrections win, stale
+    replays always lose."""
+    from mq_to_db_spark.operators.replicas import lww_upsert
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "value")
+    stream = (
+        ev.select(
+            "event_id", "ts", F.lit(1).cast("int").alias("seq"), "value"
+        )
+        .unionByName(
+            ev.filter(F.col("event_id") % 3 == 0).select(
+                "event_id", "ts", F.lit(2).cast("int").alias("seq"),
+                (F.col("value") * 2).alias("value"),
+            )
+        )
+        .unionByName(
+            ev.filter(F.col("event_id") % 5 == 0).select(
+                "event_id", "ts", F.lit(0).cast("int").alias("seq"),
+                (F.col("value") * 10).alias("value"),
+            )
+        )
+    )
+    return lww_upsert(stream, ["event_id"], ts_col="ts", seq_col="seq").select(
+        "event_id", "ts", "seq", "value"
+    )
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (operators/sampling.py
+    sample_mixture): α = 0.5 re-weighting across document sources —
+    rare domains upweighted toward uniform, keep-rates r_d = min(1,
+    C·n_d^−½) derived from ONE tiny domain-count agg, membership by the
+    content-addressed 60-bit coin.  The oracle re-derives the rates and
+    replays the exact membership — thresholds are floor(r·2^60) BIGINTs,
+    so the comparison is integer-exact."""
+    from mq_to_db_spark.operators.sampling import sample_mixture
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    return sample_mixture(
+        docs, "doc_id", "source", alpha=0.5, target_rows=250.0, seed=42
+    ).select("doc_id", "source")
 
 
 def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2694,7 +2770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver's correctness gate records at most the first ~50 entries
     (r03 recorded exactly the first 50 of 57 in dict order), so the
     least-driver-proven queries come FIRST — this round's additions
-    (109 registered in total; the committed full-contract snapshot at
+    (112 registered in total; the committed full-contract snapshot at
     BENCH/correctness_r04_local.json covers every one), then round-3's
     (one green driver record), round-2's (two), and the round-1
     originals (three green records each) last, where any truncation
@@ -2704,7 +2780,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alert_silences": q_alert_silences,
         "exphist_1d": q_exphist_1d,
         "exphist_quantile_1d": q_exphist_quantile_1d,
+        "exphist_fraction_1d": q_exphist_fraction_1d,
         "distinct_over_time_1h10m": q_distinct_over_time_1h10m,
+        "lww_upsert": q_lww_upsert,
+        "mixture_sample": q_mixture_sample,
         "epoch_shuffle": q_epoch_shuffle,
         "subquery_maxrate_1h": q_subquery_maxrate_1h,
         "irate_10m": q_irate_10m,
@@ -3153,6 +3232,43 @@ def oracle_sql() -> dict[str, str]:
                          6) AS p90
             FROM s
         """,
+        # exphist fraction: whole buckets BIGINT + the one straddling
+        # bucket's closed-form weight, same IEEE op order
+        "exphist_fraction_1d": """
+            WITH c AS (
+                SELECT event_type, date_trunc('day', ts) AS bucket_start,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events WHERE value IS NOT NULL
+            ),
+            b AS (
+                SELECT event_type, bucket_start,
+                       CAST(length(to_base(v, 2)) - 1
+                            + CASE WHEN (v & (v - 1)) = 0 THEN 0 ELSE 1 END
+                            AS INT) AS bucket_idx
+                FROM c WHERE v > 0
+            ),
+            g AS (
+                SELECT event_type, bucket_start, bucket_idx,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM b GROUP BY 1, 2, 3
+            ),
+            a AS (
+                SELECT event_type, bucket_start,
+                       sum(CASE WHEN pow(2.0, CAST(bucket_idx AS DOUBLE)) <= 5000.0
+                                THEN n ELSE 0 END) AS whole,
+                       sum(CASE WHEN pow(2.0, CAST(bucket_idx AS DOUBLE) - 1.0) < 5000.0
+                                 AND 5000.0 < pow(2.0, CAST(bucket_idx AS DOUBLE))
+                                THEN n * ((5000.0 - pow(2.0, CAST(bucket_idx AS DOUBLE) - 1.0))
+                                          / (pow(2.0, CAST(bucket_idx AS DOUBLE))
+                                             - pow(2.0, CAST(bucket_idx AS DOUBLE) - 1.0)))
+                                ELSE 0.0 END) AS str,
+                       sum(n) AS tot
+                FROM g GROUP BY 1, 2
+            )
+            SELECT event_type, bucket_start,
+                   round((whole + str) / CAST(tot AS DOUBLE), 6) AS frac_le
+            FROM a
+        """,
         # distinct_over_time: identical bounded explode, exact distinct
         "distinct_over_time_1h10m": """
             WITH s AS (
@@ -3171,6 +3287,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_samples,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
             FROM g GROUP BY 1, 2
+        """,
+        # lww upsert: same three-batch union, row_number version pick
+        "lww_upsert": """
+            WITH s AS (
+                SELECT event_id, ts, 1 AS seq, value FROM events
+                UNION ALL
+                SELECT event_id, ts, 2, value * 2 FROM events
+                WHERE event_id % 3 = 0
+                UNION ALL
+                SELECT event_id, ts, 0, value * 10 FROM events
+                WHERE event_id % 5 = 0
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY event_id, ts ORDER BY seq DESC) AS rn
+                FROM s
+            )
+            SELECT event_id, ts, CAST(seq AS INT) AS seq, value
+            FROM r WHERE rn = 1
+        """,
+        # mixture sampling: rates re-derived with the same IEEE ops,
+        # membership replayed integer-exactly on the md5 coin
+        "mixture_sample": """
+            WITH c AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS nd
+                FROM documents GROUP BY 1
+            ),
+            z AS (
+                SELECT sum(pow(CAST(nd AS DOUBLE), 0.5)) AS zz FROM c
+            ),
+            r AS (
+                SELECT source,
+                       least(1.0, (250.0 / zz)
+                                  * pow(CAST(nd AS DOUBLE), -0.5)) AS rate
+                FROM c, z
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN r ON d.source = r.source
+            WHERE ('0x' || substring(
+                       md5('42:' || CAST(d.doc_id AS VARCHAR)), 1, 15
+                   ))::BIGINT
+                  < CAST(floor(rate * 1152921504606846976.0) AS BIGINT)
         """,
         # epoch shuffle: row_number over the md5 coin replays the
         # range-partitioned running count exactly

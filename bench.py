@@ -135,6 +135,9 @@ EXTENDED_QUERIES = (
     "distinct_over_time_1h10m",
     "epoch_shuffle",
     "alert_silences",
+    "exphist_fraction_1d",
+    "mixture_sample",
+    "lww_upsert",
 )
 
 

@@ -135,6 +135,9 @@ _PUBLIC = {
     "exp_hist_explode": "mq_to_db_spark.operators.nativehist",
     "exp_hist_quantile": "mq_to_db_spark.operators.nativehist",
     "epoch_shuffle": "mq_to_db_spark.operators.sampling",
+    "exp_hist_fraction": "mq_to_db_spark.operators.nativehist",
+    "sample_mixture": "mq_to_db_spark.operators.sampling",
+    "lww_upsert": "mq_to_db_spark.operators.replicas",
     "merge_intervals": "mq_to_db_spark.operators.intervals",
     "subtract_intervals": "mq_to_db_spark.operators.intervals",
     "streaming_alerts": "mq_to_db_spark.streaming.stateful",

@@ -51,6 +51,7 @@ __all__ = [
     "cascade_exp_histogram",
     "exp_hist_explode",
     "exp_hist_quantile",
+    "exp_hist_fraction",
 ]
 
 
@@ -236,3 +237,54 @@ def exp_hist_quantile(
         (F.col("_b._rank") - (F.col("_b._cum") - F.col("_b._n"))) / F.col("_b._n")
     )
     return first.select(*keys, "bucket_start", est.alias(out_col))
+
+
+def exp_hist_fraction(
+    sketches: DataFrame,
+    upper: float,
+    schema: int = 0,
+    out_col: str = "fraction",
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """PromQL ``histogram_fraction(0, upper, h)`` on the positive span:
+    the share of observations ≤ ``upper`` — buckets entirely below the
+    bound count whole, the straddling bucket contributes linearly
+    (the same within-bucket uniformity assumption as
+    :func:`exp_hist_quantile`), buckets above contribute nothing.
+    Denominator is the positive-span total (callers with zero/negative
+    populations divide against ``count`` themselves — PromQL's native
+    fraction has the same span-choice subtlety).
+
+    One explode + one hash agg: each entry contributes a closed-form
+    weight, no window at all.  Exactness discipline: fully-below buckets
+    sum as BIGINT (order-independent), and at most ONE bucket straddles
+    the fixed bound, so its single double weight joins the sum exactly
+    once — the result is bit-identical regardless of aggregation order,
+    which is what lets the DuckDB oracle hash-match.
+    """
+    keys = list(keys or [])
+    factor = 1 << schema
+    ex = sketches.select(
+        *keys, "bucket_start", F.explode("hist").alias("_idx", "_n")
+    )
+    idx = F.col("_idx").cast("double")
+    lo = F.pow(F.lit(2.0), (idx - 1) / F.lit(float(factor)))
+    hi = F.pow(F.lit(2.0), idx / F.lit(float(factor)))
+    u = F.lit(float(upper))
+    whole = F.when(hi <= u, F.col("_n")).otherwise(F.lit(0))
+    straddle = F.when(
+        (lo < u) & (u < hi), F.col("_n") * ((u - lo) / (hi - lo))
+    ).otherwise(F.lit(0.0))
+    return (
+        ex.groupBy(*keys, "bucket_start")
+        .agg(
+            F.sum(whole).alias("_whole"),
+            F.sum(straddle).alias("_str"),
+            F.sum("_n").alias("_tot"),
+        )
+        .select(
+            *keys,
+            "bucket_start",
+            ((F.col("_whole") + F.col("_str")) / F.col("_tot")).alias(out_col),
+        )
+    )

@@ -95,3 +95,40 @@ def dedup_replicas(
     )
     joined = src.join(winners, on=cond, how="left_semi").drop("_bucket")
     return joined.drop(replica_col) if not keep_replica else joined
+
+
+def lww_upsert(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    seq_col: str = "seq",
+    tiebreak: tuple[str, ...] = (),
+) -> DataFrame:
+    """Last-write-wins point upsert — out-of-order ingest sanitation
+    (the InfluxDB/QuestDB rule): when the same logical point
+    ``(keys…, ts)`` arrives more than once (a replayed delivery batch, a
+    late correction, an at-least-once queue redelivering — the exact
+    duplicate class the reference's ack/requeue loop produces,
+    internal/consumer/rmq/rmq.go), keep only the version with the
+    highest ``seq_col`` (ingest sequence / batch id / arrival offset).
+    ``tiebreak`` columns extend the version order when sequences can
+    collide; the comparison is a struct max, so the winner is a total-
+    order pick — idempotent and replay-safe by construction
+    (re-upserting the winners is a no-op).
+
+    ONE hash aggregation on ``(keys…, ts)`` — max_by over the version
+    struct, map-side combined, no window, no join.  At 10^12 turns the
+    shuffle carries one row per logical point, exactly the table's
+    output size; a window formulation would sort every duplicate group
+    instead.
+    """
+    version = F.struct(F.col(seq_col), *[F.col(t) for t in tiebreak])
+    others = [
+        c for c in df.columns
+        if c not in {*keys, ts_col, seq_col, *tiebreak}
+    ]
+    picked = [
+        F.max_by(F.col(c), version).alias(c)
+        for c in [seq_col, *tiebreak, *others]
+    ]
+    return df.groupBy(*keys, ts_col).agg(*picked)

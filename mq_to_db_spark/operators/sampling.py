@@ -187,3 +187,54 @@ def epoch_shuffle(
         .withColumn(pos_col, F.expr(f"(_rank - 1) div {n_shards}"))
         .drop("_u", "_one", "_rank")
     )
+
+
+def sample_mixture(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    alpha: float = 0.5,
+    target_rows: float = 0.0,
+    seed: int = 42,
+    rate_col: str | None = None,
+) -> DataFrame:
+    """Temperature-based mixture sampling across domains — the standard
+    multinomial re-weighting of multi-source training corpora
+    (p_domain ∝ n_domain^α): α = 1 keeps natural proportions, α → 0
+    flattens toward uniform-over-domains, upweighting rare sources.
+
+    Each domain gets keep-rate ``r_d = min(1, C · n_d^(α−1))`` with
+    ``C = target_rows / Σ_d n_d^α``, so expected output ≈ target_rows
+    (less when clamping caps an upweighted domain at 1 — single pass, no
+    iterative renormalization; callers wanting exact mass re-run with
+    the shortfall).  Membership is the same content-addressed 60-bit
+    coin as :func:`sample_bernoulli` — deterministic in (seed, id),
+    partitioning-independent, DuckDB-replayable.
+
+    Scale: ONE tiny domain-count agg (domain cardinality is config-like,
+    thousands at most) + a broadcast rate join + the pure hash filter —
+    the corpus streams once, no wide shuffle.  ``rate_col`` keeps the
+    applied rate on surviving rows for audit.
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0,1], got {alpha}")
+    if target_rows <= 0:
+        raise ValueError(f"target_rows must be positive, got {target_rows}")
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_nd"))
+    norm = counts.agg(
+        F.sum(F.pow(F.col("_nd").cast("double"), F.lit(alpha))).alias("_z")
+    )
+    rates = counts.crossJoin(F.broadcast(norm)).select(
+        domain_col,
+        F.least(
+            F.lit(1.0),
+            (F.lit(float(target_rows)) / F.col("_z"))
+            * F.pow(F.col("_nd").cast("double"), F.lit(alpha - 1.0)),
+        ).alias("_rate"),
+    )
+    u = hash_u60(id_col, seed)
+    thr = F.floor(F.col("_rate") * F.lit(float(HASH_SPACE))).cast("long")
+    kept = df.join(F.broadcast(rates), domain_col, "inner").where(u < thr)
+    if rate_col:
+        return kept.withColumnRenamed("_rate", rate_col)
+    return kept.drop("_rate")

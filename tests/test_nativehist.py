@@ -199,3 +199,25 @@ def test_epoch_shuffle_no_single_partition_window(spark):
     # …and the only SinglePartition exchange is the tiny carry spine
     assert plan.count("Exchange SinglePartition") <= 1
     assert "Python" not in plan
+
+
+def test_fraction_bounds_and_monotonicity(spark):
+    from mq_to_db_spark.operators.nativehist import exp_hist_fraction
+
+    vals = [float(v) for v in range(1, 201)]
+    df = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00", v) for v in vals],
+        "k string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    h = exp_histogram(df, "1h", "v", keys=["k"]).cache()
+    prev = -1.0
+    for upper in (0.4, 1.0, 3.0, 64.0, 150.0, 4096.0):
+        frac = exp_hist_fraction(h, upper, keys=["k"]).first().fraction
+        exact = sum(1 for v in vals if v <= upper) / len(vals)
+        # within one bucket factor of the exact share, and monotone
+        lo_bound = sum(1 for v in vals if v <= upper / 2) / len(vals)
+        hi_bound = sum(1 for v in vals if v <= upper * 2) / len(vals)
+        assert lo_bound <= frac <= hi_bound, (upper, frac, exact)
+        assert frac >= prev
+        prev = frac
+    assert exp_hist_fraction(h, 4096.0, keys=["k"]).first().fraction == 1.0

@@ -359,3 +359,111 @@ def test_chunk_spans_coverage_property(spark):
             assert 0 <= s < e <= n
             covered |= set(range(s, e))
         assert covered == set(range(n)), i
+
+
+# -- temperature mixture sampling ---------------------------------------------
+
+
+def test_sample_mixture_upweights_rare_domains(spark):
+    from mq_to_db_spark.operators.sampling import sample_mixture
+
+    # skewed corpus: 'big' 8000 docs, 'mid' 900, 'rare' 100
+    rows = (
+        [(i, "big") for i in range(8000)]
+        + [(10_000 + i, "mid") for i in range(900)]
+        + [(20_000 + i, "rare") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string").cache()
+    out = sample_mixture(
+        df, "doc_id", "source", alpha=0.5, target_rows=900.0, seed=7
+    )
+    kept = {
+        r.source: r.n
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # expected per-domain mass = C·n^α: z = √8000+√900+√100 ≈ 129.4,
+    # every domain contributes ≈ 900·√n/z — SAME expected count per
+    # domain (that's α=0.5 flattening); binomial 5σ bounds
+    import math
+    z = math.sqrt(8000) + math.sqrt(900) + math.sqrt(100)
+    for d, n in (("big", 8000), ("mid", 900), ("rare", 100)):
+        exp = 900.0 * math.sqrt(n) / z
+        sd = math.sqrt(exp)
+        assert abs(kept.get(d, 0) - exp) < 5 * sd, (d, kept.get(d), exp)
+    # rare domain keep-RATE far above big's (upweighting direction)
+    assert kept["rare"] / 100 > 5 * kept["big"] / 8000
+    # determinism + partition independence
+    again = {r.doc_id for r in sample_mixture(
+        df.repartition(11), "doc_id", "source", alpha=0.5,
+        target_rows=900.0, seed=7).collect()}
+    assert again == {r.doc_id for r in out.collect()}
+
+
+def test_sample_mixture_alpha_one_is_uniform_rate(spark):
+    from mq_to_db_spark.operators.sampling import sample_mixture
+
+    rows = [(i, "a" if i % 10 else "b") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sample_mixture(
+        df, "doc_id", "source", alpha=1.0, target_rows=500.0, seed=3,
+        rate_col="rate",
+    )
+    # α=1 ⇒ every domain keeps the same rate = target/total
+    rates = {r.rate for r in out.select("rate").distinct().collect()}
+    assert len(rates) == 1
+    assert abs(next(iter(rates)) - 0.25) < 1e-12
+
+
+def test_sample_mixture_validates(spark, docs):
+    from mq_to_db_spark.operators.sampling import sample_mixture
+
+    with pytest.raises(ValueError):
+        sample_mixture(docs, "doc_id", "lang", alpha=1.5, target_rows=10)
+    with pytest.raises(ValueError):
+        sample_mixture(docs, "doc_id", "lang", alpha=0.5, target_rows=0)
+
+
+# -- last-write-wins upsert ----------------------------------------------------
+
+
+def test_lww_upsert_semantics(spark):
+    from mq_to_db_spark.operators.replicas import lww_upsert
+
+    rows = [
+        # (key, ts, seq, v): dup at t1 — seq 3 wins even though listed first
+        ("k1", "2024-01-01 00:00:00", 3, 30.0),
+        ("k1", "2024-01-01 00:00:00", 1, 10.0),
+        ("k1", "2024-01-01 00:00:00", 2, 20.0),
+        # singleton passes through
+        ("k1", "2024-01-01 00:01:00", 1, 11.0),
+        # other key isolated
+        ("k2", "2024-01-01 00:00:00", 1, 99.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts string, seq int, v double") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = lww_upsert(df, ["k"], ts_col="ts", seq_col="seq")
+    got = {(r.k, str(r.ts)): (r.seq, r.v) for r in out.collect()}
+    assert got[("k1", "2024-01-01 00:00:00")] == (3, 30.0)
+    assert got[("k1", "2024-01-01 00:01:00")] == (1, 11.0)
+    assert got[("k2", "2024-01-01 00:00:00")] == (1, 99.0)
+    # idempotence: upserting the winners again is a no-op
+    again = lww_upsert(out, ["k"], ts_col="ts", seq_col="seq")
+    assert {(r.k, str(r.ts)): (r.seq, r.v) for r in again.collect()} == got
+
+
+def test_lww_upsert_single_agg_plan(spark):
+    from mq_to_db_spark.operators.replicas import lww_upsert
+
+    df = spark.range(100).select(
+        F.lit("k").alias("k"),
+        F.col("id").cast("timestamp").alias("ts"),
+        (F.col("id") % 3).cast("int").alias("seq"),
+        F.col("id").cast("double").alias("v"),
+    )
+    plan = (
+        lww_upsert(df, ["k"], ts_col="ts", seq_col="seq")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one hash-agg pair, no window, no join, no Python
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan and "Join" not in plan and "Python" not in plan
