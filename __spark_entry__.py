@@ -2765,18 +2765,109 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_apdex_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apdex user-satisfaction score per (event_type, hour)
+    (operators/slo.py apdex_tier): satisfied ≤ 20, tolerating ≤ 80,
+    score = (sat + tol/2)/total.  Three BIGINT count_if partials in ONE
+    hash aggregate, one double division — order-independent, so the
+    oracle hash-matches at 6 dp."""
+    from mq_to_db_spark.operators.slo import apdex_tier
+
+    return apdex_tier(
+        _events(spark, sf_dir),
+        ["event_type"],
+        latency_col="value",
+        threshold=20.0,
+        tier="1h",
+    )
+
+
+def q_calendar_day_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone-aware local-day rollup (operators/calendar.py
+    rollup_calendar): turns per LOCAL Asia/Kathmandu day (UTC+5:45 —
+    the fractional offset moves every day boundary off the UTC hour
+    grid, so a UTC truncation cannot fake it).  Pure-codegen zone
+    round-trip (from_utc → date_trunc → to_utc), ONE hash aggregate;
+    DST-boundary semantics proven in tests/test_calendar.py against
+    the same ICU replay."""
+    from mq_to_db_spark.operators.calendar import rollup_calendar
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    out = rollup_calendar(
+        ev,
+        "day",
+        "Asia/Kathmandu",
+        keys=["event_type"],
+        aggs=[F.round(F.sum("value"), 6).alias("value_sum")],
+    )
+    return out.select(
+        "event_type", "bucket_start", "local_start", "n_rows", "value_sum"
+    )
+
+
+def q_holt_linear_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-parameter Holt linear smoothing — PromQL
+    ``holt_winters(v, 0.4, 0.2)`` / Prometheus 3.x
+    ``double_exponential_smoothing`` parity (operators/ewma.py
+    holt_linear; prometheus/promql/functions.go calcTrendValue) over
+    the hourly count tier per event_type.  States stay unrounded
+    through the recurrence in the same literal op order as the
+    recursive-CTE oracle; O(tier-bucket) loop inside one grouped Arrow
+    batch, never the raw stream."""
+    from mq_to_db_spark.operators.ewma import holt_linear
+
+    tier = (
+        _events(spark, sf_dir)
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket_start"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return holt_linear(
+        tier,
+        ["event_type"],
+        ts_col="bucket_start",
+        value_col="n_events",
+        sf=0.4,
+        tf=0.2,
+    )
+
+
+def q_xcorr_lags_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation (operators/correlate.py xcorr_lags):
+    does hourly click volume lead hourly error volume by k ∈ [-2, 2]
+    buckets?  ONE window exchange computes every lag column off the
+    same sort, stack unpivots without a shuffle, then the exact-moment
+    Pearson (BIGINT sums, one double formula) — the oracle replays the
+    pairing as a dense-grid self-join."""
+    from mq_to_db_spark.operators.correlate import bucketed_pair_series, xcorr_lags
+
+    pair = bucketed_pair_series(
+        _events(spark, sf_dir),
+        "ts",
+        "1h",
+        F.count_if(F.col("event_type") == "click"),
+        F.count_if(F.col("event_type") == "error"),
+    )
+    out = xcorr_lags(pair, [-2, -1, 0, 1, 2])
+    return out.select("lag", "n_pairs", F.round("xcorr", 6).alias("xcorr"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is EVIDENCE order, not build order: the
     driver's correctness gate records at most the first ~50 entries
     (r03 recorded exactly the first 50 of 57 in dict order), so the
     least-driver-proven queries come FIRST — this round's additions
-    (112 registered in total; the committed full-contract snapshot at
+    (116 registered in total; the committed full-contract snapshot at
     BENCH/correctness_r04_local.json covers every one), then round-3's
     (one green driver record), round-2's (two), and the round-1
     originals (three green records each) last, where any truncation
     costs the least."""
     return {
         # -- never in a driver CORRECTNESS file (r03 cap) + round-4 new --
+        "apdex_1h": q_apdex_1h,
+        "calendar_day_tz": q_calendar_day_tz,
+        "holt_linear_1h": q_holt_linear_1h,
+        "xcorr_lags_1h": q_xcorr_lags_1h,
         "alert_silences": q_alert_silences,
         "exphist_1d": q_exphist_1d,
         "exphist_quantile_1d": q_exphist_quantile_1d,
@@ -3103,6 +3194,136 @@ def oracle_sql() -> dict[str, str]:
         f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES
     )
     return {
+        # apdex: three FILTER tallies, one double expression, round 6
+        "apdex_1h": """
+            SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+                   CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(count(*) FILTER (WHERE value <= 20.0) AS BIGINT)
+                       AS n_satisfied,
+                   CAST(count(*) FILTER (
+                       WHERE value > 20.0 AND value <= 80.0) AS BIGINT)
+                       AS n_tolerating,
+                   round((CAST(count(*) FILTER (WHERE value <= 20.0)
+                               AS DOUBLE)
+                          + CAST(count(*) FILTER (
+                                WHERE value > 20.0 AND value <= 80.0)
+                            AS DOUBLE) / 2.0)
+                         / CAST(count(*) AS DOUBLE), 6) AS apdex
+            FROM events GROUP BY 1, 2
+        """,
+        # calendar day in a fractional-offset zone: the same ICU
+        # round-trip (UTC -> local wall clock -> truncate -> UTC)
+        "calendar_day_tz": """
+            SELECT event_type,
+                   timezone('UTC', timezone('Asia/Kathmandu',
+                       date_trunc('day',
+                           timezone('Asia/Kathmandu', timezone('UTC', ts)))))
+                       AS bucket_start,
+                   date_trunc('day',
+                       timezone('Asia/Kathmandu', timezone('UTC', ts)))
+                       AS local_start,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   round(sum(value), 6) AS value_sum
+            FROM events GROUP BY 1, 2, 3
+        """,
+        # Holt linear: the exact Prometheus recurrence as a recursive
+        # CTE — same literal op order, states unrounded until the end
+        "holt_linear_1h": """
+            WITH RECURSIVE tier AS (
+                SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1, 2
+            ),
+            ordered AS (
+                SELECT event_type, bucket_start, n_events,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY bucket_start
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS cnt
+                FROM tier
+            ),
+            init AS (
+                SELECT o.event_type, o.bucket_start, o.n_events, o.rn,
+                       CAST(o.n_events AS DOUBLE) AS s,
+                       CAST(o.n_events AS DOUBLE) AS s_prev,
+                       CASE WHEN o.cnt >= 2 THEN
+                           (SELECT CAST(o2.n_events AS DOUBLE)
+                            FROM ordered o2
+                            WHERE o2.event_type = o.event_type
+                              AND o2.rn = 2)
+                           - CAST(o.n_events AS DOUBLE)
+                       END AS b
+                FROM ordered o WHERE o.rn = 1
+            ),
+            rec AS (
+                SELECT event_type, bucket_start, n_events, rn,
+                       s, s_prev, b, TRUE AS is_first
+                FROM init
+                UNION ALL
+                SELECT o.event_type, o.bucket_start, o.n_events, o.rn,
+                       0.4 * o.n_events + (1 - 0.4) * (r.s +
+                           CASE WHEN o.rn >= 3
+                                THEN 0.2 * (r.s - r.s_prev) + (1 - 0.2) * r.b
+                                ELSE r.b END),
+                       r.s,
+                       CASE WHEN o.rn >= 3
+                            THEN 0.2 * (r.s - r.s_prev) + (1 - 0.2) * r.b
+                            ELSE r.b END,
+                       FALSE
+                FROM rec r JOIN ordered o
+                  ON o.event_type = r.event_type AND o.rn = r.rn + 1
+            )
+            SELECT event_type, bucket_start, n_events,
+                   round(s, 6) AS smoothed,
+                   CASE WHEN is_first THEN NULL
+                        ELSE round(b, 6) END AS trend
+            FROM rec
+        """,
+        # xcorr: dense-grid self-join replays lag(a, k) pairing, then
+        # the shared exact-moment Pearson
+        "xcorr_lags_1h": """
+            WITH tier AS (
+                SELECT date_trunc('hour', ts) AS bucket_start,
+                       CAST(count(*) FILTER (WHERE event_type = 'click')
+                            AS BIGINT) AS a,
+                       CAST(count(*) FILTER (WHERE event_type = 'error')
+                            AS BIGINT) AS b
+                FROM events GROUP BY 1
+            ),
+            grid AS (
+                SELECT unnest(generate_series(
+                    (SELECT min(bucket_start) FROM tier),
+                    (SELECT max(bucket_start) FROM tier),
+                    INTERVAL 1 HOUR)) AS bucket_start
+            ),
+            filled AS (
+                SELECT g.bucket_start,
+                       COALESCE(t.a, 0) AS a, COALESCE(t.b, 0) AS b
+                FROM grid g LEFT JOIN tier t USING (bucket_start)
+            ),
+            lags AS (SELECT unnest([-2, -1, 0, 1, 2]) AS lag),
+            pairs AS (
+                SELECT l.lag, f2.a AS a, f.b AS b
+                FROM filled f
+                JOIN lags l ON TRUE
+                JOIN filled f2
+                  ON f2.bucket_start = f.bucket_start - l.lag * INTERVAL 1 HOUR
+            ),
+            m AS (
+                SELECT lag, CAST(count(*) AS BIGINT) AS n,
+                       sum(a) AS sa, sum(b) AS sb, sum(a * b) AS sab,
+                       sum(a * a) AS saa, sum(b * b) AS sbb
+                FROM pairs GROUP BY 1
+            )
+            SELECT CAST(lag AS INT) AS lag, n AS n_pairs,
+                   round((CAST(n AS DOUBLE) * sab - CAST(sa AS DOUBLE) * sb)
+                         / nullif(sqrt(CAST(n AS DOUBLE) * saa
+                                       - CAST(sa AS DOUBLE) * sa)
+                                  * sqrt(CAST(n AS DOUBLE) * sbb
+                                         - CAST(sb AS DOUBLE) * sb), 0.0),
+                         6) AS xcorr
+            FROM m
+        """,
         # alert silences: merged-calendar interval subtraction replayed
         # with window-lag gaps over the SAME clipped, disjoint windows
         "alert_silences": """

@@ -138,6 +138,10 @@ EXTENDED_QUERIES = (
     "exphist_fraction_1d",
     "mixture_sample",
     "lww_upsert",
+    "apdex_1h",
+    "calendar_day_tz",
+    "holt_linear_1h",
+    "xcorr_lags_1h",
 )
 
 

@@ -138,6 +138,11 @@ _PUBLIC = {
     "exp_hist_fraction": "mq_to_db_spark.operators.nativehist",
     "sample_mixture": "mq_to_db_spark.operators.sampling",
     "lww_upsert": "mq_to_db_spark.operators.replicas",
+    "apdex_tier": "mq_to_db_spark.operators.slo",
+    "bucket_local": "mq_to_db_spark.operators.calendar",
+    "rollup_calendar": "mq_to_db_spark.operators.calendar",
+    "holt_linear": "mq_to_db_spark.operators.ewma",
+    "xcorr_lags": "mq_to_db_spark.operators.correlate",
     "merge_intervals": "mq_to_db_spark.operators.intervals",
     "subtract_intervals": "mq_to_db_spark.operators.intervals",
     "streaming_alerts": "mq_to_db_spark.streaming.stateful",

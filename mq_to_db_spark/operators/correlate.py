@@ -99,6 +99,72 @@ def series_corr(
     )
 
 
+def xcorr_lags(
+    pair: DataFrame,
+    lags: list[int],
+    bucket_col: str = "bucket_start",
+    a_col: str = "a",
+    b_col: str = "b",
+    out_col: str = "xcorr",
+) -> DataFrame:
+    """Lead-lag cross-correlation: for each ``k`` in ``lags``, the
+    Pearson correlation of ``(a_{t-k}, b_t)`` over the whole series —
+    the "does A lead B by k buckets?" diagnostic (k > 0: A leads;
+    k < 0: B leads; k = 0 degenerates to :func:`series_corr`).  Feed a
+    zero-filled pair series (:func:`bucketed_pair_series`) — gaps bias
+    the estimate.
+
+    Plan: ONE window exchange computes every ``lag(a, k)`` column off
+    the same sort (Catalyst collapses same-spec window functions into
+    one Window node), ``stack`` unpivots to (lag, a_lagged, b) rows —
+    a narrow projection, no extra shuffle — and the same exact-moment
+    Pearson as :func:`series_corr` finishes with one tiny aggregate:
+    BIGINT sums for integer series, one double formula, engine-
+    bit-identical.  Negative lags are ``lead``s of ``a``, expressed as
+    ``lag(a, k<0)`` which Spark defines as lead — same as SQL.
+
+    The window is keyless ONLY over tier-series rows (calendar-bounded;
+    the rolling.rolling_stats size argument) — at 10^12 raw turns this
+    operator never sees the raw stream."""
+    if not lags:
+        raise ValueError("lags must name at least one lag")
+    if len(set(lags)) != len(lags):
+        raise ValueError(f"duplicate lags in {lags}")
+    from pyspark.sql import window as W
+
+    w = W.Window.orderBy(bucket_col)
+    cols = pair
+    for k in lags:
+        cols = cols.withColumn(f"_alag_{k}".replace("-", "m"), F.lag(a_col, k).over(w))
+    stack_args = ", ".join(
+        f"{k}, `_alag_{str(k).replace('-', 'm')}`" for k in lags
+    )
+    unpivoted = cols.select(
+        F.col(bucket_col),
+        F.col(b_col),
+        F.expr(f"stack({len(lags)}, {stack_args}) AS (lag, _a)"),
+    ).where(F.col("_a").isNotNull())
+    g = unpivoted.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_a").alias("_sa"),
+        F.sum(b_col).alias("_sb"),
+        F.sum(F.col("_a") * F.col(b_col)).alias("_sab"),
+        F.sum(F.col("_a") * F.col("_a")).alias("_saa"),
+        F.sum(F.col(b_col) * F.col(b_col)).alias("_sbb"),
+    )
+    n = F.col("_n").cast("double")
+    sa, sb = F.col("_sa").cast("double"), F.col("_sb").cast("double")
+    sab = F.col("_sab").cast("double")
+    saa, sbb = F.col("_saa").cast("double"), F.col("_sbb").cast("double")
+    cov = n * sab - sa * sb
+    var_a = n * saa - sa * sa
+    var_b = n * sbb - sb * sb
+    corr = cov / F.nullif(F.sqrt(var_a) * F.sqrt(var_b), F.lit(0.0))
+    return g.select(
+        "lag", F.col("_n").alias("n_pairs"), corr.alias(out_col)
+    )
+
+
 def autocorr(
     series: DataFrame,
     lag: int = 1,

@@ -156,6 +156,80 @@ def _ewma_keyless(df, ts_col, value_col, alpha, tiebreak, out_col, n_buckets):
     )
 
 
+def holt_linear(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    sf: float = 0.4,
+    tf: float = 0.2,
+    tiebreak: tuple[str, ...] = (),
+) -> DataFrame:
+    """Two-parameter Holt linear smoothing — exact batch form of PromQL
+    ``holt_winters(v, sf, tf)`` (renamed ``double_exponential_smoothing``
+    in Prometheus 3.x; prometheus/promql/functions.go
+    ``funcDoubleExponentialSmoothing``/``calcTrendValue``), which is NOT
+    Brown's single-parameter form (:func:`double_ewma`): the smoothing
+    factor ``sf`` and trend factor ``tf`` are independent.
+
+    Per series in ``(ts_col, *tiebreak)`` order, exactly Prometheus'
+    recurrence:
+
+        s_1 = x_1 ;  b_1 = x_2 - x_1
+        for t ≥ 2:
+            b_t = tf·(s_{t-1} - s_{t-2}) + (1-tf)·b_{t-1}   (t ≥ 3;
+                   b_2 keeps the initial x_2 - x_1)
+            s_t = sf·x_t + (1-sf)·(s_{t-1} + b_t)
+
+    appending ``smoothed`` (s_t) and ``trend`` (b_t; NULL on the first
+    row, where no trend exists yet).  Series of length 1 emit
+    ``smoothed = x_1`` (PromQL returns nothing for <2 samples; the
+    batch form keeps the row so rollup joins stay total).
+
+    The coupled two-state recurrence has no pandas C kernel (``ewm``
+    only runs α-geometric scans), so the state loop is plain Python —
+    but it crosses via ONE grouped Arrow batch and is O(bucket count),
+    not O(turns): this operator consumes calendar-bounded TIER rows
+    (e.g. 8,760 1h buckets/year), never the raw stream, so the loop is
+    thousands of iterations per series, not 10^12.  Both states stay
+    unrounded through the recurrence; the same literal expression
+    order as the DuckDB recursive-CTE oracle keeps the doubles
+    bit-identical before the final round-to-6.
+    """
+    if not 0 < sf < 1 or not 0 < tf < 1:
+        raise ValueError(f"sf/tf must be in (0, 1), got sf={sf} tf={tf}")
+    if not keys:
+        raise ValueError("holt_linear is keyed-only (tier series per key)")
+    order = [ts_col, *tiebreak]
+    schema = _scan_schema(
+        df, [("smoothed", DoubleType()), ("trend", DoubleType())]
+    )
+    one_minus_sf = 1.0 - sf
+    one_minus_tf = 1.0 - tf
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, ignore_index=True)
+        x = pdf[value_col].astype("float64").to_numpy()
+        n = len(x)
+        s_out = [x[0] if n else None]
+        b_out: list[float | None] = [None]
+        if n >= 2:
+            s_prev, s_prev2 = x[0], x[0]
+            b = x[1] - x[0]
+            for t in range(1, n):
+                if t >= 2:
+                    b = tf * (s_prev - s_prev2) + one_minus_tf * b
+                s_new = sf * x[t] + one_minus_sf * (s_prev + b)
+                s_prev2, s_prev = s_prev, s_new
+                s_out.append(s_new)
+                b_out.append(b)
+        pdf["smoothed"] = pd.Series(s_out, dtype="float64").round(6)
+        pdf["trend"] = pd.Series(b_out, dtype="float64").round(6)
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(scan, schema)
+
+
 def double_ewma(
     df: DataFrame,
     keys: list[str],

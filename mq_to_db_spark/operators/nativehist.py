@@ -239,6 +239,70 @@ def exp_hist_quantile(
     return first.select(*keys, "bucket_start", est.alias(out_col))
 
 
+def exp_hist_stats(
+    sketches: DataFrame,
+    schema: int = 0,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """PromQL ``histogram_avg`` / ``histogram_stddev`` on the positive
+    span of a native exponential sketch: mean and standard deviation
+    estimated from bucket midpoints ``mid_i = (2^((i-1)/2^s) + 2^(i/2^s))/2``
+    (the within-bucket point-mass-at-midpoint model Prometheus'
+    ``funcHistogramStdDev`` uses when only bucket counts are known).
+
+    Plan shape: ZERO shuffle — each sketch row already holds its whole
+    map, so N, Σ n·mid and Σ n·mid² are per-row ``aggregate`` folds over
+    ``map_entries`` sorted by bucket index (deterministic fold order),
+    then ``mean = S1/N`` and ``stddev = sqrt(S2/N − mean²)`` in one fixed
+    expression tree.
+
+    Exactness discipline (schema 0, the contract case): ``mid_i =
+    1.5·2^(i−1)`` and ``mid_i²`` are exact binary doubles, so every term
+    ``n·mid`` is an exact half-integer and the fold sums are EXACT for
+    any realistic magnitude (< 2^53) — order-independent by exactness,
+    not by luck — which is what lets the DuckDB oracle hash-match the
+    final rounded doubles.  Higher schemas keep the sorted fold (stable,
+    engine-deterministic) but midpoints are irrational, so cross-engine
+    equality is approximate there.
+
+    Emits ``n_obs`` (BIGINT), ``mean``, ``stddev`` (population form,
+    NULL when the sketch is empty; 0.0 for single-bucket mass only if
+    the spread is genuinely zero — midpoint model gives 0 variance for
+    one bucket).
+    """
+    keys = list(keys or [])
+    factor = float(1 << schema)
+    ent = F.array_sort(F.map_entries("hist"))  # sorted by bucket index
+    idx = lambda e: e["key"].cast("double")  # noqa: E731
+    lo = lambda e: F.pow(F.lit(2.0), (idx(e) - 1) / F.lit(factor))  # noqa: E731
+    hi = lambda e: F.pow(F.lit(2.0), idx(e) / F.lit(factor))  # noqa: E731
+    mid = lambda e: (lo(e) + hi(e)) / F.lit(2.0)  # noqa: E731
+    n_obs = F.aggregate(
+        ent, F.lit(0).cast("long"), lambda acc, e: acc + e["value"]
+    )
+    s1 = F.aggregate(
+        ent,
+        F.lit(0.0),
+        lambda acc, e: acc + e["value"].cast("double") * mid(e),
+    )
+    s2 = F.aggregate(
+        ent,
+        F.lit(0.0),
+        lambda acc, e: acc + e["value"].cast("double") * (mid(e) * mid(e)),
+    )
+    nd = n_obs.cast("double")
+    mean = s1 / nd
+    var = s2 / nd - (s1 / nd) * (s1 / nd)
+    stddev = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return sketches.select(
+        *keys,
+        "bucket_start",
+        n_obs.alias("n_obs"),
+        F.when(n_obs > 0, mean).alias("mean"),
+        F.when(n_obs > 0, stddev).alias("stddev"),
+    )
+
+
 def exp_hist_fraction(
     sketches: DataFrame,
     upper: float,

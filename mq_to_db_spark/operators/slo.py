@@ -112,6 +112,51 @@ def burn_rate(
     return out.withColumn("alert", F.coalesce(alert, F.lit(False)))
 
 
+def apdex_tier(
+    df: DataFrame,
+    keys: list[str],
+    latency_col: str = "value",
+    threshold: float = 100.0,
+    ts_col: str = "ts",
+    tier: str = "1h",
+) -> DataFrame:
+    """Apdex score per ``(keys…, bucket_start)`` — the standard
+    user-satisfaction index over a latency column (Apdex Alliance
+    spec; the panel the reference's Grafana dashboards compute from
+    the same ack counters this module's burn rates consume):
+
+        satisfied   : latency ≤ T
+        tolerating  : T < latency ≤ 4T
+        frustrated  : latency > 4T          (NULL latencies count here:
+                                             a lost measurement is not
+                                             a satisfied user)
+        apdex = (n_satisfied + n_tolerating/2) / n_total
+
+    Exactness: the three tallies are BIGINT ``count_if`` partials
+    (order-independent), and the score is ONE double expression over
+    them — bit-identical on any engine, so the oracle hash-matches
+    after the shared round-to-6.  Plan: a single partial-aggregated
+    hash aggregate over the raw scan, same shape as
+    :func:`error_ratio_tier`; at 10^12 turns the shuffle carries only
+    tier rows."""
+    if not threshold > 0:
+        raise ValueError(f"threshold must be positive, got {threshold}")
+    lat = F.col(latency_col)
+    t = F.lit(float(threshold))
+    sat = lat <= t
+    tol = (lat > t) & (lat <= F.lit(4.0 * float(threshold)))
+    g = df.groupBy(*keys, bucket_col(tier, ts_col).alias("bucket_start")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(sat).alias("n_satisfied"),
+        F.count_if(tol).alias("n_tolerating"),
+    )
+    score = (
+        F.col("n_satisfied").cast("double")
+        + F.col("n_tolerating").cast("double") / F.lit(2.0)
+    ) / F.col("n_total").cast("double")
+    return g.withColumn("apdex", F.round(score, 6))
+
+
 def slo_burn(
     df: DataFrame,
     keys: list[str],

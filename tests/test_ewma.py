@@ -209,3 +209,70 @@ def test_double_ewma_requires_keys_and_valid_alpha(spark):
         double_ewma(df, [])
     with pytest.raises(ValueError, match="alpha"):
         double_ewma(df, ["k"], alpha=1.0)
+
+
+def test_holt_linear_matches_prometheus_recurrence(spark):
+    """Pure-Python replay of prometheus/promql/functions.go
+    funcDoubleExponentialSmoothing + calcTrendValue, same op order."""
+    import datetime as dt
+
+    from mq_to_db_spark.operators.ewma import holt_linear
+
+    sf, tf = 0.4, 0.2
+    xs = [3.0, 7.0, 4.0, 9.0, 12.0, 6.0, 15.0, 14.0]
+    rows = [("k", dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), x)
+            for h, x in enumerate(xs)]
+    got = (
+        holt_linear(spark.createDataFrame(rows, "k string, ts timestamp, value double"),
+                    ["k"], sf=sf, tf=tf)
+        .orderBy("ts")
+        .collect()
+    )
+    # reference replay (Prometheus loop, verbatim structure)
+    s0, s1, b = 0.0, xs[0], xs[1] - xs[0]
+    want_s, want_b = [xs[0]], [None]
+    for i in range(1, len(xs)):
+        x = sf * xs[i]
+        if i - 1 != 0:
+            b = tf * (s1 - s0) + (1 - tf) * b
+        y = (1 - sf) * (s1 + b)
+        s0, s1 = s1, x + y
+        want_s.append(s1)
+        want_b.append(b)
+    for r, ws, wb in zip(got, want_s, want_b):
+        assert r["smoothed"] == round(ws, 6)
+        assert r["trend"] == (None if wb is None else round(wb, 6))
+
+
+def test_holt_linear_short_series_and_validation(spark):
+    import datetime as dt
+
+    import pytest
+
+    from mq_to_db_spark.operators.ewma import holt_linear
+
+    one = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 1), 42.0)], "k string, ts timestamp, value double"
+    )
+    r = holt_linear(one, ["k"]).collect()[0]
+    assert r["smoothed"] == 42.0 and r["trend"] is None
+    with pytest.raises(ValueError, match="keyed-only"):
+        holt_linear(one, [])
+    with pytest.raises(ValueError, match="sf/tf"):
+        holt_linear(one, ["k"], sf=1.0)
+
+
+def test_holt_linear_tracks_linear_series(spark):
+    """On y = 5t the trend estimate converges to the true slope."""
+    import datetime as dt
+
+    from mq_to_db_spark.operators.ewma import holt_linear
+
+    df = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 1) + dt.timedelta(hours=h), 5.0 * h)
+         for h in range(300)],
+        "k string, ts timestamp, value double",
+    )
+    last = holt_linear(df, ["k"], sf=0.4, tf=0.2).orderBy("ts").tail(1)[0]
+    assert abs(last["trend"] - 5.0) < 1e-6
+    assert abs(last["smoothed"] - 5.0 * 299) < 1e-4

@@ -65,3 +65,43 @@ def test_autocorr_pairs_do_not_cross_group_boundary(spark):
     got = {r.group_start.day: r.n_pairs
            for r in autocorr(df, lag=1, group_unit="day").collect()}
     assert got == {1: 1, 2: 1}  # never a (day1 23h, day2 0h) pair
+
+
+def test_xcorr_detects_known_lead(spark):
+    """b is a shifted by exactly 2 buckets -> xcorr peaks at lag=+2
+    with correlation 1.0 (a leads b)."""
+    import datetime as dt
+
+    from mq_to_db_spark.operators.correlate import xcorr_lags
+
+    t0 = dt.datetime(2024, 1, 1)
+    a = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+    rows = [
+        (t0 + dt.timedelta(hours=h), a[h], a[h - 2] if h >= 2 else 0)
+        for h in range(len(a))
+    ]
+    pair = spark.createDataFrame(rows, "bucket_start timestamp, a long, b long")
+    out = {r["lag"]: r for r in xcorr_lags(pair, [-2, 0, 2]).collect()}
+    assert round(out[2]["xcorr"], 9) == 1.0
+    assert out[2]["n_pairs"] == len(a) - 2
+    # the unshifted and reverse pairings are strictly weaker
+    assert out[0]["xcorr"] < 1.0 and out[-2]["xcorr"] < 1.0
+
+
+def test_xcorr_validation_and_single_window(spark):
+    import datetime as dt
+
+    import pytest
+
+    from mq_to_db_spark.operators.correlate import xcorr_lags
+
+    pair = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), 1, 2)], "bucket_start timestamp, a long, b long"
+    )
+    with pytest.raises(ValueError, match="at least one"):
+        xcorr_lags(pair, [])
+    with pytest.raises(ValueError, match="duplicate"):
+        xcorr_lags(pair, [1, 1])
+    # all lag columns share one Window node (one sort, no per-lag exchange)
+    plan = xcorr_lags(pair, [-1, 0, 1])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1

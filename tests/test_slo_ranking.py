@@ -281,3 +281,42 @@ def test_top_k_with_others_sums_and_ranks(spark):
     # a window with <= k keys emits no others row
     d2 = [(r.key, r.n, r.rank) for r in got if r.w == "d2"]
     assert d2 == [("u1", 9, 1)]
+
+
+def test_apdex_hand_computed(spark):
+    import datetime as dt
+
+    from mq_to_db_spark.operators.slo import apdex_tier
+
+    t0 = dt.datetime(2024, 1, 1, 10)
+    rows = [
+        ("svc", t0, 10.0),   # satisfied (== T counts satisfied: <=)
+        ("svc", t0, 20.0),   # tolerating upper edge: > T, <= 4T
+        ("svc", t0, 80.0),   # tolerating at exactly 4T
+        ("svc", t0, 81.0),   # frustrated
+        ("svc", t0, None),   # NULL latency -> frustrated
+    ]
+    out = apdex_tier(
+        spark.createDataFrame(rows, "k string, ts timestamp, value double"),
+        ["k"], latency_col="value", threshold=20.0, tier="1h",
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_total"], r["n_satisfied"], r["n_tolerating"]) == (5, 2, 1)
+    assert r["apdex"] == 0.5  # (2 + 0.5) / 5
+
+
+def test_apdex_validation_and_plan(spark):
+    import datetime as dt
+
+    import pytest
+
+    from mq_to_db_spark.operators.slo import apdex_tier
+
+    df = spark.createDataFrame(
+        [("k", dt.datetime(2024, 1, 1), 1.0)], "k string, ts timestamp, value double"
+    )
+    with pytest.raises(ValueError, match="threshold"):
+        apdex_tier(df, ["k"], threshold=0.0)
+    plan = apdex_tier(df, ["k"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1  # one hash-agg exchange, nothing else
