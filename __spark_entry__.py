@@ -2765,6 +2765,96 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recording_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recording-rule DAG (plans/rules.py evaluate_rules — the
+    Prometheus rule-group feature, prometheus/rules/group.go, made
+    engine-native): four rules over events with a fan-out node —
+    hourly_by_type feeds BOTH hourly_share and daily_volume (persisted
+    once), daily_worst consumes hourly_share, and the final join fans
+    back in.  All shares are one BIGINT/BIGINT division; daily extrema
+    are order-independent max/min, so the CTE-chain oracle
+    hash-matches.  The DAG itself is driver-side metadata; Catalyst
+    sees fused lazy trees."""
+    from mq_to_db_spark.plans.rules import Rule, evaluate_rules
+
+    rules = [
+        Rule(
+            "hourly_by_type",
+            lambda env: env["events"]
+            .groupBy(
+                F.date_trunc("hour", "ts").alias("bucket_start"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("n")),
+        ),
+        Rule(
+            "hourly_share",
+            lambda env: env["hourly_by_type"]
+            .groupBy("bucket_start")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.when(F.col("event_type") == "error", F.col("n")).otherwise(
+                            F.lit(0)
+                        )
+                    ).cast("double")
+                    / F.sum("n").cast("double"),
+                    6,
+                ).alias("error_share")
+            ),
+            deps=("hourly_by_type",),
+        ),
+        Rule(
+            "daily_worst",
+            lambda env: env["hourly_share"]
+            .groupBy(F.date_trunc("day", "bucket_start").alias("day"))
+            .agg(
+                F.count(F.lit(1)).alias("n_hours"),
+                F.max("error_share").alias("max_share"),
+                F.min("error_share").alias("min_share"),
+            ),
+            deps=("hourly_share",),
+        ),
+        Rule(
+            "daily_volume",
+            lambda env: env["hourly_by_type"]
+            .groupBy(F.date_trunc("day", "bucket_start").alias("day"))
+            .agg(F.sum("n").alias("n_events")),
+            deps=("hourly_by_type",),
+        ),
+    ]
+    out = evaluate_rules({"events": _events(spark, sf_dir)}, rules)
+    return out["daily_worst"].join(out["daily_volume"], "day").select(
+        "day", "n_hours", "max_share", "min_share", "n_events"
+    )
+
+
+def q_exphist_stats_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL ``histogram_avg`` / ``histogram_stddev`` on the native
+    exponential sketch (operators/nativehist.py exp_hist_stats):
+    midpoint-model mean and stddev per (event_type, day).  ZERO shuffle
+    past the sketch — per-row sorted map folds; at schema 0 every
+    ``n·mid`` term is an exact half-integer, so the fold sums are exact
+    and the final doubles replay bit-identically."""
+    from mq_to_db_spark.operators.nativehist import (
+        cascade_exp_histogram,
+        exp_hist_stats,
+        exp_histogram,
+    )
+
+    h1 = exp_histogram(
+        _events_cents(spark, sf_dir), "1h", "v", keys=["event_type"]
+    )
+    d1 = cascade_exp_histogram(h1, "1d", keys=["event_type"])
+    out = exp_hist_stats(d1, keys=["event_type"])
+    return out.select(
+        "event_type",
+        "bucket_start",
+        "n_obs",
+        F.round("mean", 6).alias("mean"),
+        F.round("stddev", 6).alias("stddev"),
+    )
+
+
 def q_apdex_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apdex user-satisfaction score per (event_type, hour)
     (operators/slo.py apdex_tier): satisfied ≤ 20, tolerating ≤ 80,
@@ -2857,13 +2947,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver's correctness gate records at most the first ~50 entries
     (r03 recorded exactly the first 50 of 57 in dict order), so the
     least-driver-proven queries come FIRST — this round's additions
-    (116 registered in total; the committed full-contract snapshot at
+    (118 registered in total; the committed full-contract snapshot at
     BENCH/correctness_r04_local.json covers every one), then round-3's
     (one green driver record), round-2's (two), and the round-1
     originals (three green records each) last, where any truncation
     costs the least."""
     return {
         # -- never in a driver CORRECTNESS file (r03 cap) + round-4 new --
+        "recording_rules": q_recording_rules,
+        "exphist_stats_1d": q_exphist_stats_1d,
         "apdex_1h": q_apdex_1h,
         "calendar_day_tz": q_calendar_day_tz,
         "holt_linear_1h": q_holt_linear_1h,
@@ -3194,6 +3286,79 @@ def oracle_sql() -> dict[str, str]:
         f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES
     )
     return {
+        # recording rules: the same four-rule DAG as one CTE chain
+        "recording_rules": """
+            WITH hourly_by_type AS (
+                SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            hourly_share AS (
+                SELECT bucket_start,
+                       round(CAST(sum(CASE WHEN event_type = 'error'
+                                           THEN n ELSE 0 END) AS DOUBLE)
+                             / CAST(sum(n) AS DOUBLE), 6) AS error_share
+                FROM hourly_by_type GROUP BY 1
+            ),
+            daily_worst AS (
+                SELECT date_trunc('day', bucket_start) AS day,
+                       CAST(count(*) AS BIGINT) AS n_hours,
+                       max(error_share) AS max_share,
+                       min(error_share) AS min_share
+                FROM hourly_share GROUP BY 1
+            ),
+            daily_volume AS (
+                SELECT date_trunc('day', bucket_start) AS day,
+                       CAST(sum(n) AS BIGINT) AS n_events
+                FROM hourly_by_type GROUP BY 1
+            )
+            SELECT w.day, w.n_hours, w.max_share, w.min_share, v.n_events
+            FROM daily_worst w JOIN daily_volume v USING (day)
+        """,
+        # exphist stats: same bucket-count CTE as the fraction oracle,
+        # exact half-integer midpoint sums, identical final formula order
+        "exphist_stats_1d": """
+            WITH c AS (
+                SELECT event_type, date_trunc('day', ts) AS bucket_start,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events WHERE value IS NOT NULL
+            ),
+            b AS (
+                SELECT event_type, bucket_start,
+                       CAST(length(to_base(v, 2)) - 1
+                            + CASE WHEN (v & (v - 1)) = 0 THEN 0 ELSE 1 END
+                            AS INT) AS bucket_idx
+                FROM c WHERE v > 0
+            ),
+            g AS (
+                SELECT event_type, bucket_start, bucket_idx,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM b GROUP BY 1, 2, 3
+            ),
+            m AS (
+                SELECT event_type, bucket_start,
+                       sum(n) AS n_obs,
+                       sum(CAST(n AS DOUBLE)
+                           * ((pow(2.0, (CAST(bucket_idx AS DOUBLE) - 1) / 1.0)
+                               + pow(2.0, CAST(bucket_idx AS DOUBLE) / 1.0))
+                              / 2.0)) AS s1,
+                       sum(CAST(n AS DOUBLE)
+                           * (((pow(2.0, (CAST(bucket_idx AS DOUBLE) - 1) / 1.0)
+                                + pow(2.0, CAST(bucket_idx AS DOUBLE) / 1.0))
+                               / 2.0)
+                              * ((pow(2.0, (CAST(bucket_idx AS DOUBLE) - 1) / 1.0)
+                                  + pow(2.0, CAST(bucket_idx AS DOUBLE) / 1.0))
+                                 / 2.0))) AS s2
+                FROM g GROUP BY 1, 2
+            )
+            SELECT event_type, bucket_start, n_obs,
+                   round(s1 / CAST(n_obs AS DOUBLE), 6) AS mean,
+                   round(sqrt(greatest(
+                       s2 / CAST(n_obs AS DOUBLE)
+                       - (s1 / CAST(n_obs AS DOUBLE))
+                         * (s1 / CAST(n_obs AS DOUBLE)), 0.0)), 6) AS stddev
+            FROM m
+        """,
         # apdex: three FILTER tallies, one double expression, round 6
         "apdex_1h": """
             SELECT event_type, date_trunc('hour', ts) AS bucket_start,

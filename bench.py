@@ -142,6 +142,8 @@ EXTENDED_QUERIES = (
     "calendar_day_tz",
     "holt_linear_1h",
     "xcorr_lags_1h",
+    "exphist_stats_1d",
+    "recording_rules",
 )
 
 

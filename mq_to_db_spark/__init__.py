@@ -136,6 +136,9 @@ _PUBLIC = {
     "exp_hist_quantile": "mq_to_db_spark.operators.nativehist",
     "epoch_shuffle": "mq_to_db_spark.operators.sampling",
     "exp_hist_fraction": "mq_to_db_spark.operators.nativehist",
+    "exp_hist_stats": "mq_to_db_spark.operators.nativehist",
+    "Rule": "mq_to_db_spark.plans.rules",
+    "evaluate_rules": "mq_to_db_spark.plans.rules",
     "sample_mixture": "mq_to_db_spark.operators.sampling",
     "lww_upsert": "mq_to_db_spark.operators.replicas",
     "apdex_tier": "mq_to_db_spark.operators.slo",

@@ -52,6 +52,7 @@ __all__ = [
     "exp_hist_explode",
     "exp_hist_quantile",
     "exp_hist_fraction",
+    "exp_hist_stats",
 ]
 
 

@@ -221,3 +221,38 @@ def test_fraction_bounds_and_monotonicity(spark):
         assert frac >= prev
         prev = frac
     assert exp_hist_fraction(h, 4096.0, keys=["k"]).first().fraction == 1.0
+
+
+def test_exp_hist_stats_hand_computed(spark):
+    """Sketch {1: 2, 3: 1} at schema 0 -> mids 1.5 and 6.0:
+    N=3, mean=(2*1.5+6)/3=3, var=(2*2.25+36)/3-9=4.5, std=sqrt(4.5)."""
+    import math
+
+    from mq_to_db_spark.operators.nativehist import exp_hist_stats
+
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), {1: 2, 3: 1}), (dt.datetime(2024, 1, 2), {})],
+        "bucket_start timestamp, hist map<int,bigint>",
+    )
+    rows = {r["bucket_start"].day: r for r in exp_hist_stats(df).collect()}
+    r = rows[1]
+    assert (r["n_obs"], r["mean"]) == (3, 3.0)
+    assert abs(r["stddev"] - math.sqrt(4.5)) < 1e-12
+    # empty sketch -> zero observations, NULL stats
+    assert rows[2]["n_obs"] == 0 and rows[2]["mean"] is None and rows[2]["stddev"] is None
+
+
+def test_exp_hist_stats_zero_shuffle_plan(spark):
+    import datetime as dt
+
+    from mq_to_db_spark.operators.nativehist import exp_hist_stats
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), {1: 2})],
+        "bucket_start timestamp, hist map<int,bigint>",
+    )
+    plan = exp_hist_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure per-row projection
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
