@@ -2765,6 +2765,72 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-level data-quality expectation audit
+    (operators/expectations.py — the dbt-test surface over the engine's
+    tables): six declared invariants over events, every foldable check
+    ONE aggregate over a single scan, the monotonic check one lag
+    window; exact BIGINT violation counts, integer pass comparison —
+    the report hash-replays row for row."""
+    from mq_to_db_spark.operators.expectations import (
+        accepted_values,
+        expect,
+        expectations_report,
+        in_range,
+        monotonic,
+        not_null,
+        unique,
+    )
+
+    return expectations_report(
+        _events(spark, sf_dir),
+        [
+            not_null("value"),
+            unique("event_id"),
+            accepted_values("event_type", ["click", "view", "purchase", "signup"]),
+            in_range("value", 0.0, 100.0),
+            expect(
+                "no_future_events",
+                F.col("ts") > F.lit("2024-02-01").cast("timestamp"),
+            ),
+            monotonic("value", keys=["user_id"], order_by=["event_id"]),
+        ],
+    )
+
+
+def q_series_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series-cardinality admission limit (operators/lifecycle.py
+    series_limit — Mimir ``max_series_per_user`` in batch): per
+    event_type only the first 20 user series ever seen are admitted;
+    the contract pins the REJECT audit (scope, series, first_ts,
+    n_samples, rank) — admission is a (first_ts, user_id) total order,
+    so the replay rejects the identical set.  Conservation
+    (admitted + rejected = input) is pytest-asserted."""
+    from mq_to_db_spark.operators.lifecycle import series_limit
+
+    _, audit = series_limit(
+        _events(spark, sf_dir), ["user_id"], scope_keys=["event_type"], limit=20
+    )
+    return audit
+
+
+def q_dsir_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style target-similarity ranking (operators/importance.py
+    target_overlap_topk; Xie et al. 2023): top-50 raw documents by the
+    BIGINT inner product of their hashed-bigram bucket counts with the
+    src0/src1 target profile — the integer-exact contract surface for
+    the whole hashed-n-gram feature pipeline (tokenize → bigram →
+    md5-coin bucket → profile → broadcast join → one hash agg); the
+    float log-likelihood-ratio weights and Gumbel-top-k resampling
+    refine the same features (pytest: numpy replay to 1e-13)."""
+    from mq_to_db_spark.operators.importance import target_overlap_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.where(F.col("source").isin("src0", "src1"))
+    raw = docs.where(~F.col("source").isin("src0", "src1"))
+    return target_overlap_topk(raw, target, k=50)
+
+
 def q_recording_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recording-rule DAG (plans/rules.py evaluate_rules — the
     Prometheus rule-group feature, prometheus/rules/group.go, made
@@ -2947,13 +3013,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver's correctness gate records at most the first ~50 entries
     (r03 recorded exactly the first 50 of 57 in dict order), so the
     least-driver-proven queries come FIRST — this round's additions
-    (118 registered in total; the committed full-contract snapshot at
+    (121 registered in total; the committed full-contract snapshot at
     BENCH/correctness_r04_local.json covers every one), then round-3's
     (one green driver record), round-2's (two), and the round-1
     originals (three green records each) last, where any truncation
     costs the least."""
     return {
         # -- never in a driver CORRECTNESS file (r03 cap) + round-4 new --
+        "expectations": q_expectations,
+        "series_limit": q_series_limit,
+        "dsir_overlap": q_dsir_overlap,
         "recording_rules": q_recording_rules,
         "exphist_stats_1d": q_exphist_stats_1d,
         "apdex_1h": q_apdex_1h,
@@ -3286,6 +3355,117 @@ def oracle_sql() -> dict[str, str]:
         f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES
     )
     return {
+        # expectations: each foldable check one FILTER tally; the
+        # monotonic check a lag replay; BIGINT counts, integer pass
+        "expectations": """
+            WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events),
+            mono AS (
+                SELECT CAST(count(*) FILTER (
+                           WHERE pv IS NOT NULL AND value < pv
+                       ) AS BIGINT) AS v
+                FROM (
+                    SELECT value, lag(value) OVER (
+                        PARTITION BY user_id ORDER BY event_id) AS pv
+                    FROM events
+                )
+            )
+            SELECT 'not_null(value)' AS expectation, 'not_null' AS kind,
+                   CAST(count(*) FILTER (WHERE value IS NULL) AS BIGINT)
+                       AS n_violations,
+                   (SELECT n_rows FROM n) AS n_rows,
+                   count(*) FILTER (WHERE value IS NULL) = 0 AS "pass"
+            FROM events
+            UNION ALL
+            SELECT 'unique(event_id)', 'unique',
+                   CAST(count(*) - count(DISTINCT event_id) AS BIGINT),
+                   (SELECT n_rows FROM n),
+                   count(*) - count(DISTINCT event_id) = 0
+            FROM events
+            UNION ALL
+            SELECT 'accepted_values(event_type in [''click'', ''view'', ''purchase'', ''signup''])',
+                   'accepted_values',
+                   CAST(count(*) FILTER (
+                       WHERE event_type NOT IN
+                             ('click', 'view', 'purchase', 'signup')
+                          OR event_type IS NULL) AS BIGINT),
+                   (SELECT n_rows FROM n),
+                   count(*) FILTER (
+                       WHERE event_type NOT IN
+                             ('click', 'view', 'purchase', 'signup')
+                          OR event_type IS NULL) = 0
+            FROM events
+            UNION ALL
+            SELECT 'in_range(value in [0.0, 100.0])', 'in_range',
+                   CAST(count(*) FILTER (
+                       WHERE value IS NULL OR value < 0.0 OR value > 100.0
+                   ) AS BIGINT),
+                   (SELECT n_rows FROM n),
+                   count(*) FILTER (
+                       WHERE value IS NULL OR value < 0.0 OR value > 100.0
+                   ) = 0
+            FROM events
+            UNION ALL
+            SELECT 'no_future_events', 'custom',
+                   CAST(count(*) FILTER (
+                       WHERE ts > TIMESTAMP '2024-02-01') AS BIGINT),
+                   (SELECT n_rows FROM n),
+                   count(*) FILTER (WHERE ts > TIMESTAMP '2024-02-01') = 0
+            FROM events
+            UNION ALL
+            SELECT 'monotonic(value per user_id)', 'monotonic',
+                   (SELECT v FROM mono), (SELECT n_rows FROM n),
+                   (SELECT v FROM mono) = 0
+        """,
+        # series limit: identical (first_ts, user_id) admission order
+        "series_limit": """
+            WITH e AS (
+                SELECT event_type, user_id, min(ts) AS first_ts,
+                       CAST(count(*) AS BIGINT) AS n_samples
+                FROM events GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY event_type ORDER BY first_ts, user_id
+                ) AS rank
+                FROM e
+            )
+            SELECT event_type, user_id, first_ts, n_samples,
+                   CAST(rank AS INT) AS rank
+            FROM r WHERE rank > 20
+        """,
+        # DSIR overlap: same tokenizer, bigrams, md5-coin buckets,
+        # BIGINT inner product — integer-exact end to end
+        "dsir_overlap": """
+            WITH tok AS (
+                SELECT doc_id, source,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ),
+            ng AS (
+                SELECT doc_id, source,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> array_to_string(t[i:i+1], ' '))) AS g
+                FROM tok WHERE len(t) >= 2
+            ),
+            b AS (
+                SELECT doc_id, source,
+                       ('0x' || substring(md5('7:' || g), 1, 15))::BIGINT
+                           % 8192 AS bucket
+                FROM ng
+            ),
+            rc AS (
+                SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS c
+                FROM b WHERE source NOT IN ('src0', 'src1') GROUP BY 1, 2
+            ),
+            tp AS (
+                SELECT bucket, CAST(count(*) AS BIGINT) AS ct
+                FROM b WHERE source IN ('src0', 'src1') GROUP BY 1
+            )
+            SELECT rc.doc_id, CAST(sum(rc.c * tp.ct) AS BIGINT) AS overlap
+            FROM rc JOIN tp USING (bucket)
+            GROUP BY 1 ORDER BY overlap DESC, doc_id LIMIT 50
+        """,
         # recording rules: the same four-rule DAG as one CTE chain
         "recording_rules": """
             WITH hourly_by_type AS (

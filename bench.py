@@ -144,6 +144,9 @@ EXTENDED_QUERIES = (
     "xcorr_lags_1h",
     "exphist_stats_1d",
     "recording_rules",
+    "dsir_overlap",
+    "series_limit",
+    "expectations",
 )
 
 

@@ -54,6 +54,7 @@ _PUBLIC = {
     "IcebergTableIO": "mq_to_db_spark.sources.iceberg",
     "run_streaming_pipeline": "mq_to_db_spark.streaming.stream",
     "streaming_sliding_rollup": "mq_to_db_spark.streaming.stream",
+    "streaming_ack_join": "mq_to_db_spark.streaming.stream",
     # storage seam (round 3)
     "LocalAtomicStore": "mq_to_db_spark.sources.store",
     # training-data plane: sampling / packing / heavy hitters (round 3)
@@ -139,6 +140,12 @@ _PUBLIC = {
     "exp_hist_stats": "mq_to_db_spark.operators.nativehist",
     "Rule": "mq_to_db_spark.plans.rules",
     "evaluate_rules": "mq_to_db_spark.plans.rules",
+    "hashed_ngram_buckets": "mq_to_db_spark.operators.importance",
+    "dsir_log_weights": "mq_to_db_spark.operators.importance",
+    "dsir_select": "mq_to_db_spark.operators.importance",
+    "target_overlap_topk": "mq_to_db_spark.operators.importance",
+    "series_limit": "mq_to_db_spark.operators.lifecycle",
+    "expectations_report": "mq_to_db_spark.operators.expectations",
     "sample_mixture": "mq_to_db_spark.operators.sampling",
     "lww_upsert": "mq_to_db_spark.operators.replicas",
     "apdex_tier": "mq_to_db_spark.operators.slo",

@@ -107,3 +107,58 @@ def exemplars(
         F.col("_ex.id").alias("exemplar_id"),
         "n_samples",
     )
+
+
+def series_limit(
+    df: DataFrame,
+    series_keys: list[str],
+    scope_keys: list[str] | None = None,
+    limit: int = 1000,
+    ts_col: str = "ts",
+) -> tuple[DataFrame, DataFrame]:
+    """Per-scope series-cardinality limit — the Mimir/Cortex
+    ``max_series_per_user`` admission rule in batch (and Prometheus'
+    scrape-side ``sample_limit`` cousin): within each ``scope_keys``
+    group, only the first ``limit`` distinct series (identified by
+    ``series_keys``) to EVER appear are admitted; samples of every
+    later-born series are rejected wholesale.  First-come order is
+    ``(first_ts, series_keys…)`` — the lexicographic tiebreak makes
+    admission a total order, so replays admit the identical set (the
+    determinism rule exemplars uses).
+
+    Returns ``(admitted, audit)``: ``admitted`` is the input rows of
+    admitted series; ``audit`` is ONE row per rejected series
+    ``(scope…, series…, first_ts, n_samples, rank)`` — the dead-letter
+    discipline of operators/validate.py applied to cardinality
+    (reject carries WHY: its admission rank vs the limit).
+
+    Scale: one hash agg to per-series extents (the shuffle carries one
+    row per series), a window over the SERIES table (#series rows, not
+    #samples — partitioned by scope, never keyless over raw data), and
+    one broadcast-or-shuffle semi join back.  The raw table is scanned
+    once and never window-functioned.
+    """
+    if limit < 1:
+        raise ValueError(f"limit must be >= 1, got {limit}")
+    scope_keys = list(scope_keys or [])
+    from pyspark.sql import Window as W
+
+    extents = df.groupBy(*scope_keys, *series_keys).agg(
+        F.min(ts_col).alias("first_ts"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+    part = (
+        W.partitionBy(*[F.col(k) for k in scope_keys])
+        if scope_keys
+        else W.partitionBy(F.lit(1))
+    )
+    order = [F.col("first_ts"), *[F.col(k) for k in series_keys]]
+    ranked = extents.withColumn("rank", F.row_number().over(part.orderBy(*order)))
+    admitted_series = ranked.where(F.col("rank") <= limit).select(
+        *scope_keys, *series_keys
+    )
+    audit = ranked.where(F.col("rank") > limit).select(
+        *scope_keys, *series_keys, "first_ts", "n_samples", "rank"
+    )
+    admitted = df.join(admitted_series, [*scope_keys, *series_keys], "left_semi")
+    return admitted, audit

@@ -371,3 +371,52 @@ def streaming_sliding_rollup(
         .withColumn("grid_ts", F.col("w.end"))
         .drop("w")
     )
+
+
+# -- stream-stream correlation (watermark-bounded join state) ------------------
+
+
+def streaming_ack_join(
+    turns: DataFrame,
+    acks: DataFrame,
+    max_ack_delay: str = "30 seconds",
+    turns_watermark: str = "1 minute",
+    acks_watermark: str = "2 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join: correlate each delivered turn
+    with its ack event — the reference's delivery↔ack lifecycle
+    (rmq.go delivery channel vs messages.go:131 ``Ack``) as a
+    Structured Streaming join instead of a broker callback.
+
+    ``acks`` must carry ``(conv_id, turn_idx, ack_ts)``.  The join
+    condition includes the TIME-RANGE bound ``ts ≤ ack_ts ≤ ts +
+    max_ack_delay`` — the clause that lets Spark size the join state:
+    with both sides watermarked, buffered rows are evicted as soon as
+    no future match can satisfy the range, so state is
+    O(arrival rate × max_ack_delay), never unbounded (the
+    Structured Streaming stream-stream join requirement).  An ack
+    later than ``max_ack_delay`` NEVER matches — deterministically,
+    by the range predicate, not by watermark timing — which is the
+    requeue-detection contract: with ``how="left_outer"`` the
+    unmatched turn is emitted with NULL ack columns once the
+    watermark passes (the batch analogue is the reject/dead-letter
+    path, operators/validate.py).
+
+    Emits the turn columns plus ``ack_ts`` and ``ack_latency_ms``
+    (exact BIGINT millisecond difference).
+    """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be inner or left_outer, got {how!r}")
+    t = turns.withWatermark("ts", turns_watermark).alias("t")
+    a = acks.withWatermark("ack_ts", acks_watermark).alias("a")
+    cond = (
+        (F.col("t.conv_id") == F.col("a.conv_id"))
+        & (F.col("t.turn_idx") == F.col("a.turn_idx"))
+        & (F.col("a.ack_ts") >= F.col("t.ts"))
+        & (F.col("a.ack_ts") <= F.col("t.ts") + F.expr(f"interval {max_ack_delay}"))
+    )
+    latency = (
+        F.unix_millis(F.col("a.ack_ts")) - F.unix_millis(F.col("t.ts"))
+    ).alias("ack_latency_ms")
+    return t.join(a, cond, how).select("t.*", F.col("a.ack_ts"), latency)

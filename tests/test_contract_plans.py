@@ -50,6 +50,12 @@ _WHITELIST = {
     # episode−silence subtraction is a BroadcastHashJoin on the key
     # (plan shows it directly above the whitelisted cross).
     "alert_silences": ("BroadcastNestedLoopJoin",),
+    # sampling.py:sample_mixture — domain-count table × broadcast(1-row
+    # normalizer Σ n^α): domain cardinality is config-sized (thousands
+    # at most), output = |domains|; the corpus itself joins the rate
+    # table by a BroadcastHashJoin on the domain key (visible directly
+    # above the whitelisted cross in the plan)
+    "mixture_sample": ("BroadcastNestedLoopJoin",),
 }
 
 

@@ -55,3 +55,61 @@ def test_exemplars_picks_max_per_bucket(spark):
            for r in exemplars(df, ["k"], value_col="v", id_col="rid",
                               tier="1h").collect()}
     assert got == {("a", 1): (7, 2), ("a", 2): (100, 1), ("b", 1): (1, 1)}
+
+
+def test_series_limit_admission_and_conservation(spark):
+    import datetime as dt
+
+    from mq_to_db_spark.operators.lifecycle import series_limit
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # scope A: series s1 (born h0), s2 (h1), s3 (h2) — limit 2 drops s3
+    for h, s in [(0, "s1"), (1, "s2"), (2, "s3"), (3, "s1"), (4, "s3")]:
+        rows.append(("A", s, t0 + dt.timedelta(hours=h)))
+    # scope B: one series only
+    rows.append(("B", "s9", t0))
+    df = spark.createDataFrame(rows, "scope string, series string, ts timestamp")
+    admitted, audit = series_limit(df, ["series"], scope_keys=["scope"], limit=2)
+    a = admitted.collect()
+    assert all(r["series"] != "s3" for r in a if r["scope"] == "A")
+    assert len(a) + sum(r["n_samples"] for r in audit.collect()) == len(rows)
+    aud = audit.collect()
+    assert len(aud) == 1 and aud[0]["series"] == "s3" and aud[0]["rank"] == 3
+    assert aud[0]["n_samples"] == 2
+
+
+def test_series_limit_tiebreak_and_validation(spark):
+    import datetime as dt
+
+    import pytest
+
+    from mq_to_db_spark.operators.lifecycle import series_limit
+
+    t0 = dt.datetime(2024, 1, 1)
+    # same first_ts: lexicographic series key breaks the tie
+    df = spark.createDataFrame(
+        [("x", t0), ("y", t0), ("z", t0)], "series string, ts timestamp"
+    )
+    admitted, audit = series_limit(df, ["series"], limit=2)
+    assert sorted(r["series"] for r in admitted.collect()) == ["x", "y"]
+    assert [r["series"] for r in audit.collect()] == ["z"]
+    with pytest.raises(ValueError, match="limit"):
+        series_limit(df, ["series"], limit=0)
+
+
+def test_series_limit_window_runs_on_series_not_samples(spark):
+    import datetime as dt
+
+    from mq_to_db_spark.operators.lifecycle import series_limit
+
+    df = spark.createDataFrame(
+        [("A", "s", dt.datetime(2024, 1, 1))], "scope string, series string, ts timestamp"
+    )
+    admitted, _ = series_limit(df, ["series"], scope_keys=["scope"], limit=1)
+    plan = admitted._jdf.queryExecution().optimizedPlan().toString()
+    # the Window consumes the per-series Aggregate, never the raw scan:
+    # in the tree string (parents print first) Window precedes its
+    # Aggregate child
+    assert "Window" in plan and "Aggregate" in plan
+    assert plan.index("Window") < plan.index("Aggregate")

@@ -317,3 +317,68 @@ def test_streaming_sliding_rollup_matches_batch_over_time(
     max_ts = pdf.ts.max()
     closed = {t for t in want_all if t <= max_ts}
     assert set(got) == closed
+
+
+def test_stream_stream_ack_join_matches_and_bounds(spark, tmp_path):
+    """Two file streams (turns + acks) through the watermarked
+    stream-stream join: in-window acks match with exact latency,
+    over-deadline acks never match (range predicate, deterministic),
+    and the physical plan carries watermarks on both sides."""
+    import datetime as dt
+    import os
+
+    from mq_to_db_spark.fixtures.generator import TRANSCRIPT_SCHEMA
+    from mq_to_db_spark.streaming.stream import (
+        read_transcript_stream,
+        streaming_ack_join,
+    )
+
+    t0 = dt.datetime(2025, 1, 1, 0, 0, 0)
+    turns = [
+        ("c1", 0, "user", "hi", None, t0),
+        ("c1", 1, "assistant", "yo", None, t0 + dt.timedelta(seconds=10)),
+        ("c2", 0, "user", "late-acked", None, t0 + dt.timedelta(seconds=20)),
+    ]
+    acks = [
+        ("c1", 0, t0 + dt.timedelta(seconds=5)),        # in window (5s)
+        ("c1", 1, t0 + dt.timedelta(seconds=40)),       # in window (30s cap)
+        ("c2", 0, t0 + dt.timedelta(seconds=80)),       # 60s late -> never matches
+    ]
+    tdir, adir = str(tmp_path / "turns"), str(tmp_path / "acks")
+    os.makedirs(tdir), os.makedirs(adir)
+    spark.createDataFrame(turns, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(tdir)
+    spark.createDataFrame(
+        acks, "conv_id string, turn_idx int, ack_ts timestamp"
+    ).coalesce(1).write.mode("overwrite").parquet(adir)
+
+    tstream = read_transcript_stream(spark, tdir)
+    astream = spark.readStream.schema(
+        "conv_id string, turn_idx int, ack_ts timestamp"
+    ).parquet(adir)
+    joined = streaming_ack_join(tstream, astream, max_ack_delay="30 seconds")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ackjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["conv_id"], r["turn_idx"]): r["ack_latency_ms"]
+        for r in spark.sql("SELECT * FROM ackjoin").collect()
+    }
+    assert got == {("c1", 0): 5000, ("c1", 1): 30000}
+
+
+def test_stream_stream_ack_join_validation(spark, tmp_path):
+    import pytest
+
+    from mq_to_db_spark.streaming.stream import streaming_ack_join
+
+    df = spark.readStream.format("rate").load()
+    with pytest.raises(ValueError, match="how must"):
+        streaming_ack_join(df, df, how="full")
