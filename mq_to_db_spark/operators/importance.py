@@ -71,26 +71,54 @@ def hashed_ngram_buckets(
     n: int = 2,
     buckets: int = 8192,
     seed: int = 7,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, bucket, c): BIGINT count of the doc's n-grams landing in
-    each hashed bucket.  Docs with < n tokens emit no rows."""
+    each hashed bucket.  Docs with < n tokens emit no rows.
+
+    ``hash_fn`` picks the bucket hash:
+
+      * ``"md5"`` (default) — the content-addressed 60-bit coin
+        (``hash_u60``), DuckDB-replayable character for character;
+        the contract/oracle path.
+      * ``"xxhash64"`` — Spark's native 64-bit hash (one JVM intrinsic
+        per gram vs md5's digest-over-string): measurably cheaper on
+        gram-heavy corpora, the 100 TB production path.  Bucket
+        distribution quality is equivalent; only cross-engine
+        replayability differs (DuckDB's hash() is a different
+        function), so oracle-checked queries stay on md5.
+    """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     if buckets < 2:
         raise ValueError(f"buckets must be >= 2, got {buckets}")
+    if hash_fn not in ("md5", "xxhash64"):
+        raise ValueError(f"hash_fn must be md5 or xxhash64, got {hash_fn!r}")
     t = _tokens(text_col)
-    # sequence(1, L-n+1) DESCENDS when L < n (Spark generates backwards
-    # sequences), so short docs must short-circuit to the empty array
-    grams = F.when(
-        F.size(t) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - (n - 1)),
-            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # n-grams as a zip_with chain, NOT transform(sequence, i -> slice):
+    # sub-expressions inside a higher-order-function lambda re-evaluate
+    # PER ELEMENT, so slice(t, i, n) re-runs the whole tokenizer split
+    # for every gram — O(L²) work per doc (measured 2× the query's
+    # runtime at sf0.1).  zip_with evaluates both array arguments once
+    # and zips elementwise: g ⊗ shift¹(t) ⊗ … ⊗ shiftⁿ⁻¹(t) is O(n·L).
+    # Tail positions zip against null and null-propagate through concat
+    # (never concat_ws, which skips nulls and would leave short grams),
+    # then filter drops them — short docs come out naturally empty.
+    grams = t
+    for j in range(1, n):
+        shifted = F.slice(t, j + 1, F.greatest(F.size(t) - j, F.lit(0)))
+        grams = F.zip_with(
+            grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    grams = F.filter(grams, lambda g: g.isNotNull())
     # explode of the (possibly empty) gram array drops short docs itself
     ex = df.select(F.col(id_col), F.explode(grams).alias("_g"))
-    bucket = (hash_u60(F.col("_g"), seed) % buckets).alias("bucket")
+    if hash_fn == "md5":
+        bucket = (hash_u60(F.col("_g"), seed) % buckets).alias("bucket")
+    else:
+        bucket = F.pmod(
+            F.xxhash64(F.lit(str(seed)), F.col("_g")), F.lit(buckets)
+        ).alias("bucket")
     return (
         ex.select(id_col, bucket)
         .groupBy(id_col, "bucket")
@@ -170,15 +198,16 @@ def target_overlap_topk(
     n: int = 2,
     buckets: int = 8192,
     seed: int = 7,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Integer-exact target-similarity ranking: top-``k`` raw docs by
     ``overlap = Σ_b c_doc(b)·c_target(b)`` (BIGINT inner product with
     the target's hashed-n-gram profile), ties broken by ``id_col``.
     The order-independent contract surface for the DSIR feature
     pipeline; the float log-ratio path refines the same features."""
-    rc = hashed_ngram_buckets(raw, id_col, text_col, n, buckets, seed)
+    rc = hashed_ngram_buckets(raw, id_col, text_col, n, buckets, seed, hash_fn)
     tp = bucket_profile(
-        hashed_ngram_buckets(target, id_col, text_col, n, buckets, seed),
+        hashed_ngram_buckets(target, id_col, text_col, n, buckets, seed, hash_fn),
         id_col,
     ).withColumnRenamed("c_corpus", "_ct")
     scored = (
