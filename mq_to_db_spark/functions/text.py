@@ -202,15 +202,29 @@ def fingerprint_rolling(col, window: int = 8) -> Column:
     """Rolling-hash document sketch: min-hash over character n-gram window
     hashes of the normalized text — a winnowing-style representative
     fingerprint (same idea as Schleimer et al. MOSS winnowing, reduced to
-    global-min selection so it stays a pure expression)."""
-    name = col if isinstance(col, str) else col._jc.toString()
-    norm_sql = (
-        f"trim(regexp_replace(regexp_replace(lower({name}), '[^\\\\w\\\\s]', ' '), '\\\\s+', ' '))"
-    )
-    grams = F.expr(
-        f"transform(sequence(0, greatest(length({norm_sql}) - {window}, 0)), "
-        f"i -> substr({norm_sql}, i + 1, {window}))"
-    )
+    global-min selection so it stays a pure expression).
+
+    Built as a ``zip_with`` chain over the character array, NOT
+    ``transform(sequence, i -> substr(norm, …))``: sub-expressions
+    inside a higher-order-function lambda re-evaluate PER ELEMENT, so
+    the substr form re-ran the whole regex-normalize chain once per
+    gram position — O(len²) regex work per row (the same quadratic
+    fixed in operators/importance.py).  The chain references the char
+    array a constant ``window`` times per row instead."""
+    norm = normalize_text(col)
+    chars = F.filter(F.split(norm, ""), lambda x: x != F.lit(""))
+    grams = chars
+    for j in range(1, window):
+        shifted = F.slice(
+            chars, j + 1, F.greatest(F.size(chars) - j, F.lit(1))
+        )
+        # concat null-propagates, so tail positions (no full window)
+        # become null and are filtered out below
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, b))
+    grams = F.filter(grams, lambda g: g.isNotNull())
+    # short docs (< window chars): keep the old degenerate behavior of
+    # hashing the whole (padded-by-truncation) text rather than nothing
+    grams = F.when(F.size(grams) > 0, grams).otherwise(F.array(norm))
     return F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
 
 
