@@ -2765,6 +2765,32 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb line-level boilerplate removal
+    (operators/linededup.py strip_boilerplate): documents are reshaped
+    deterministically into multi-line pages (own text + a corpus-wide
+    newsletter line + a per-source footer), then every line recurring
+    in ≥3 distinct documents is stripped — matching on the NORMALIZED
+    line via the md5 coin, removal of the ORIGINAL line text, order
+    preserved.  The boilerplate set is a driver-bounded literal InSet,
+    so the strip is a pure projection: the corpus text never rides a
+    shuffle."""
+    from mq_to_db_spark.operators.linededup import strip_boilerplate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d2 = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("Please SUBSCRIBE to our newsletter!"),
+            F.concat(F.lit("footer of "), F.col("source")),
+        ).alias("text2"),
+    )
+    out = strip_boilerplate(d2, min_docs=3, id_col="doc_id", text_col="text2")
+    return out.select("doc_id", "text_clean")
+
+
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-level data-quality expectation audit
     (operators/expectations.py — the dbt-test surface over the engine's
@@ -3013,13 +3039,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     driver's correctness gate records at most the first ~50 entries
     (r03 recorded exactly the first 50 of 57 in dict order), so the
     least-driver-proven queries come FIRST — this round's additions
-    (121 registered in total; the committed full-contract snapshot at
+    (122 registered in total; the committed full-contract snapshot at
     BENCH/correctness_r04_local.json covers every one), then round-3's
     (one green driver record), round-2's (two), and the round-1
     originals (three green records each) last, where any truncation
     costs the least."""
     return {
         # -- never in a driver CORRECTNESS file (r03 cap) + round-4 new --
+        "strip_boilerplate": q_strip_boilerplate,
         "expectations": q_expectations,
         "series_limit": q_series_limit,
         "dsir_overlap": q_dsir_overlap,
@@ -3355,6 +3382,40 @@ def oracle_sql() -> dict[str, str]:
         f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES
     )
     return {
+        # boilerplate strip: identical normalize + md5-coin membership,
+        # rebuild by ordered string_agg — exact strings end to end
+        "strip_boilerplate": """
+            WITH d AS (
+                SELECT doc_id,
+                       text || chr(10) || 'Please SUBSCRIBE to our newsletter!'
+                            || chr(10) || 'footer of ' || source AS t
+                FROM documents
+            ),
+            l AS (
+                SELECT doc_id,
+                       unnest(string_split(t, chr(10))) AS line,
+                       generate_subscripts(string_split(t, chr(10)), 1) AS pos
+                FROM d
+            ),
+            h AS (
+                SELECT doc_id, line, pos,
+                       ('0x' || substring(md5('11:' || trim(regexp_replace(
+                            regexp_replace(lower(line), '[^\\w\\s]', ' ', 'g'),
+                            '\\s+', ' ', 'g'))), 1, 15))::BIGINT AS lh,
+                       trim(line) = '' AS blank
+                FROM l
+            ),
+            bp AS (
+                SELECT lh FROM h WHERE NOT blank
+                GROUP BY lh HAVING count(DISTINCT doc_id) >= 3
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY pos)
+                            FILTER (WHERE blank
+                                    OR lh NOT IN (SELECT lh FROM bp)),
+                            '') AS text_clean
+            FROM h GROUP BY doc_id
+        """,
         # expectations: each foldable check one FILTER tally; the
         # monotonic check a lag replay; BIGINT counts, integer pass
         "expectations": """

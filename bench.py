@@ -147,6 +147,7 @@ EXTENDED_QUERIES = (
     "dsir_overlap",
     "series_limit",
     "expectations",
+    "strip_boilerplate",
 )
 
 

@@ -146,6 +146,8 @@ _PUBLIC = {
     "target_overlap_topk": "mq_to_db_spark.operators.importance",
     "series_limit": "mq_to_db_spark.operators.lifecycle",
     "expectations_report": "mq_to_db_spark.operators.expectations",
+    "strip_boilerplate": "mq_to_db_spark.operators.linededup",
+    "boilerplate_lines": "mq_to_db_spark.operators.linededup",
     "sample_mixture": "mq_to_db_spark.operators.sampling",
     "lww_upsert": "mq_to_db_spark.operators.replicas",
     "apdex_tier": "mq_to_db_spark.operators.slo",
