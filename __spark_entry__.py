@@ -2791,6 +2791,129 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text_clean")
 
 
+SPAN_WINDOW = 8
+
+SEMDEDUP_PARAMS = dict(k=6, n_iter=2, threshold=0.999)
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-dup removal (operators/semcluster.py —
+    Abbas et al. 2023): spherical k-means (md5-rank init + 2 Lloyd
+    iterations, per-component means rounded to 6 dp so distributed-sum
+    ulps can't leak into assignments) clusters the embedding space,
+    then pairs are compared only WITHIN a cluster and every row with a
+    cosine>=0.999 lower-id neighbor is dropped.  Every fifth vector is
+    deterministically re-planted at id+10000 scaled by 1.5 (cosine
+    exactly 1 with its original, same cluster by scale invariance) so
+    the dedup provably fires.  The oracle replays the full algorithm —
+    init, both unrolled Lloyd iterations, assignment tie-breaks, and
+    the survivor rule — in SQL."""
+    from mq_to_db_spark.operators.semcluster import semdedup
+
+    p = SEMDEDUP_PARAMS
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    aug = emb.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    corpus = emb.unionByName(aug)
+    return semdedup(
+        corpus, k=p["k"], n_iter=p["n_iter"], threshold=p["threshold"]
+    )
+
+
+def _semdedup_oracle() -> str:
+    """DuckDB replay of the full SemDeDup pipeline: planted-dup synth,
+    md5-rank init, each Lloyd iteration unrolled (assign -> rounded
+    per-component means -> empty-cluster carry), final assignment with
+    the max-cos/max-lid tie-break, lower-id-neighbor drop rule."""
+    p = SEMDEDUP_PARAMS
+    iter_cte = """
+        assign{i} AS (
+            SELECT vec_id, v, lid FROM (
+                SELECT e.vec_id, e.v, c.lid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                    c.lid DESC) AS rn
+                FROM e CROSS JOIN cent{prev} c)
+            WHERE rn = 1),
+        mean{i} AS (
+            SELECT lid, list(round(m, 6) ORDER BY pos) AS mv FROM (
+                SELECT lid, pos, avg(x) AS m FROM (
+                    SELECT lid, unnest(v) AS x,
+                           generate_subscripts(v, 1) AS pos
+                    FROM assign{i})
+                GROUP BY lid, pos)
+            GROUP BY lid),
+        cent{i} AS (
+            SELECT coalesce(m.mv, c.cv) AS cv, c.lid
+            FROM cent{prev} c LEFT JOIN mean{i} m USING (lid)),
+    """
+    iters = "".join(
+        iter_cte.format(i=i, prev=i - 1) for i in range(1, p["n_iter"] + 1)
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            UNION ALL
+            SELECT vec_id + 10000,
+                   list_transform(embedding::DOUBLE[], x -> x * 1.5)
+            FROM embeddings WHERE vec_id % 5 = 0
+        ),
+        cent0 AS (
+            SELECT v AS cv, rn - 1 AS lid FROM (
+                SELECT v, row_number() OVER (
+                    ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)),
+                                                1, 15))::BIGINT,
+                             vec_id) AS rn
+                FROM e)
+            WHERE rn <= {p["k"]}),
+        {iters}
+        assign AS (
+            SELECT vec_id, v, lid FROM (
+                SELECT e.vec_id, e.v, c.lid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                                    c.lid DESC) AS rn
+                FROM e CROSS JOIN cent{p["n_iter"]} c)
+            WHERE rn = 1),
+        dropped AS (
+            SELECT DISTINCT b.vec_id AS did
+            FROM assign a JOIN assign b
+              ON a.lid = b.lid AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= {p["threshold"]})
+        SELECT a.vec_id, a.lid AS cluster, d.did IS NULL AS kept
+        FROM assign a LEFT JOIN dropped d ON a.vec_id = d.did
+    """
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-span removal (operators/spandedup.py —
+    the within-document half of Lee et al. 2022): every third document
+    is deterministically doubled so real 8-token spans recur, then any
+    window recurring inside one document is removed span-wise (first
+    occurrence survives, order preserved).  Gram hashes are the JVM
+    zip_with shift chain + md5 coin (DuckDB replays every integer);
+    the keep mask is ONE Arrow batch per partition; no shuffle
+    anywhere — a pure narrow projection over documents."""
+    from mq_to_db_spark.operators.spandedup import dedup_spans
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat_ws(" ", F.col("text"), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return dedup_spans(docs, window=SPAN_WINDOW).select(
+        "doc_id", "text_dedup", "n_tokens", "n_removed"
+    )
+
+
 def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table-level data-quality expectation audit
     (operators/expectations.py — the dbt-test surface over the engine's
@@ -3046,6 +3169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     costs the least."""
     return {
         # -- never in a driver CORRECTNESS file (r03 cap) + round-4 new --
+        "dedup_spans": q_dedup_spans,
+        "semdedup": q_semdedup,
         "strip_boilerplate": q_strip_boilerplate,
         "expectations": q_expectations,
         "series_limit": q_series_limit,
@@ -3382,6 +3507,56 @@ def oracle_sql() -> dict[str, str]:
         f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES
     )
     return {
+        # SemDeDup: full algorithm replay (init + unrolled Lloyd + drop)
+        "semdedup": _semdedup_oracle(),
+        # span dedup: same doubled-doc synth, same gram join + md5 coin
+        # (integer-identical hashes), dup starts by first-position scan,
+        # coverage by interval test — exact strings and counts
+        "dedup_spans": f"""
+            WITH d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN text || ' ' || text
+                            ELSE text END AS text
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x <> '') AS t
+                FROM d
+            ),
+            g AS (
+                SELECT doc_id, t, len(t) AS n,
+                    CASE WHEN len(t) >= {SPAN_WINDOW} THEN
+                        list_transform(range(1, len(t) - {SPAN_WINDOW} + 2),
+                            i -> ('0x' || substring(md5('13:' ||
+                                    array_to_string(
+                                        t[i : i + {SPAN_WINDOW} - 1], ' ')),
+                                    1, 15))::BIGINT)
+                    ELSE [] END AS gh
+                FROM toks
+            ),
+            m AS (
+                SELECT doc_id, t, n,
+                    list_filter(range(1, len(gh) + 1),
+                                i -> list_position(gh, gh[i]) < i) AS dups
+                FROM g
+            ),
+            k AS (
+                SELECT doc_id, n,
+                    list_transform(
+                        list_filter(range(1, n + 1),
+                            p -> len(list_filter(dups,
+                                    i -> i <= p
+                                         AND p <= i + {SPAN_WINDOW} - 1)) = 0),
+                        p -> t[p]) AS kept
+                FROM m
+            )
+            SELECT doc_id, array_to_string(kept, ' ') AS text_dedup,
+                   n::BIGINT AS n_tokens,
+                   (n - len(kept))::BIGINT AS n_removed
+            FROM k
+        """,
         # boilerplate strip: identical normalize + md5-coin membership,
         # rebuild by ordered string_agg — exact strings end to end
         "strip_boilerplate": """

@@ -148,6 +148,8 @@ EXTENDED_QUERIES = (
     "series_limit",
     "expectations",
     "strip_boilerplate",
+    "dedup_spans",
+    "semdedup",
 )
 
 

@@ -1,0 +1,145 @@
+"""Spherical k-means over embedding columns + SemDeDup semantic dedup.
+
+SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+web-scale through semantic deduplication") removes documents whose
+*meaning* duplicates another's even when no token overlaps: cluster the
+embedding space cheaply, then compare pairs only WITHIN a cluster and
+drop every member that has a sufficiently-cosine-similar lower-id
+neighbor.  This is the semantic sibling of the lexical near-dup family
+in operators/dedup.py (MinHash / SimHash / winnowing).
+
+Spark-first shape:
+
+  * **init** — the deterministic md5-rank corpus-vector quantizer
+    already used by the IVF index (similarity.ivf_centroids): zero
+    iterations of anything, identical on any cluster size, and
+    integer-replayable by the DuckDB oracle.
+  * **Lloyd refinement** (:func:`kmeans_fit`) — per iteration ONE
+    assignment projection (the codegen/Arrow argmax of
+    similarity.ivf_assign, centroids as broadcast-free literals) and
+    ONE groupBy computing per-component means; k·dim doubles return to
+    the driver between iterations (bounded metadata, the IVF-centroid
+    precedent).  Means are rounded to ``round_to`` decimals so the
+    distributed sum's order-dependent ulps cannot leak into the next
+    iteration's assignments — the oracle replays the same rounding.
+  * **dedup** (:func:`semdedup`) — self-join keyed on the cluster id:
+    only (cluster, id, vec) ride the shuffle, pairs materialize ids
+    only, and a vector is dropped iff a LOWER-id vector in the same
+    cluster has cosine >= threshold (first-seen-survives, the same
+    survivor rule as the lexical planes).  At 10^12 rows pick
+    k ~ sqrt(n) so expected cluster size stays bounded; the pair stage
+    is then O(n·avg_cluster) with no all-pairs blowup.
+
+Reference analogue: the reference engine has no vector plane at all
+(internal/storage delegates everything to PostgreSQL) — this operator
+exists for the 100 TB training-data pipeline the engine fronts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mq_to_db_spark.operators.similarity import ivf_assign, ivf_centroids
+
+__all__ = ["kmeans_fit", "kmeans_assign", "semdedup"]
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> list[list[float]]:
+    """``n_iter`` Lloyd iterations of spherical k-means (max-cosine
+    assignment, arithmetic-mean update) from the md5-rank init.
+
+    Returns the refined centroid list (k x dim python floats).  Empty
+    clusters keep their previous centroid.  Each iteration is one
+    narrow assignment + one aggregation over the input — no caching
+    required, though callers looping many iterations should persist
+    ``df`` themselves.
+    """
+    cents = ivf_centroids(df, n_centroids=k, id_col=id_col, vec_col=vec_col)
+    if not cents:
+        return []
+    dim = len(cents[0])
+    v = F.col(vec_col).cast("array<double>")
+    for _ in range(n_iter):
+        assigned = kmeans_assign(
+            df.select(v.alias("_v")), cents, vec_col="_v", out_col="_lid"
+        )
+        aggs = [
+            F.round(F.avg(F.col("_v")[i]), round_to).alias(f"c{i}")
+            for i in range(dim)
+        ]
+        rows = assigned.groupBy("_lid").agg(*aggs).collect()
+        means = {r["_lid"]: [r[f"c{i}"] for i in range(dim)] for r in rows}
+        cents = [means.get(i, cents[i]) for i in range(len(cents))]
+    return cents
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Max-cosine cluster assignment (ties -> highest cluster id, the
+    ivf_assign struct-greatest convention)."""
+    return ivf_assign(df, centroids, vec_col=vec_col, out_col=out_col)
+
+
+def semdedup(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.85,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """SemDeDup: (id, cluster, kept) for every input row.
+
+    ``kept = false`` iff some lower-id row in the SAME cluster has
+    cosine >= ``threshold`` — deterministic first-seen-survives, no
+    transitive closure needed (every member of a near-dup group except
+    the minimum id sees the minimum id as its lower neighbor).
+    """
+    cents = kmeans_fit(
+        df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        round_to=round_to,
+    )
+    assigned = kmeans_assign(df, cents, vec_col=vec_col, out_col="cluster")
+    slim = assigned.select(
+        "cluster",
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    from mq_to_db_spark.operators.similarity import cosine_sim_cols
+
+    l = slim.select(
+        "cluster", F.col("_id").alias("_id_l"), F.col("_v").alias("_v_l")
+    )
+    r = slim.select(
+        "cluster", F.col("_id").alias("_id_r"), F.col("_v").alias("_v_r")
+    )
+    dropped = (
+        l.join(r, "cluster")
+        .where(F.col("_id_l") < F.col("_id_r"))
+        .where(cosine_sim_cols(F.col("_v_l"), F.col("_v_r")) >= threshold)
+        .select(F.col("_id_r").alias("_dropped"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dropped, assigned[id_col] == dropped["_dropped"], "left"
+        )
+        .select(
+            id_col,
+            "cluster",
+            F.col("_dropped").isNull().alias("kept"),
+        )
+    )

@@ -1,0 +1,176 @@
+"""Spherical k-means + SemDeDup (operators/semcluster.py)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from mq_to_db_spark.operators.semcluster import (
+    kmeans_assign,
+    kmeans_fit,
+    semdedup,
+)
+
+
+def _corpus(n=120, dim=8, seed=3):
+    """Three well-separated direction bundles + planted near-dups."""
+    rng = np.random.default_rng(seed)
+    anchors = rng.normal(size=(3, dim))
+    rows = []
+    for i in range(n):
+        a = anchors[i % 3]
+        v = a + rng.normal(scale=0.15, size=dim)
+        rows.append((i, [float(x) for x in v]))
+    # planted near-duplicates: ids 1000+j ~ tiny perturbation of id j
+    for j in range(0, 12):
+        v = np.asarray(rows[j][1]) + rng.normal(scale=1e-3, size=dim)
+        rows.append((1000 + j, [float(x) for x in v]))
+    return rows, dim
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows, dim = _corpus()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, rows, dim
+
+
+def test_kmeans_reduces_dispersion(emb):
+    df, rows, dim = emb
+    init = kmeans_fit(df, k=3, n_iter=0)
+    fit = kmeans_fit(df, k=3, n_iter=3)
+
+    def mean_best_cos(cents):
+        tot = 0.0
+        for _, v in rows:
+            v = np.asarray(v)
+            best = max(
+                float(np.dot(v, c) / (np.linalg.norm(v) * np.linalg.norm(c)))
+                for c in map(np.asarray, cents)
+            )
+            tot += best
+        return tot / len(rows)
+
+    assert mean_best_cos(fit) > mean_best_cos(init)
+
+
+def test_assignment_tiebreak_and_determinism(emb):
+    df, _, _ = emb
+    cents = kmeans_fit(df, k=3, n_iter=2)
+    a1 = kmeans_assign(df, cents).orderBy("vec_id").collect()
+    a2 = kmeans_assign(df, cents).orderBy("vec_id").collect()
+    assert [r["cluster"] for r in a1] == [r["cluster"] for r in a2]
+    assert set(r["cluster"] for r in a1) <= {0, 1, 2}
+
+
+def test_semdedup_drops_planted_dups_keeps_originals(emb):
+    df, rows, _ = emb
+    out = {r["vec_id"]: r["kept"] for r in semdedup(df, k=3, n_iter=2, threshold=0.999).collect()}
+    assert len(out) == len(rows)
+    # every planted near-dup (cos ~ 0.9999+ with its lower-id original,
+    # same direction bundle -> same cluster) is dropped
+    for j in range(12):
+        assert out[1000 + j] is False or out[1000 + j] == False  # noqa: E712
+    # originals survive (no lower-id neighbor that similar)
+    kept_originals = sum(1 for i in range(120) if out[i])
+    assert kept_originals >= 110
+
+
+SEM_ORACLE_TEMPLATE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM emb),
+cent0 AS (
+    SELECT v AS cv, rn - 1 AS lid FROM (
+        SELECT v, row_number() OVER (
+            ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT,
+                     vec_id) AS rn
+        FROM e)
+    WHERE rn <= {k}),
+{iter_ctes}
+assign AS (
+    SELECT vec_id, v, lid FROM (
+        SELECT e.vec_id, e.v, c.lid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                            c.lid DESC) AS rn
+        FROM e CROSS JOIN cent{n_iter} c)
+    WHERE rn = 1),
+dropped AS (
+    SELECT DISTINCT b.vec_id AS did
+    FROM assign a JOIN assign b
+      ON a.lid = b.lid AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= {threshold}),
+r AS (
+    SELECT a.vec_id, a.lid AS cluster, d.did IS NULL AS kept
+    FROM assign a LEFT JOIN dropped d ON a.vec_id = d.did)
+SELECT * FROM r
+"""
+
+ITER_CTE = """
+assign{i} AS (
+    SELECT vec_id, v, lid FROM (
+        SELECT e.vec_id, e.v, c.lid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                            c.lid DESC) AS rn
+        FROM e CROSS JOIN cent{prev} c)
+    WHERE rn = 1),
+mean{i} AS (
+    SELECT lid, list(round(m, {round_to}) ORDER BY pos) AS mv FROM (
+        SELECT lid, pos, avg(x) AS m FROM (
+            SELECT lid, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+            FROM assign{i})
+        GROUP BY lid, pos)
+    GROUP BY lid),
+cent{i} AS (
+    SELECT coalesce(m.mv, c.cv) AS cv, c.lid
+    FROM cent{prev} c LEFT JOIN mean{i} m USING (lid)),
+"""
+
+
+def sem_oracle(k: int, n_iter: int, threshold: float, round_to: int = 6) -> str:
+    iters = "".join(
+        ITER_CTE.format(i=i, prev=i - 1, round_to=round_to)
+        for i in range(1, n_iter + 1)
+    )
+    return SEM_ORACLE_TEMPLATE.format(
+        k=k, n_iter=n_iter, threshold=threshold, iter_ctes=iters
+    )
+
+
+@pytest.mark.parametrize("k,n_iter,threshold", [(3, 2, 0.999), (4, 1, 0.95)])
+def test_semdedup_duckdb_oracle_parity(emb, k, n_iter, threshold):
+    df, rows, _ = emb
+    got = (
+        semdedup(df, k=k, n_iter=n_iter, threshold=threshold)
+        .toPandas()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    pdf = pd.DataFrame(
+        [(i, list(map(float, v))) for i, v in rows],
+        columns=["vec_id", "embedding"],
+    )
+    con = duckdb.connect()
+    con.register("emb", pdf)
+    exp = (
+        con.execute(sem_oracle(k, n_iter, threshold))
+        .fetchdf()
+        .sort_values("vec_id", ignore_index=True)
+    )
+    assert list(got["cluster"]) == list(exp["cluster"])
+    assert list(got["kept"]) == list(exp["kept"])
+
+
+def test_fit_handles_empty_cluster(spark):
+    # two identical points, k=2: one centroid gets every point, the
+    # other cluster is empty and must keep its init centroid
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 1e-7])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = kmeans_fit(df, k=2, n_iter=2)
+    assert len(cents) == 2
+    assert all(len(c) == 2 and all(math.isfinite(x) for x in c) for c in cents)
