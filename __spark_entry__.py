@@ -3160,14 +3160,27 @@ def q_xcorr_lags_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is EVIDENCE order, not build order: the
     driver's correctness gate records at most the first ~50 entries
-    (r03 recorded exactly the first 50 of 57 in dict order), so the
-    least-driver-proven queries come FIRST — this round's additions
-    (122 registered in total; the committed full-contract snapshot at
+    (r03 recorded exactly the first 50 of 57 in dict order), so
+    VERDICT r03's seven required-in-r04 queries come first, then the
+    least-driver-proven — this round's additions
+    (124 registered in total; the committed full-contract snapshot at
     BENCH/correctness_r04_local.json covers every one), then round-3's
     (one green driver record), round-2's (two), and the round-1
     originals (three green records each) last, where any truncation
     costs the least."""
     return {
+        # -- VERDICT r03 done-criterion #2: these 7 (registered since r03
+        #    but absent from the driver's 50-row CORRECTNESS_r03 prefix)
+        #    MUST appear in the driver's r04 file, so they go first, with
+        #    the previously contract-less multimodal surface right behind --
+        "time_weighted_1h": q_time_weighted_1h,
+        "state_durations_1d": q_state_durations_1d,
+        "uptime_1h": q_uptime_1h,
+        "twa_interp_1h": q_twa_interp_1h,
+        "lttb_1h": q_lttb_1h,
+        "concurrency_10m": q_concurrency_10m,
+        "series_corr_1d": q_series_corr_1d,
+        "multimodal_features": q_multimodal_features,
         # -- never in a driver CORRECTNESS file (r03 cap) + round-4 new --
         "dedup_spans": q_dedup_spans,
         "semdedup": q_semdedup,
@@ -3235,14 +3248,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention_wk": q_cohort_retention_wk,
         "seasonal_hod_1h": q_seasonal_hod_1h,
         "resets_1h": q_resets_1h,
-        "time_weighted_1h": q_time_weighted_1h,
-        "state_durations_1d": q_state_durations_1d,
-        "uptime_1h": q_uptime_1h,
-        "twa_interp_1h": q_twa_interp_1h,
-        "lttb_1h": q_lttb_1h,
-        "concurrency_10m": q_concurrency_10m,
-        "series_corr_1d": q_series_corr_1d,
-        "multimodal_features": q_multimodal_features,
         # -- one green driver record (r03) --
         "knn_join_lsh": q_knn_join_lsh,
         "sample_split": q_sample_split,
