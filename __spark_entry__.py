@@ -999,6 +999,33 @@ def q_downsample_ohlc(spark, sf_dir):
     )
 
 
+def q_m4_1h(spark, sf_dir):
+    """M4 visualization downsample per (event_type, 1h) — the error-free
+    line-rendering sample set (Jugel et al., VLDB 2014): the DISTINCT
+    first / last / min-value / max-value POINTS of each pixel bucket
+    with their real timestamps (operators/downsample.py downsample_m4).
+    ONE hash aggregation folds all four min_by/max_by picks, then a
+    narrow array_distinct + explode — no second shuffle, no window."""
+    from mq_to_db_spark.operators.downsample import downsample_m4
+
+    return downsample_m4(
+        _events(spark, sf_dir), ["event_type"], ts_col="ts",
+        value_col="value", tier="1h", tiebreak=("event_id",),
+    )
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """Corpus bigram-LM self-perplexity per document (operators/lm.py)
+    — the CCNet-style n-gram quality signal with the model trained on
+    the corpus itself: add-one smoothed p(w|h) from exact corpus
+    counts, per-doc log-prob summed in POSITION order (fixed-order
+    double chain), ppl = exp(-lp/n).  Bigram counts map-side combine;
+    the fold is one collect_list group of O(doc tokens)."""
+    from mq_to_db_spark.operators.lm import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(spark, sf_dir))
+
+
 #: DDSketch relative accuracy for the contract sketch query
 SKETCH_ALPHA = 0.05
 
@@ -3182,6 +3209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "series_corr_1d": q_series_corr_1d,
         "multimodal_features": q_multimodal_features,
         # -- never in a driver CORRECTNESS file (r03 cap) + round-4 new --
+        "m4_1h": q_m4_1h,
+        "lm_perplexity": q_lm_perplexity,
         "dedup_spans": q_dedup_spans,
         "semdedup": q_semdedup,
         "strip_boilerplate": q_strip_boilerplate,
@@ -3512,6 +3541,92 @@ def oracle_sql() -> dict[str, str]:
         f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES
     )
     return {
+        # M4: the four per-bucket point picks replayed as rank-1 rows
+        # under the SAME total orders ((ts, event_id) for first/last,
+        # (value, ts, event_id) for min/max), DISTINCT = array_distinct
+        "m4_1h": """
+            WITH r AS (
+                SELECT event_type,
+                       date_trunc('hour', ts) AS bucket_start, ts, value,
+                       row_number() OVER (
+                           PARTITION BY event_type, date_trunc('hour', ts)
+                           ORDER BY ts, event_id) AS rf,
+                       row_number() OVER (
+                           PARTITION BY event_type, date_trunc('hour', ts)
+                           ORDER BY ts DESC, event_id DESC) AS rl,
+                       row_number() OVER (
+                           PARTITION BY event_type, date_trunc('hour', ts)
+                           ORDER BY value, ts, event_id) AS rmin,
+                       row_number() OVER (
+                           PARTITION BY event_type, date_trunc('hour', ts)
+                           ORDER BY value DESC, ts DESC, event_id DESC
+                       ) AS rmax
+                FROM events WHERE value IS NOT NULL
+            )
+            SELECT DISTINCT event_type, bucket_start, ts, value
+            FROM r WHERE 1 IN (rf, rl, rmin, rmax)
+        """,
+        # bigram-LM self-perplexity: identical tokenizer, identical
+        # corpus counts, and the SAME position-ordered fold (list_sort
+        # by pos -> list_transform to ln terms -> left-assoc list_reduce
+        # == Spark's aggregate over sort_array; the first fold step adds
+        # 0.0, which is exact) — logprob and ppl hash-match bit-for-bit
+        "lm_perplexity": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '') AS t
+                FROM documents
+            ),
+            nz AS (SELECT * FROM toks WHERE len(t) > 0),
+            pos AS (
+                SELECT doc_id, t,
+                       unnest(range(1, len(t) + 1)) AS pos
+                FROM nz
+            ),
+            p2 AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos = 1 THEN '<s>'
+                            ELSE t[pos - 1] END AS h,
+                       t[pos] AS w
+                FROM pos
+            ),
+            bc AS (
+                SELECT h, w, CAST(count(*) AS BIGINT) AS c
+                FROM p2 GROUP BY 1, 2
+            ),
+            hc AS (SELECT h, CAST(sum(c) AS BIGINT) AS ch FROM bc GROUP BY 1),
+            vv AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM bc),
+            joined AS (
+                SELECT p2.doc_id, p2.pos, bc.c, hc.ch, vv.v
+                FROM p2
+                JOIN bc USING (h, w)
+                JOIN hc USING (h)
+                CROSS JOIN vv
+            ),
+            folded AS (
+                SELECT doc_id,
+                       CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(sum(c) AS BIGINT) AS bigram_c_sum,
+                       CAST(count(*) FILTER (c = 1) AS BIGINT)
+                           AS n_singletons,
+                       list_reduce(
+                           list_prepend(CAST(0.0 AS DOUBLE),
+                               list_transform(
+                                   list_sort(list(
+                                       struct_pack(pos := pos, c := c,
+                                                   ch := ch, v := v))),
+                                   x -> ln(CAST(x.c + 1 AS DOUBLE))
+                                        - ln(CAST(x.ch + x.v AS DOUBLE)))),
+                           (a, b) -> a + b) AS lp
+                FROM joined GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens, bigram_c_sum, n_singletons,
+                   round(lp, 6) AS logprob,
+                   round(exp(-(lp / CAST(n_tokens AS DOUBLE))), 6) AS ppl
+            FROM folded
+        """,
         # SemDeDup: full algorithm replay (init + unrolled Lloyd + drop)
         "semdedup": _semdedup_oracle(),
         # span dedup: same doubled-doc synth, same gram join + md5 coin

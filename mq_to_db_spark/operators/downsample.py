@@ -128,3 +128,70 @@ def downsample_lttb(
         F.col("_sel.value").alias(value_col),
         "n_samples",
     )
+
+
+def downsample_m4(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tier: str = "1h",
+    tiebreak: tuple[str, ...] = (),
+) -> DataFrame:
+    """M4 downsample (Jugel et al., VLDB 2014, "M4: A Visualization-
+    Oriented Time Series Data Aggregation"): per ``(keys…, bucket)``
+    emit the DISTINCT set of up-to-four real samples — the first, the
+    last, a minimum-value and a maximum-value point — which is exactly
+    the sample set an error-free line rendering at bucket(=pixel-column)
+    resolution needs.  Grafana's panel downsampler is the read-path
+    consumer this models (the same dashboard surface as
+    :func:`downsample_ohlc`, which keeps the four VALUES; M4 keeps the
+    four POINTS with their real timestamps).
+
+    Determinism: first/last are picked by the ``(ts, *tiebreak)`` total
+    order; the min/max points by the ``(value, ts, *tiebreak)``
+    lexicographic order — i.e. value ties resolve to the earliest
+    occurrence for the minimum and the latest for the maximum.  Rows
+    that coincide in ``(ts, value)`` collapse (a bucket's first point
+    may BE its minimum), so a bucket yields 1–4 rows.
+
+    Scale design — same shape as :func:`downsample_ohlc`, the cheapest
+    plan for the semantics: ONE hash aggregation (``min_by``/``max_by``
+    fold all four picks in the same partial+final agg — raw data is
+    touched once, the exchange carries four 16-byte structs per (key,
+    bucket) per map task), then a narrow 4-element ``array_distinct`` +
+    ``explode`` — no second shuffle, no window sort, whole-stage
+    codegen end to end.
+    """
+    order_ts = F.struct(
+        F.col(ts_col).alias("o"), *[F.col(t) for t in tiebreak]
+    )
+    order_val = F.struct(
+        F.col(value_col).alias("v"),
+        F.col(ts_col).alias("o"),
+        *[F.col(t) for t in tiebreak],
+    )
+    pt = F.struct(F.col(ts_col).alias("ts"), F.col(value_col).alias("value"))
+    bucket = bucket_col(tier, ts_col)
+    agged = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*keys, bucket.alias("bucket_start"))
+        .agg(
+            F.min_by(pt, order_ts).alias("_first"),
+            F.min_by(pt, order_val).alias("_min"),
+            F.max_by(pt, order_val).alias("_max"),
+            F.max_by(pt, order_ts).alias("_last"),
+        )
+    )
+    return agged.select(
+        *keys,
+        "bucket_start",
+        F.explode(
+            F.array_distinct(F.array("_first", "_min", "_max", "_last"))
+        ).alias("_pt"),
+    ).select(
+        *keys,
+        "bucket_start",
+        F.col("_pt.ts").alias(ts_col),
+        F.col("_pt.value").alias(value_col),
+    )

@@ -35,6 +35,10 @@ _WHITELIST = {
     # ranking.py — corpus × broadcast(1-row N/Σdl/df stats): output
     # cardinality equals the corpus side, O(N) by construction
     "bm25_topk": ("BroadcastNestedLoopJoin",),
+    # lm.py:bigram_lm_scores — token stream × broadcast(1-row vocab
+    # size V): the add-one denominator; output cardinality equals the
+    # stream side, same shape as bm25_topk's corpus-stats broadcast
+    "lm_perplexity": ("BroadcastNestedLoopJoin",),
     # intervals.py:staleness → gapfill.time_grid(keys): series ×
     # broadcast(1-row global extent) — same grid materialization as
     # gapfill_1h, output = |series| · |grid|

@@ -163,3 +163,57 @@ def test_lttb_plan_one_window_one_agg(spark):
     # window shuffle on series; agg reuses it (keys ⊂ group keys)
     assert plan.count("Exchange") <= 2, plan
     assert "PythonUDF" not in plan, plan
+
+
+# ------------------------------------------------------------------ M4
+
+
+def _brute_m4(pdf: pd.DataFrame, freq: str = "h"):
+    """Per (series, bucket) the DISTINCT {first, last, min, max} points:
+    first/last by (ts, sid); min by (value, ts, sid) asc; max desc."""
+    want = {}
+    for (s, b), g in pdf.groupby(["series", pdf.ts.dt.floor(freq)], sort=False):
+        by_ts = g.sort_values(["ts", "sid"])
+        by_val = g.sort_values(["value", "ts", "sid"])
+        picks = {
+            (r.ts, float(r.value))
+            for r in (
+                by_ts.iloc[0], by_ts.iloc[-1], by_val.iloc[0], by_val.iloc[-1]
+            )
+        }
+        want[(s, b)] = picks
+    return want
+
+
+def test_m4_matches_naive(spark):
+    from mq_to_db_spark.operators.downsample import downsample_m4
+
+    df, pdf = _fixture(spark)
+    got: dict = {}
+    for r in downsample_m4(df, ["series"], tier="1h", tiebreak=("sid",)).collect():
+        got.setdefault((r.series, r.bucket_start), set()).add((r.ts, r.value))
+    assert got == _brute_m4(pdf)
+
+
+def test_m4_collapses_coincident_picks(spark):
+    # monotone series: first IS the min and last IS the max -> 2 rows
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    rows = [("m", base + pd.Timedelta(minutes=5 * i), i, float(i)) for i in range(6)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["series", "ts", "sid", "value"]))
+    from mq_to_db_spark.operators.downsample import downsample_m4
+
+    out = downsample_m4(df, ["series"], tier="1h", tiebreak=("sid",)).collect()
+    assert len(out) == 2
+    assert {(r.ts, r.value) for r in out} == {
+        (base.to_pydatetime(), 0.0),
+        ((base + pd.Timedelta(minutes=25)).to_pydatetime(), 5.0),
+    }
+
+
+def test_m4_plan_single_agg_no_window(spark):
+    from mq_to_db_spark.operators.downsample import downsample_m4
+
+    df, _ = _fixture(spark)
+    plan = _plan(downsample_m4(df, ["series"], tier="1h", tiebreak=("sid",)))
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan, plan
