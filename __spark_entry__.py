@@ -1026,6 +1026,72 @@ def q_lm_perplexity(spark, sf_dir):
     return bigram_lm_scores(_docs(spark, sf_dir))
 
 
+def q_kmv_distinct_1d(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-user sketch per (event_type, 1d),
+    CASCADED from 1h sketches (operators/sketch.py kmv_sketch/kmv_merge)
+    — bottom-k(union) == bottom-k(union of bottom-ks), so the cascade is
+    bit-identical to building from raw, which the oracle does directly.
+    The mergeable-but-SQL-replayable sibling of the HLL rollup: hashes
+    ride the md5 coin, dedup is one map-side-combined hash agg, the
+    bottom-k trim a sort-based (spillable) window."""
+    from mq_to_db_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    hourly = kmv_sketch(
+        _events(spark, sf_dir), ["event_type"], "user_id", tier="1h", k=64
+    )
+    daily = kmv_merge(
+        hourly, ["event_type"], F.date_trunc("day", "bucket_start"), k=64
+    )
+    return kmv_estimate(daily, k=64).select(
+        "event_type", "bucket_start", "n_hashes", "kth_hash", "est_distinct"
+    )
+
+
+def q_survival_conv(spark, sf_dir):
+    """Kaplan-Meier survival over (user, event_type) activity-stream
+    lifetimes (operators/survival.py): right-censored at a 12h horizon
+    before the corpus max, exact BIGINT risk-set integers, survival via
+    the running Σ ln(1-d/n) executed range-partitioned (rangewin.py) —
+    never a single-partition window over the curve."""
+    from mq_to_db_spark.operators.survival import conv_lifetimes, kaplan_meier
+
+    streams = _events(spark, sf_dir).select(
+        F.concat_ws(
+            ":", F.col("user_id").cast("string"), F.col("event_type")
+        ).alias("conv_id"),
+        "ts",
+    )
+    return kaplan_meier(
+        conv_lifetimes(streams, censor_horizon="12 hours")
+    )
+
+
+def q_turn_echo(spark, sf_dir):
+    """Cross-turn repetition over the transcript adapter
+    (operators/echo.py): distinct-bigram Jaccard/containment between
+    each turn and its same-role predecessor — the looping-assistant
+    quality signal.  ONE window shuffle on (conv, role); set sizes are
+    exact BIGINTs."""
+    from mq_to_db_spark.operators.echo import turn_echo
+
+    return turn_echo(_events_as_transcripts(spark, sf_dir))
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Corpus Zipf rank-frequency fit (operators/ranking.py zipf_fit):
+    least squares of ln(freq) on ln(rank) over the top-100 tokens,
+    folded in ONE fixed-order aggregate (rank-sorted array) so the SQL
+    replay's left-to-right double chain agrees bit-for-bit; top-N via
+    TakeOrderedAndProject, never a global sort."""
+    from mq_to_db_spark.operators.ranking import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir), top_n=100)
+
+
 #: DDSketch relative accuracy for the contract sketch query
 SKETCH_ALPHA = 0.05
 
@@ -3211,6 +3277,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never in a driver CORRECTNESS file (r03 cap) + round-4 new --
         "m4_1h": q_m4_1h,
         "lm_perplexity": q_lm_perplexity,
+        "kmv_distinct_1d": q_kmv_distinct_1d,
+        "survival_conv": q_survival_conv,
+        "turn_echo": q_turn_echo,
+        "zipf_fit": q_zipf_fit,
         "dedup_spans": q_dedup_spans,
         "semdedup": q_semdedup,
         "strip_boilerplate": q_strip_boilerplate,
@@ -3544,6 +3614,189 @@ def oracle_sql() -> dict[str, str]:
         # M4: the four per-bucket point picks replayed as rank-1 rows
         # under the SAME total orders ((ts, event_id) for first/last,
         # (value, ts, event_id) for min/max), DISTINCT = array_distinct
+        # KMV: bottom-64 distinct md5-coin hashes straight from raw at
+        # the 1d grain (== the engine's 1h→1d cascade by the
+        # bottom-k(union) identity); estimate arithmetic op-for-op
+        "kmv_distinct_1d": """
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       date_trunc('day', ts) AS bucket_start,
+                       ('0x' || substring(
+                           md5('42:' || CAST(user_id AS VARCHAR)),
+                           1, 15))::BIGINT AS h
+                FROM events WHERE user_id IS NOT NULL
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY event_type, bucket_start
+                           ORDER BY h) AS rn
+                FROM h
+            )
+            SELECT event_type, bucket_start,
+                   CAST(count(*) AS BIGINT) AS n_hashes,
+                   max(CASE WHEN rn = 64 THEN h END) AS kth_hash,
+                   CASE WHEN count(*) < 64
+                        THEN CAST(count(*) AS DOUBLE)
+                        ELSE round(63.0 * 1152921504606846976.0
+                             / CAST(max(CASE WHEN rn = 64 THEN h END)
+                                    AS DOUBLE), 6)
+                   END AS est_distinct
+            FROM r WHERE rn <= 64
+            GROUP BY event_type, bucket_start
+        """,
+        # Kaplan-Meier: same lifetimes/censor rule, same risk-set
+        # integers, same running Σ ln(1-d/n) in duration order
+        "survival_conv": """
+            WITH lt AS (
+                SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS ck,
+                       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+                       CASE WHEN max(ts) <
+                                 (SELECT max(ts) FROM events)
+                                 - INTERVAL 12 HOUR
+                            THEN 1 ELSE 0 END AS observed
+                FROM events GROUP BY 1
+            ),
+            by_t AS (
+                SELECT duration_us,
+                       CAST(count(*) FILTER (observed = 1) AS BIGINT)
+                           AS n_deaths,
+                       CAST(count(*) FILTER (observed = 0) AS BIGINT)
+                           AS n_censored
+                FROM lt GROUP BY 1
+            ),
+            risk AS (
+                SELECT *,
+                       (SELECT count(*) FROM lt)
+                       - sum(n_deaths + n_censored) OVER (
+                             ORDER BY duration_us
+                             ROWS UNBOUNDED PRECEDING)
+                       + (n_deaths + n_censored) AS n_at_risk
+                FROM by_t
+            ),
+            curve AS (
+                SELECT *,
+                       sum(CASE WHEN n_deaths > 0 AND n_deaths < n_at_risk
+                                THEN ln(1.0 - CAST(n_deaths AS DOUBLE)
+                                            / CAST(n_at_risk AS DOUBLE))
+                                ELSE 0.0 END) OVER (
+                           ORDER BY duration_us
+                           ROWS UNBOUNDED PRECEDING) AS lnS
+                FROM risk
+            )
+            SELECT duration_us,
+                   CAST(n_at_risk AS BIGINT) AS n_at_risk,
+                   n_deaths, n_censored,
+                   CASE WHEN n_deaths >= n_at_risk THEN 0.0
+                        ELSE round(exp(lnS), 6) END AS survival
+            FROM curve WHERE n_deaths > 0
+        """,
+        # turn echo: same transcript adapter, same tokenizer, same
+        # distinct-bigram sets, same same-role lag pairing
+        "turn_echo": """
+            WITH t AS (
+                SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                       event_type AS role,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) - 1 AS turn_idx,
+                       list_filter(
+                           string_split_regex(lower(props), '[^a-z0-9]+'),
+                           x -> x <> '') AS toks
+                FROM events
+            ),
+            g AS (
+                SELECT conv_id, role, turn_idx,
+                       list_sort(list_distinct(
+                           CASE WHEN len(toks) >= 2
+                                THEN list_transform(
+                                    range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i + 1])
+                                ELSE []::VARCHAR[] END)) AS gr
+                FROM t
+            ),
+            p AS (
+                SELECT *, lag(gr) OVER (
+                           PARTITION BY conv_id, role
+                           ORDER BY turn_idx) AS pg
+                FROM g
+            )
+            SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx, role,
+                   CAST(len(gr) AS BIGINT) AS n_grams,
+                   CAST(len(pg) AS BIGINT) AS n_prev_grams,
+                   CAST(len(list_intersect(gr, pg)) AS BIGINT) AS n_common,
+                   CAST(len(list_distinct(list_concat(gr, pg))) AS BIGINT)
+                       AS n_union,
+                   CASE WHEN len(list_distinct(list_concat(gr, pg))) > 0
+                        THEN round(
+                            CAST(len(list_intersect(gr, pg)) AS DOUBLE)
+                            / CAST(len(list_distinct(list_concat(gr, pg)))
+                                   AS DOUBLE), 6)
+                        ELSE 0.0 END AS jaccard,
+                   CASE WHEN len(gr) > 0
+                        THEN round(
+                            CAST(len(list_intersect(gr, pg)) AS DOUBLE)
+                            / CAST(len(gr) AS DOUBLE), 6)
+                        ELSE 0.0 END AS containment
+            FROM p WHERE pg IS NOT NULL
+        """,
+        # Zipf fit: same (freq DESC, token ASC) ranking, same
+        # fixed-order fold — accumulator as a DOUBLE[6] vector so
+        # list_reduce walks the identical left-to-right chain
+        "zipf_fit": """
+            WITH c AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS freq
+                FROM (
+                    SELECT unnest(list_filter(
+                        string_split_regex(lower(text), '[^a-z0-9]+'),
+                        x -> x <> '')) AS tok
+                    FROM documents
+                ) GROUP BY 1
+            ),
+            tot AS (
+                SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+                       CAST(sum(freq) AS BIGINT) AS total_tokens
+                FROM c
+            ),
+            top AS (
+                SELECT tok, freq FROM c
+                ORDER BY freq DESC, tok LIMIT 100
+            ),
+            arr AS (
+                SELECT list(CAST(freq AS DOUBLE)
+                            ORDER BY freq DESC, tok) AS fs,
+                       CAST(count(*) AS BIGINT) AS n_fit,
+                       list(tok ORDER BY freq DESC, tok)[1] AS top_token,
+                       CAST(max(freq) AS BIGINT) AS top_freq
+                FROM top
+            ),
+            folded AS (
+                SELECT n_fit, top_token, top_freq,
+                       list_reduce(
+                           list_prepend(
+                               [0.0, 0.0, 0.0, 0.0, 0.0, 0.0],
+                               list_transform(fs, f -> [f])),
+                           (a, e) -> [
+                               a[1] + 1,
+                               a[2] + ln(a[1] + 1),
+                               a[3] + ln(e[1]),
+                               a[4] + ln(a[1] + 1) * ln(a[1] + 1),
+                               a[5] + ln(a[1] + 1) * ln(e[1]),
+                               a[6] + ln(e[1]) * ln(e[1])
+                           ]) AS s
+                FROM arr
+            )
+            SELECT vocab_size, total_tokens, n_fit, top_token, top_freq,
+                   round((s[1] * s[5] - s[2] * s[3])
+                         / (s[1] * s[4] - s[2] * s[2]), 6) AS zipf_slope,
+                   round((s[3] - (s[1] * s[5] - s[2] * s[3])
+                                 / (s[1] * s[4] - s[2] * s[2]) * s[2])
+                         / s[1], 6) AS intercept,
+                   round((s[1] * s[5] - s[2] * s[3])
+                         * (s[1] * s[5] - s[2] * s[3])
+                         / ((s[1] * s[4] - s[2] * s[2])
+                            * (s[1] * s[6] - s[3] * s[3])), 6) AS r2
+            FROM folded CROSS JOIN tot
+        """,
         "m4_1h": """
             WITH r AS (
                 SELECT event_type,

@@ -142,3 +142,99 @@ def idf_table(n_docs: int, dfs: dict[str, int]) -> dict[str, float]:
         t: math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
         for t, df in dfs.items()
     }
+
+
+# --------------------------------------------------------------------------
+# Zipf rank-frequency fit — corpus-governance audit
+# --------------------------------------------------------------------------
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus token rank–frequency curve — the
+    classic corpus-health audit: natural language sits near slope −1 on
+    the log-log rank/frequency plot; boilerplate-heavy or synthetic
+    corpora bend away from it (too flat = template spam, too steep =
+    tiny effective vocabulary).  Reported alongside the per-document
+    lexical_stats richness figures (this module / tests) as the
+    corpus-LEVEL counterpart.
+
+    Least squares of ``ln(freq)`` on ``ln(rank)`` over the ``top_n``
+    most frequent tokens, ranked by ``(freq DESC, token ASC)`` so the
+    ranking is a total order.  ONE row out:
+    ``(vocab_size, total_tokens, n_fit, top_token, top_freq,
+    zipf_slope, intercept, r2)``.
+
+    Determinism: the five regression sums fold over the rank-sorted
+    top-N array in ONE fixed-order ``aggregate`` (left-to-right double
+    chain — the BM25/lm.py discipline), never an unordered SUM, so a
+    SQL replay folding the same order agrees bit-for-bit.
+
+    Scale design: token counts are ONE hash agg with map-side combine
+    (the shuffle carries (token, partial) rows); vocab/total come from
+    a second agg over that already-tiny table; the top-N is a
+    ``TakeOrderedAndProject`` (per-partition heap + driver merge of
+    top_n structs, never a global sort); the fold runs over a bounded
+    top_n-element array on one row.
+    """
+    counts = (
+        docs.select(F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("freq").alias("total_tokens"),
+    )
+    top = (
+        counts.orderBy(F.col("freq").desc(), F.col("tok"))
+        .limit(top_n)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct((-F.col("freq")).alias("nf"), "tok"))
+            ).alias("_top")
+        )
+    )
+    # fold state: (i, sx, sy, sxx, sxy, syy) — rank i is the position in
+    # the sorted array, x = ln(i), y = ln(freq)
+    zero = F.struct(
+        F.lit(0).cast("long").alias("i"),
+        *[F.lit(0.0).alias(c) for c in ("sx", "sy", "sxx", "sxy", "syy")],
+    )
+
+    def _step(acc, e):
+        i = acc["i"] + 1
+        x = F.log(i.cast("double"))
+        y = F.log((-e["nf"]).cast("double"))
+        return F.struct(
+            i.alias("i"),
+            (acc["sx"] + x).alias("sx"),
+            (acc["sy"] + y).alias("sy"),
+            (acc["sxx"] + x * x).alias("sxx"),
+            (acc["sxy"] + x * y).alias("sxy"),
+            (acc["syy"] + y * y).alias("syy"),
+        )
+
+    fitted = top.select(
+        F.aggregate("_top", zero, _step).alias("_s"),
+        F.element_at("_top", 1).alias("_t1"),
+    )
+    s = F.col("_s")
+    n = s["i"].cast("double")
+    cov = n * s["sxy"] - s["sx"] * s["sy"]
+    varx = n * s["sxx"] - s["sx"] * s["sx"]
+    vary = n * s["syy"] - s["sy"] * s["sy"]
+    slope = cov / varx
+    return fitted.crossJoin(F.broadcast(totals)).select(
+        "vocab_size",
+        "total_tokens",
+        s["i"].alias("n_fit"),
+        F.col("_t1")["tok"].alias("top_token"),
+        (-F.col("_t1")["nf"]).cast("long").alias("top_freq"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((s["sy"] - slope * s["sx"]) / n, 6).alias("intercept"),
+        F.round(cov * cov / (varx * vary), 6).alias("r2"),
+    )

@@ -47,7 +47,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from mq_to_db_spark.operators.rollup import bucket_col
@@ -187,3 +187,116 @@ def sketch_quantile(
         )
     )
     return sketches.withColumn(out_col, est)
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch
+# --------------------------------------------------------------------------
+#
+# The mergeable DISTINCT sibling of the DDSketch above: keep the k
+# smallest distinct hash values of the observed elements (Bar-Yossef et
+# al. 2002; the estimator behind Theta/KMV sketches).  The estimate is
+#
+#     n_distinct ≈ (k - 1) * HASH_SPACE / h_(k)     (h_(k) = kth smallest)
+#
+# and EXACT (= the sketch size) whenever fewer than k distinct elements
+# were seen.  Merge = union of the hash sets re-trimmed to the k
+# smallest — associative, commutative, idempotent — so KMV sketches
+# cascade across the 1m→1h→1d retention tiers exactly like the HLL
+# registers in rollup.py (C8 mergeability), while staying exactly
+# replayable in ANSI SQL (the HLL sketch is not: its register layout is
+# Spark-internal, which is why distinct_users_1h checks HLL against the
+# exact count instead).  bottom-k(union) == bottom-k(union of bottom-ks),
+# so a cascaded sketch is bit-identical to one built from raw data.
+#
+# Scale design:
+#   * hashes ride the `hash_u60` md5 coin (JVM codegen, one hash/row);
+#   * dedup is ONE hash aggregation on (keys, bucket, h) with map-side
+#     partial combine — the heavy shuffle carries bare 8-byte hashes;
+#   * per-group bottom-k is a sort-based window (row_number ≤ k) — fully
+#     spillable, no per-group memory proportional to distinct count
+#     (a collect_list-then-slice would buffer EVERY distinct hash);
+#   * the final assembly groupBy reuses the window's exchange (grouping
+#     keys ⊆ window partition keys → no third shuffle);
+#   * a sketch row is O(k) longs regardless of input size, so cascades
+#     shuffle sketches, not data.
+
+from mq_to_db_spark.operators.sampling import HASH_SPACE, hash_u60  # noqa: E402
+
+
+def kmv_sketch(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    tier: str = "1h",
+    ts_col: str = "ts",
+    k: int = 64,
+    seed: int | str = 42,
+) -> DataFrame:
+    """Per ``(keys…, bucket_start)``: the sorted array of the ``k``
+    smallest distinct 60-bit hashes of ``value_col`` (column ``kmv``),
+    NULL elements excluded."""
+    hashed = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            *keys,
+            bucket_col(tier, ts_col).alias("bucket_start"),
+            hash_u60(value_col, seed=seed).alias("_h"),
+        )
+        .groupBy(*keys, "bucket_start", "_h")
+        .agg(F.lit(1).alias("_one"))
+    )
+    w = W.partitionBy(*keys, "bucket_start").orderBy("_h")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .groupBy(*keys, "bucket_start")
+        .agg(F.sort_array(F.collect_list("_h")).alias("kmv"))
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    keys: list[str],
+    bucket_expr: Column,
+    k: int = 64,
+    kmv_col: str = "kmv",
+) -> DataFrame:
+    """Merge fine-tier sketches into coarser groups: union the hash
+    sets, keep the k smallest.  Same window-bottom-k plan as the build
+    (the per-row explode fans out ≤ k rows per input sketch)."""
+    exploded = sketches.select(
+        *keys,
+        bucket_expr.alias("bucket_start"),
+        F.explode(kmv_col).alias("_h"),
+    ).groupBy(*keys, "bucket_start", "_h").agg(F.lit(1).alias("_one"))
+    w = W.partitionBy(*keys, "bucket_start").orderBy("_h")
+    return (
+        exploded.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .groupBy(*keys, "bucket_start")
+        .agg(F.sort_array(F.collect_list("_h")).alias("kmv"))
+    )
+
+
+def kmv_estimate(
+    sketches: DataFrame, k: int = 64, kmv_col: str = "kmv"
+) -> DataFrame:
+    """Append the distinct-count estimate: exact sketch size when the
+    sketch never filled (< k hashes), else ``(k-1) * 2^60 / h_(k)``
+    rounded to 6 dp.  Also surfaces the integer-exact pieces
+    (``n_hashes``, ``kth_hash``) so the contract hash-match rides
+    BIGINTs plus one reproducible double division."""
+    n = F.size(kmv_col)
+    kth = F.element_at(F.col(kmv_col), k)
+    est = F.when(n < k, n.cast("double")).otherwise(
+        F.round(
+            F.lit(float(k - 1)) * F.lit(float(HASH_SPACE)) / kth.cast("double"), 6
+        )
+    )
+    return sketches.select(
+        "*",
+        n.cast("long").alias("n_hashes"),
+        F.when(n >= k, kth).alias("kth_hash"),
+        est.alias("est_distinct"),
+    )

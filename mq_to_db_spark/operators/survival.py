@@ -1,0 +1,144 @@
+"""Kaplan–Meier survival analysis over conversation lifetimes.
+
+The product-analytics question behind the reference's per-queue
+consumer-lifetime metrics (`mq_to_db_consumer_running`,
+/root/reference/internal/metrics/metrics.go:60-74 tracks how long each
+consumer stays alive): *how long does a conversation live before it
+ends?* — answered properly, i.e. WITHOUT the bias of simply averaging
+observed durations when some conversations are still running at the end
+of the observation window.  That is exactly right-censoring, and the
+standard estimator is Kaplan–Meier (1958):
+
+    S(t) = Π_{t_i ≤ t} (1 - d_i / n_i)
+
+over the distinct event (death) times ``t_i``, where ``d_i`` =
+conversations ending at ``t_i`` and ``n_i`` = conversations still at
+risk (duration ≥ t_i, ended or censored).  Censored lifetimes never
+contribute a factor but DO hold up the at-risk denominator until they
+drop out — that is the entire point of the estimator.
+
+Censoring rule (the classic panel-data convention): a conversation
+whose LAST turn falls within ``censor_horizon`` of the corpus'
+maximum timestamp is right-censored — it may still be going; every
+other conversation is an observed "death" at its last turn.
+
+Scale design:
+  * lifetimes: ONE hash aggregation over (conv) — min/max ts per conv,
+    map-side combined; the corpus max is a broadcast scalar from the
+    same pass (a 1-row agg, not a driver collect of data);
+  * the risk table groups lifetimes by DISTINCT duration — output is
+    O(distinct durations) ≤ O(convs), usually far smaller;
+  * both running quantities (cumulative drop-outs for ``n_i``, the
+    running Σ ln(1 - d/n) whose exp is S(t)) are keyless prefix
+    sums — executed range-partitioned via
+    :func:`~mq_to_db_spark.operators.rangewin.range_running_sum`, the
+    same no-single-partition-window discipline as the concurrency
+    sweep-line (operators/concurrency.py);
+  * the survival product is carried as exp(Σ ln(·)) — each ln term is
+    a pure function of that row's two exact BIGINTs, and the prefix
+    sum is the engine's standard incremental frame walk, so a SQL
+    replay using the identical formula agrees to well inside the
+    contract's 1e-9 relative tolerance (the integer surface
+    ``(n_at_risk, n_deaths, n_censored)`` hash-matches exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mq_to_db_spark.operators.rangewin import range_running_sum
+
+
+def conv_lifetimes(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    censor_horizon: str = "1 hour",
+) -> DataFrame:
+    """Per conversation: ``duration_us`` (last turn − first turn, exact
+    BIGINT µs; single-turn convs have 0) and ``observed`` (1 = ended,
+    0 = right-censored because the last turn is within
+    ``censor_horizon`` of the corpus max timestamp)."""
+    per = df.groupBy(key_col).agg(
+        F.min(ts_col).alias("_first"),
+        F.max(ts_col).alias("_last"),
+    )
+    extent = df.agg(F.max(ts_col).alias("_corpus_max"))
+    return per.crossJoin(F.broadcast(extent)).select(
+        key_col,
+        (
+            F.unix_micros(F.col("_last").cast("timestamp_ltz"))
+            - F.unix_micros(F.col("_first").cast("timestamp_ltz"))
+        ).alias("duration_us"),
+        F.when(
+            F.col("_last")
+            < F.col("_corpus_max") - F.expr(f"INTERVAL {censor_horizon}"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("observed"),
+    )
+
+
+def kaplan_meier(
+    lifetimes: DataFrame,
+    duration_col: str = "duration_us",
+    observed_col: str = "observed",
+) -> DataFrame:
+    """The Kaplan–Meier curve: one row per distinct OBSERVED death
+    time, with the exact risk-set integers and the survival estimate.
+
+    Output: ``(duration_us, n_at_risk, n_deaths, n_censored,
+    survival)`` where ``n_censored`` counts censored lifetimes tied at
+    exactly this duration (who, by the standard convention, are still
+    at risk AT t and leave after it) and ``survival`` = S(t) rounded
+    to 6 dp.
+    """
+    total = lifetimes.count()
+    by_t = lifetimes.groupBy(F.col(duration_col).alias("duration_us")).agg(
+        F.count_if(F.col(observed_col) == 1).alias("n_deaths"),
+        F.count_if(F.col(observed_col) == 0).alias("n_censored"),
+    )
+    # leavers strictly BEFORE t  ->  n_at_risk(t) = total - that
+    cum = range_running_sum(
+        by_t.withColumn("_leave", F.col("n_deaths") + F.col("n_censored")),
+        "duration_us",
+        "_leave",
+        out_col="_cum_leave",
+    )
+    risk = cum.withColumn(
+        "n_at_risk",
+        (F.lit(total) - F.col("_cum_leave") + F.col("_leave")).cast("long"),
+    )
+    # survival: exp of the running sum of ln(1 - d/n) over death rows;
+    # censoring-only rows contribute ln(1) = 0.  A zero factor (d = n)
+    # can only occur on the globally LAST row — nobody is at risk after
+    # it — so it is excluded from the sum (Spark's ln(0) is NULL, which
+    # SUM skips) and that row's survival is pinned to exactly 0 below.
+    term = F.when(
+        (F.col("n_deaths") > 0) & (F.col("n_deaths") < F.col("n_at_risk")),
+        F.log(
+            F.lit(1.0)
+            - F.col("n_deaths").cast("double") / F.col("n_at_risk").cast("double")
+        ),
+    ).otherwise(F.lit(0.0))
+    curve = range_running_sum(
+        risk.withColumn("_lnterm", term),
+        "duration_us",
+        "_lnterm",
+        out_col="_lnS",
+    )
+    return (
+        curve.where(F.col("n_deaths") > 0)
+        .select(
+            "duration_us",
+            F.col("n_at_risk").cast("long").alias("n_at_risk"),
+            F.col("n_deaths").cast("long").alias("n_deaths"),
+            F.col("n_censored").cast("long").alias("n_censored"),
+            F.when(F.col("n_deaths") >= F.col("n_at_risk"), F.lit(0.0))
+            .otherwise(F.round(F.exp("_lnS"), 6))
+            .alias("survival"),
+        )
+    )

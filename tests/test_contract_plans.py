@@ -39,6 +39,12 @@ _WHITELIST = {
     # size V): the add-one denominator; output cardinality equals the
     # stream side, same shape as bm25_topk's corpus-stats broadcast
     "lm_perplexity": ("BroadcastNestedLoopJoin",),
+    # survival.py:conv_lifetimes — lifetimes × broadcast(1-row corpus
+    # max ts): the censoring horizon; output = |convs|
+    "survival_conv": ("BroadcastNestedLoopJoin",),
+    # ranking.py:zipf_fit — 1-row fold result × broadcast(1-row
+    # vocab/total stats): a 1×1 join
+    "zipf_fit": ("BroadcastNestedLoopJoin",),
     # intervals.py:staleness → gapfill.time_grid(keys): series ×
     # broadcast(1-row global extent) — same grid materialization as
     # gapfill_1h, output = |series| · |grid|

@@ -1,0 +1,68 @@
+"""Zipf rank-frequency fit (operators/ranking.py zipf_fit): regression
+vs numpy lstsq on a corpus with planted frequencies, integer surfaces,
+and the TakeOrdered plan."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from mq_to_db_spark.operators.ranking import zipf_fit
+
+
+def _planted_corpus(spark):
+    """Token i (of 30) appears ceil(1000 / (i+1)) times -> slope ~= -1."""
+    freqs = [math.ceil(1000 / (i + 1)) for i in range(30)]
+    words = []
+    for i, f in enumerate(freqs):
+        words += [f"w{i:02d}"] * f
+    # spread over a few documents (fit is corpus-global, split arbitrary)
+    docs = [" ".join(words[j::7]) for j in range(7)]
+    return (
+        spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(7), "text": docs})
+        ),
+        freqs,
+    )
+
+
+def test_matches_numpy_lstsq(spark):
+    df, freqs = _planted_corpus(spark)
+    got = zipf_fit(df, top_n=30).first()
+    x = np.log(np.arange(1, 31, dtype=float))
+    y = np.log(np.array(sorted(freqs, reverse=True), dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    r = np.corrcoef(x, y)[0, 1]
+    assert abs(got.zipf_slope - slope) < 1e-6
+    assert abs(got.intercept - intercept) < 1e-6
+    assert abs(got.r2 - r * r) < 1e-6
+    assert -1.1 < got.zipf_slope < -0.9  # planted ~1/rank law
+
+
+def test_integer_surfaces(spark):
+    df, freqs = _planted_corpus(spark)
+    got = zipf_fit(df, top_n=30).first()
+    assert got.vocab_size == 30
+    assert got.total_tokens == sum(freqs)
+    assert got.n_fit == 30
+    assert got.top_token == "w00" and got.top_freq == 1000
+
+
+def test_top_n_caps_and_tie_order(spark):
+    # 5 tokens, all frequency 2: rank ties break by token asc
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["e d c b a a b c d e"]})
+    )
+    got = zipf_fit(df, top_n=3).first()
+    assert got.n_fit == 3 and got.vocab_size == 5
+    assert got.top_token == "a"
+    assert got.zipf_slope == 0.0  # flat frequencies -> zero slope
+
+
+def test_plan_take_ordered_not_global_sort(spark):
+    df, _ = _planted_corpus(spark)
+    plan = zipf_fit(df, top_n=30)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "PythonUDF" not in plan, plan
