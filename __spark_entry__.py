@@ -1081,6 +1081,70 @@ def q_turn_echo(spark, sf_dir):
     return turn_echo(_events_as_transcripts(spark, sf_dir))
 
 
+def q_theil_sen_1d(spark, sf_dir):
+    """Theil-Sen robust daily trend of the hourly event-count series
+    per event_type (operators/derivatives.py theil_sen): the median of
+    all pairwise slopes — the breakdown-robust sibling of
+    deriv_predict_1d's least squares.  Slopes are single divisions of
+    exact BIGINT diffs; both medians PICKED lower-median order
+    statistics; the O(n²) pair expansion stays inside array
+    expressions over the calendar-bounded (≤24-sample) tier series."""
+    from mq_to_db_spark.operators.derivatives import theil_sen
+    from mq_to_db_spark.operators.rollup import bucket_col
+
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", bucket_col("1h", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    return theil_sen(
+        hourly, ["event_type"], ts_col="h", y_col="y", tier="1d",
+        x_unit_seconds=3600,
+    )
+
+
+def q_benford_digits(spark, sf_dir):
+    """Benford first-significant-digit audit of the integer-cents value
+    column per event_type (operators/benford.py): observed counts and
+    shares vs log10(1+1/d) — the data-integrity forensics screen.
+    Digit extraction is the first char of the BIGINT's decimal string
+    (never float log10 bucketing); ONE map-side-combined hash agg."""
+    from mq_to_db_spark.operators.benford import benford_digits
+
+    return benford_digits(_events_cents(spark, sf_dir), "v", ["event_type"])
+
+
+def q_benford_chi2(spark, sf_dir):
+    """Benford chi-square goodness-of-fit per event_type
+    (operators/benford.py benford_chi2): Σ (n_d − N·p_d)²/(N·p_d)
+    folded in digit order — a fixed-order nine-term chain, never an
+    unordered SUM."""
+    from mq_to_db_spark.operators.benford import benford_chi2
+
+    return benford_chi2(_events_cents(spark, sf_dir), "v", ["event_type"])
+
+
+def q_readability(spark, sf_dir):
+    """Flesch reading ease per document (functions/text.py): the three
+    RE2-counted integers (words / sentence runs / vowel-group
+    syllables with a one-per-word floor) and the classic 206.835 −
+    1.015·wps − 84.6·spw score — three fixed-order double ops over
+    exact BIGINTs, pure codegen."""
+    from mq_to_db_spark.functions.text import (
+        flesch_reading_ease,
+        readability_counts,
+    )
+
+    k = readability_counts("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        k["n_words"].alias("n_words"),
+        k["n_sentences"].alias("n_sentences"),
+        k["n_syllables"].alias("n_syllables"),
+        F.round(flesch_reading_ease("text"), 6).alias("flesch"),
+    )
+
+
 def q_zipf_fit(spark, sf_dir):
     """Corpus Zipf rank-frequency fit (operators/ranking.py zipf_fit):
     least squares of ln(freq) on ln(rank) over the top-100 tokens,
@@ -3281,6 +3345,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_conv": q_survival_conv,
         "turn_echo": q_turn_echo,
         "zipf_fit": q_zipf_fit,
+        "theil_sen_1d": q_theil_sen_1d,
+        "benford_digits": q_benford_digits,
+        "benford_chi2": q_benford_chi2,
+        "readability": q_readability,
         "dedup_spans": q_dedup_spans,
         "semdedup": q_semdedup,
         "strip_boilerplate": q_strip_boilerplate,
@@ -3610,10 +3678,154 @@ def oracle_sql() -> dict[str, str]:
     type_pivots = ",\n               ".join(
         f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES
     )
+    # Benford fragments: the P literals are the PYTHON-computed doubles
+    # (repr = shortest round-trip, parses to identical bits), so libm
+    # log10 never runs inside DuckDB; the chi2 chain is the same
+    # left-associative nine-term fold as operators/benford.py
+    from mq_to_db_spark.operators.benford import BENFORD_P
+
+    _BENFORD_P_SQL = ", ".join(repr(p) for p in BENFORD_P)
+    _BENFORD_COUNT_COLS = ",\n                       ".join(
+        f"CAST(count(*) FILTER (digit = {d}) AS BIGINT) AS d{d}"
+        for d in range(1, 10)
+    )
+    _BENFORD_CHI2_CHAIN = "0.0" + "".join(
+        f"""
+                   + ((CAST(d{d} AS DOUBLE)
+                       - CAST(n_total AS DOUBLE) * {BENFORD_P[d - 1]!r})
+                      * (CAST(d{d} AS DOUBLE)
+                         - CAST(n_total AS DOUBLE) * {BENFORD_P[d - 1]!r}))
+                     / (CAST(n_total AS DOUBLE) * {BENFORD_P[d - 1]!r})"""
+        for d in range(1, 10)
+    )
     return {
         # M4: the four per-bucket point picks replayed as rank-1 rows
         # under the SAME total orders ((ts, event_id) for first/last,
         # (value, ts, event_id) for min/max), DISTINCT = array_distinct
+        # Theil-Sen: same hourly count series, same sorted-struct pair
+        # expansion, same lower-median picks
+        "theil_sen_1d": """
+            WITH hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS h,
+                       CAST(count(*) AS BIGINT) AS y
+                FROM events GROUP BY 1, 2
+            ),
+            day AS (
+                SELECT event_type,
+                       date_trunc('day', h) AS bucket_start,
+                       list_sort(list(struct_pack(
+                           x := (epoch_us(h)
+                                 - epoch_us(date_trunc('day', h)))
+                                // 3600000000,
+                           y := y))) AS pts
+                FROM hourly GROUP BY 1, 2
+            ),
+            sl AS (
+                SELECT event_type, bucket_start, pts,
+                       list_sort(list_filter(flatten(list_transform(
+                           range(1, len(pts) + 1),
+                           i -> list_transform(
+                               range(i + 1, len(pts) + 1),
+                               j -> CASE WHEN pts[j].x > pts[i].x
+                                    THEN CAST(pts[j].y - pts[i].y AS DOUBLE)
+                                         / CAST(pts[j].x - pts[i].x AS DOUBLE)
+                                    END))),
+                           s -> s IS NOT NULL)) AS slopes
+                FROM day
+            ),
+            m AS (
+                SELECT event_type, bucket_start, pts,
+                       CAST(len(pts) AS BIGINT) AS n_samples,
+                       CAST(len(slopes) AS BIGINT) AS n_pairs,
+                       CASE WHEN len(slopes) > 0
+                            THEN slopes[(len(slopes) + 1) // 2] END AS slope
+                FROM sl
+            )
+            SELECT event_type, bucket_start, n_samples, n_pairs,
+                   round(slope, 6) AS slope,
+                   CASE WHEN slope IS NOT NULL THEN round(
+                       list_sort(list_transform(pts,
+                           p -> CAST(p.y AS DOUBLE)
+                                - slope * CAST(p.x AS DOUBLE)))
+                       [(len(pts) + 1) // 2], 6) END AS intercept
+            FROM m
+        """,
+        # Benford digit table: same cents cast, same string first char,
+        # same literal log10 expectations (embedded full-precision)
+        "benford_digits": f"""
+            WITH c AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events
+            ),
+            d AS (
+                SELECT event_type,
+                       CAST(substring(CAST(abs(v) AS VARCHAR), 1, 1) AS INT)
+                           AS digit,
+                       CAST(count(*) AS BIGINT) AS n_obs
+                FROM c WHERE v <> 0 GROUP BY 1, 2
+            ),
+            t AS (
+                SELECT *, sum(n_obs) OVER (PARTITION BY event_type) AS tot
+                FROM d
+            )
+            SELECT event_type, digit, n_obs,
+                   CAST(tot AS BIGINT) AS n_total,
+                   round(CAST(n_obs AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+                       AS obs_share,
+                   round(([{_BENFORD_P_SQL}])[digit], 6) AS benford_share,
+                   round(abs(CAST(n_obs AS DOUBLE) / CAST(tot AS DOUBLE)
+                             - ([{_BENFORD_P_SQL}])[digit]), 6) AS abs_dev
+            FROM t
+        """,
+        # Benford chi2: the same nine-term left-associative chain
+        "benford_chi2": f"""
+            WITH c AS (
+                SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events
+            ),
+            d AS (
+                SELECT event_type,
+                       CAST(substring(CAST(abs(v) AS VARCHAR), 1, 1) AS INT)
+                           AS digit
+                FROM c WHERE v <> 0
+            ),
+            g AS (
+                SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS n_total,
+                       {_BENFORD_COUNT_COLS}
+                FROM d GROUP BY 1
+            )
+            SELECT event_type, n_total,
+                   round({_BENFORD_CHI2_CHAIN}, 6) AS chi2
+            FROM g
+        """,
+        # readability: same three regex counts, same fixed-order score
+        "readability": """
+            WITH k AS (
+                SELECT doc_id,
+                       CAST(coalesce(len(regexp_extract_all(
+                           text, '[A-Za-z0-9'']+')), 0) AS BIGINT) AS w,
+                       CAST(coalesce(len(regexp_extract_all(
+                           text, '[.!?]+')), 0) AS BIGINT) AS s,
+                       CAST(coalesce(len(regexp_extract_all(
+                           text, '[aeiouyAEIOUY]+')), 0) AS BIGINT) AS vg
+                FROM documents
+            )
+            SELECT doc_id,
+                   w AS n_words,
+                   CASE WHEN w = 0 THEN 0 ELSE greatest(s, 1) END
+                       AS n_sentences,
+                   greatest(vg, w) AS n_syllables,
+                   CASE WHEN w > 0 THEN round(
+                       206.835
+                       - 1.015 * (CAST(w AS DOUBLE)
+                                  / CAST(greatest(s, 1) AS DOUBLE))
+                       - 84.6 * (CAST(greatest(vg, w) AS DOUBLE)
+                                 / CAST(w AS DOUBLE)), 6) END AS flesch
+            FROM k
+        """,
         # KMV: bottom-64 distinct md5-coin hashes straight from raw at
         # the 1d grain (== the engine's 1h→1d cascade by the
         # bottom-k(union) identity); estimate arithmetic op-for-op

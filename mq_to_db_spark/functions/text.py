@@ -476,3 +476,58 @@ def lexical_stats(df, text_col: str = "text", id_col: str = "doc_id"):
         F.round(d("n_hapax") / d("n_types"), 6).alias("hapax_ratio"),
         F.round(d("_max_c") / d("n_tokens"), 6).alias("top_token_ratio"),
     )
+
+
+# -- readability ---------------------------------------------------------------
+
+
+def readability_counts(col) -> dict[str, Column]:
+    """The three integer counts behind classic readability formulas,
+    each a single RE2-safe ``regexp_count`` (codegen, no UDF, no
+    split-allocated arrays):
+
+      * ``n_words``     — word-character runs ``[A-Za-z0-9']+``;
+      * ``n_sentences`` — terminator runs ``[.!?]+`` (min 1 when any
+        word exists: an unterminated fragment is one sentence);
+      * ``n_syllables`` — vowel-GROUP count ``[aeiouyAEIOUY]+`` with a
+        floor of one syllable per word (the standard heuristic: vowel
+        runs approximate syllable nuclei; consonant-only tokens still
+        cost one) — silent-e correction deliberately omitted so the
+        count stays one regex (documented bias, consistent across
+        engines).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    n_words = F.coalesce(
+        F.regexp_count(c, F.lit(r"[A-Za-z0-9']+")), F.lit(0)
+    ).cast("long")
+    raw_sent = F.coalesce(F.regexp_count(c, F.lit(r"[.!?]+")), F.lit(0))
+    n_sentences = F.when(n_words == 0, F.lit(0)).otherwise(
+        F.greatest(raw_sent, F.lit(1))
+    ).cast("long")
+    vowel_groups = F.coalesce(
+        F.regexp_count(c, F.lit(r"[aeiouyAEIOUY]+")), F.lit(0)
+    ).cast("long")
+    n_syllables = F.greatest(vowel_groups, n_words)
+    return {
+        "n_words": n_words,
+        "n_sentences": n_sentences,
+        "n_syllables": n_syllables,
+    }
+
+
+def flesch_reading_ease(col) -> Column:
+    """Flesch reading ease (Flesch 1948):
+    ``206.835 - 1.015·(words/sentences) - 84.6·(syllables/words)`` —
+    the canonical prose-difficulty score (90+: very easy … <30:
+    academic).  NULL when the text has no words.  All inputs are the
+    exact integer counts of :func:`readability_counts`; the score is
+    three fixed-order double ops, so a SQL replay matches bit-for-bit.
+    """
+    k = readability_counts(col)
+    words = k["n_words"].cast("double")
+    return F.when(
+        k["n_words"] > 0,
+        F.lit(206.835)
+        - F.lit(1.015) * (words / k["n_sentences"].cast("double"))
+        - F.lit(84.6) * (k["n_syllables"].cast("double") / words),
+    )

@@ -258,3 +258,102 @@ def offset_delta(
             ),
         )
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    y_col: str = "y",
+    tier: str = "1d",
+    x_unit_seconds: int = 3600,
+) -> DataFrame:
+    """Theil–Sen robust trend per (keys, bucket): the MEDIAN of all
+    pairwise slopes ``(y_j - y_i) / (x_j - x_i)`` — the
+    breakdown-point-29% alternative to :func:`regression_fit` that one
+    counter spike cannot drag (the reason Grafana/observability
+    pipelines prefer it for alerting on noisy trends).  The intercept
+    is the Theil–Sen companion ``median(y_i - slope·x_i)``.
+
+    Exactness: ``y_col`` must be integral (same contract as
+    regression_fit) and x is whole ``x_unit``s since bucket start, so
+    every pairwise slope is one division of two exact BIGINT-valued
+    doubles, and both medians are PICKED lower-median order statistics
+    (never interpolated) — the mad_outliers discipline, engine-
+    replayable bit-for-bit.
+
+    Scale design: ONE hash aggregation collects each bucket's series
+    into a sorted array — bounded by the tier ratio (24 hourly samples
+    per day; 1440 minutes — the same calendar-bounded per-group buffer
+    as quantile_over_time), NOT by raw row count: feed it TIER rows.
+    The O(n²) pair expansion (≤ ~10^6 slopes/bucket at minute grain)
+    happens INSIDE array expressions per row — no shuffle ever carries
+    a pair."""
+    b = bucket_col(tier, ts_col)
+    x = (
+        (F.unix_timestamp(ts_col) - F.unix_timestamp(b))
+        / F.lit(x_unit_seconds)
+    ).cast("long")
+    grouped = (
+        df.select(
+            *keys,
+            b.alias("bucket_start"),
+            F.struct(x.alias("x"), F.col(y_col).cast("long").alias("y")).alias("_p"),
+        )
+        .groupBy(*keys, "bucket_start")
+        .agg(F.sort_array(F.collect_list("_p")).alias("_pts"))
+    )
+    n = F.size("_pts")
+    pts = F.col("_pts")
+
+    def _row_slopes(i):
+        return F.transform(
+            F.when(i < n, F.sequence(i + 1, n)).otherwise(
+                F.array().cast("array<int>")
+            ),
+            lambda j: F.when(
+                pts[j - 1]["x"] > pts[i - 1]["x"],
+                (pts[j - 1]["y"] - pts[i - 1]["y"]).cast("double")
+                / (pts[j - 1]["x"] - pts[i - 1]["x"]).cast("double"),
+            ),
+        )
+
+    # duplicate-x pairs (vertical slopes) yield NULL above and drop here
+    slopes = F.array_sort(
+        F.filter(
+            F.flatten(F.transform(F.sequence(F.lit(1), n), _row_slopes)),
+            lambda s: s.isNotNull(),
+        )
+    )
+    n_pairs = F.size(slopes)
+    slope = F.element_at(slopes, ((n_pairs + 1) / 2).cast("int"))
+    # the raw (unrounded) slope keeps a distinct name: aliasing the
+    # rounded output as "slope" in the same select would make the
+    # residual expression's col("slope") resolve to the ROUNDED lateral
+    # alias (Spark lateral-column-alias precedence), shifting medians
+    with_slope = grouped.select(
+        *keys,
+        "bucket_start",
+        "_pts",
+        n.cast("long").alias("n_samples"),
+        n_pairs.cast("long").alias("n_pairs"),
+        F.when(n_pairs > 0, slope).alias("_slope_raw"),
+    )
+    resid = F.array_sort(
+        F.transform(
+            F.col("_pts"),
+            lambda p: p["y"].cast("double")
+            - F.col("_slope_raw") * p["x"].cast("double"),
+        )
+    )
+    intercept = F.element_at(resid, ((F.size(resid) + 1) / 2).cast("int"))
+    return with_slope.select(
+        *keys,
+        "bucket_start",
+        "n_samples",
+        "n_pairs",
+        F.round("_slope_raw", 6).alias("slope"),
+        F.when(F.col("_slope_raw").isNotNull(), F.round(intercept, 6)).alias(
+            "intercept"
+        ),
+    )
