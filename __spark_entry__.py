@@ -1145,6 +1145,56 @@ def q_readability(spark, sf_dir):
     )
 
 
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination (operators/contamination.py
+    bloom_build/bloom_member): the scale path for eval sets too big to
+    broadcast raw — k=4 md5-coin probes into a 256-bit filter packed
+    as 63-bit BIGINT words, membership = all probe bits set.  Exact on
+    negatives (proof of cleanliness); m is deliberately UNDERSIZED so
+    ~20% of clean docs false-positive at sf0.01, and the oracle replays
+    the full bit construction so every one of them matches exactly —
+    the production m comes from the standard -n·k/ln(1-fpr^(1/k))
+    sizing, the replay discipline is what this query pins."""
+    from mq_to_db_spark.operators.contamination import (
+        bloom_build,
+        bloom_member,
+    )
+    from mq_to_db_spark.functions.text import normalize_text
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", normalize_text("text").alias("k")
+    )
+    eval_df = docs.where(F.col("doc_id") % 7 == 0)
+    bloom = bloom_build(eval_df, "k", m_bits=256, k=4)
+    out = bloom_member(docs, "k", bloom, ["doc_id"], m_bits=256, k=4)
+    return out.select(
+        "doc_id", (F.col("doc_id") % 7 == 0).alias("is_eval"), "bloom_hit"
+    )
+
+
+def q_holt_winters_1h(spark, sf_dir):
+    """Additive Holt-Winters (triple exponential smoothing) over the
+    hourly event-count series per event_type (operators/ewma.py
+    holt_winters_seasonal): level + trend + a 24-slot hour-of-day
+    seasonal ring, the full InfluxDB ``holt_winters()`` form (PromQL's
+    keeps only level+trend — holt_linear_1h).  One grouped Arrow batch
+    per series over calendar-bounded tier rows; all states unrounded
+    through the recurrence, literal-order IEEE ops mirrored by the
+    recursive-CTE oracle."""
+    from mq_to_db_spark.operators.ewma import holt_winters_seasonal
+    from mq_to_db_spark.operators.rollup import bucket_col
+
+    hourly = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", bucket_col("1h", "ts").alias("bucket_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return holt_winters_seasonal(
+        hourly, ["event_type"], ts_col="bucket_start", value_col="n_events",
+        period=24, alpha=0.3, beta=0.1, gamma=0.2,
+    )
+
+
 def q_zipf_fit(spark, sf_dir):
     """Corpus Zipf rank-frequency fit (operators/ranking.py zipf_fit):
     least squares of ln(freq) on ln(rank) over the top-100 tokens,
@@ -3349,6 +3399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_digits": q_benford_digits,
         "benford_chi2": q_benford_chi2,
         "readability": q_readability,
+        "holt_winters_1h": q_holt_winters_1h,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "dedup_spans": q_dedup_spans,
         "semdedup": q_semdedup,
         "strip_boilerplate": q_strip_boilerplate,
@@ -3689,6 +3741,13 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(count(*) FILTER (digit = {d}) AS BIGINT) AS d{d}"
         for d in range(1, 10)
     )
+    # Holt-Winters recursive-member expressions: the level update is
+    # inlined wherever the python scan reuses l_new (pure expressions —
+    # every repetition evaluates to the identical double)
+    _HW_X = "CAST(o.n_events AS DOUBLE)"
+    _HW_LNEW = f"(0.3 * ({_HW_X} - r.seas[1]) + (1 - 0.3) * (r.lev + r.tr))"
+    _HW_BNEW = f"(0.1 * ({_HW_LNEW} - r.lev) + (1 - 0.1) * r.tr)"
+    _HW_SNEW = f"(0.2 * ({_HW_X} - {_HW_LNEW}) + (1 - 0.2) * r.seas[1])"
     _BENFORD_CHI2_CHAIN = "0.0" + "".join(
         f"""
                    + ((CAST(d{d} AS DOUBLE)
@@ -3702,6 +3761,93 @@ def oracle_sql() -> dict[str, str]:
         # M4: the four per-bucket point picks replayed as rank-1 rows
         # under the SAME total orders ((ts, event_id) for first/last,
         # (value, ts, event_id) for min/max), DISTINCT = array_distinct
+        # Bloom decontamination: full bit-level replay — same md5-coin
+        # probe positions, same 63-bit word packing, same all-bits-set
+        # membership, so even the designed false positives match
+        "bloom_decontaminate": f"""
+            WITH d AS (
+                SELECT doc_id, {_NORM_SQL} AS k FROM documents
+            ),
+            pos AS (
+                SELECT doc_id, i,
+                       ('0x' || substring(
+                           md5('bloom' || i || ':' || k), 1, 15))::BIGINT
+                       % 256 AS p
+                FROM d, unnest([1, 2, 3, 4]) AS t(i)
+            ),
+            words AS (
+                SELECT p // 63 AS word,
+                       bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+                FROM pos WHERE doc_id % 7 = 0 GROUP BY 1
+            ),
+            hits AS (
+                SELECT pos.doc_id,
+                       bool_and(w.bits IS NOT NULL
+                                AND (w.bits
+                                     & (1::BIGINT << CAST(pos.p % 63 AS INT)))
+                                    = (1::BIGINT
+                                       << CAST(pos.p % 63 AS INT)))
+                           AS bloom_hit
+                FROM pos LEFT JOIN words w ON w.word = pos.p // 63
+                GROUP BY 1
+            )
+            SELECT d.doc_id, d.doc_id % 7 = 0 AS is_eval, h.bloom_hit
+            FROM d JOIN hits h USING (doc_id)
+        """,
+        # Holt-Winters: recursive CTE carrying (level, trend, DOUBLE[24]
+        # seasonal ring) per series; identical literal op order; series
+        # shorter than two seasons left-join to NULL like the engine
+        "holt_winters_1h": f"""
+            WITH RECURSIVE tier AS (
+                SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY 1, 2
+            ),
+            ordered AS (
+                SELECT event_type, bucket_start, n_events,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY bucket_start
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS cnt
+                FROM tier
+            ),
+            init AS (
+                SELECT event_type,
+                       CAST(sum(n_events) FILTER (rn <= 24) AS DOUBLE) AS s1,
+                       CAST(sum(n_events) FILTER (rn > 24 AND rn <= 48)
+                            AS DOUBLE) AS s2,
+                       list(CAST(n_events AS DOUBLE) ORDER BY rn)
+                           FILTER (rn <= 24) AS xs
+                FROM ordered WHERE cnt >= 48 GROUP BY event_type
+            ),
+            rec AS (
+                SELECT event_type,
+                       CAST(24 AS BIGINT) AS rn,
+                       s1 / 24 AS lev,
+                       (s2 / 24 - s1 / 24) / 24 AS tr,
+                       list_transform(xs, x -> x - s1 / 24) AS seas,
+                       CAST(NULL AS DOUBLE) AS seasonal_out,
+                       CAST(NULL AS DOUBLE) AS fitted
+                FROM init
+                UNION ALL
+                SELECT o.event_type, o.rn,
+                       {_HW_LNEW},
+                       {_HW_BNEW},
+                       list_append(r.seas[2:], {_HW_SNEW}),
+                       {_HW_SNEW},
+                       r.lev + r.tr + r.seas[1]
+                FROM rec r JOIN ordered o
+                  ON o.event_type = r.event_type AND o.rn = r.rn + 1
+            )
+            SELECT o.event_type, o.bucket_start, o.n_events,
+                   round(r.lev, 6) AS level,
+                   round(r.tr, 6) AS trend,
+                   round(r.seasonal_out, 6) AS seasonal,
+                   round(r.fitted, 6) AS fitted
+            FROM ordered o LEFT JOIN (
+                SELECT * FROM rec WHERE rn > 24
+            ) r ON o.event_type = r.event_type AND o.rn = r.rn
+        """,
         # Theil-Sen: same hourly count series, same sorted-struct pair
         # expansion, same lower-median picks
         "theil_sen_1d": """

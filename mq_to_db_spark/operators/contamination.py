@@ -86,3 +86,94 @@ def decontaminate(
         id_col,
         "left_anti",
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership — the too-big-to-broadcast decontamination path
+# --------------------------------------------------------------------------
+#
+# `contamination_hits` above broadcasts the eval set's raw n-gram keys —
+# right up to the point the benchmark suite is tens of millions of
+# documents and the key set no longer fits a broadcast.  The standard
+# scale answer is a Bloom filter: k md5-coin hash positions in an m-bit
+# array packed into 63-bit BIGINT words (bit 63 avoided so every mask
+# stays positive in every engine).  The filter is m/63 rows of
+# (word, bits) — a 100M-key filter at 1% fpr is ~120 MB of longs,
+# broadcastable where the raw keys are not.  Membership is exact-on-
+# negatives (a miss is PROOF the document is clean); positives carry the
+# designed false-positive rate and get routed to the exact semi-join for
+# confirmation — so the expensive path runs on ~fpr of the corpus.
+#
+# Determinism: positions ride hash_u60 (operators/sampling.py) with
+# per-probe seeds, so the full construction — and therefore every false
+# positive — replays bit-for-bit in ANSI SQL.
+
+
+def bloom_build(
+    eval_df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    seed: str = "bloom",
+) -> DataFrame:
+    """Bloom filter of the eval keys: ``(word, bits)`` rows, word =
+    position // 63, bits = OR of ``1 << (position % 63)``.  ONE hash
+    aggregation (map-side combined); output is ceil(m/63) rows max."""
+    from mq_to_db_spark.operators.sampling import hash_u60
+
+    probes = []
+    for i in range(1, k + 1):
+        pos = hash_u60(F.col(key_col), seed=f"{seed}{i}") % m_bits
+        probes.append(
+            F.struct(
+                (pos / 63).cast("long").alias("word"),
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (pos % 63).cast("int")
+                ).alias("mask"),
+            )
+        )
+    return (
+        eval_df.select(F.explode(F.array(*probes)).alias("p"))
+        .groupBy(F.col("p.word").alias("word"))
+        .agg(F.bit_or("p.mask").alias("bits"))
+    )
+
+
+def bloom_member(
+    corpus: DataFrame,
+    key_col: str,
+    bloom: DataFrame,
+    id_cols: list[str],
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    seed: str = "bloom",
+) -> DataFrame:
+    """Append ``bloom_hit`` per corpus row: TRUE iff ALL k probe bits
+    are set.  The corpus explodes k (word, mask) probes, broadcast-
+    hash-joins the filter words, and ANDs the per-probe tests back per
+    id — the corpus never shuffles on anything but the final id group
+    (and that exchange carries (id, bool) pairs only)."""
+    from mq_to_db_spark.operators.sampling import hash_u60
+
+    probes = []
+    for i in range(1, k + 1):
+        pos = hash_u60(F.col(key_col), seed=f"{seed}{i}") % m_bits
+        probes.append(
+            F.struct(
+                (pos / 63).cast("long").alias("word"),
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (pos % 63).cast("int")
+                ).alias("mask"),
+            )
+        )
+    exploded = corpus.select(
+        *id_cols, F.explode(F.array(*probes)).alias("p")
+    ).select(*id_cols, "p.word", "p.mask")
+    joined = exploded.join(F.broadcast(bloom), "word", "left")
+    hit = (F.col("bits").isNotNull()) & (
+        F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask")
+    )
+    flags = joined.select(*id_cols, hit.alias("_hit")).groupBy(*id_cols).agg(
+        F.bool_and("_hit").alias("bloom_hit")
+    )
+    return corpus.join(flags, id_cols, "left")

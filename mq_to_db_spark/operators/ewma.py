@@ -289,3 +289,91 @@ def double_ewma(
         return pdf
 
     return df.groupBy(*keys).applyInPandas(scan, schema)
+
+
+def holt_winters_seasonal(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    period: int = 24,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    tiebreak: tuple[str, ...] = (),
+) -> DataFrame:
+    """Triple exponential smoothing — additive Holt-Winters with a
+    seasonal component of ``period`` samples (hour-of-day on an hourly
+    tier), the classical recurrence (Winters 1960; the full form
+    InfluxDB's ``holt_winters()`` runs, where PromQL's keeps only
+    level+trend — :func:`holt_linear`):
+
+        init at t = m (m = period), needing n ≥ 2m samples:
+            L_m = (x_1 + … + x_m) / m
+            B_m = ((x_{m+1}+…+x_{2m})/m − (x_1+…+x_m)/m) / m
+            S_i = x_i − L_m                      (i = 1..m)
+        for t = m+1 .. n:
+            fitted_t = L_{t-1} + B_{t-1} + S_{t-m}   (one-step forecast)
+            L_t = α·(x_t − S_{t-m}) + (1−α)·(L_{t-1} + B_{t-1})
+            B_t = β·(L_t − L_{t-1}) + (1−β)·B_{t-1}
+            S_t = γ·(x_t − L_t) + (1−γ)·S_{t-m}
+
+    appending ``level``/``trend``/``seasonal``/``fitted`` (NULL for
+    t ≤ m, and for every row of a series shorter than 2m — the init
+    needs two full seasons).
+
+    Like :func:`holt_linear`, the coupled (2+m)-state loop crosses in
+    ONE grouped Arrow batch over calendar-bounded TIER rows (8,760
+    hourly buckets/year), never the raw stream.  Every step is scalar
+    IEEE double arithmetic in the literal order above — ``1 - alpha``
+    etc. pre-computed once, exactly as the DuckDB recursive-CTE oracle
+    writes ``(1 - 0.3)`` — so the replay is bit-identical before the
+    final round-to-6."""
+    for nm, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
+        if not 0 < v < 1:
+            raise ValueError(f"{nm} must be in (0, 1), got {v}")
+    if period < 2:
+        raise ValueError(f"period must be ≥ 2, got {period}")
+    if not keys:
+        raise ValueError("holt_winters_seasonal is keyed-only")
+    order = [ts_col, *tiebreak]
+    schema = _scan_schema(
+        df,
+        [
+            ("level", DoubleType()),
+            ("trend", DoubleType()),
+            ("seasonal", DoubleType()),
+            ("fitted", DoubleType()),
+        ],
+    )
+    m = period
+    oma, omb, omg = 1.0 - alpha, 1.0 - beta, 1.0 - gamma
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, ignore_index=True)
+        x = [float(v) for v in pdf[value_col].to_numpy()]
+        n = len(x)
+        out: list[tuple] = [(None, None, None, None)] * n
+        if n >= 2 * m:
+            s1 = float(sum(pdf[value_col].to_numpy()[0:m], 0))
+            s2 = float(sum(pdf[value_col].to_numpy()[m : 2 * m], 0))
+            lev = s1 / m
+            tr = (s2 / m - s1 / m) / m
+            seas = [x[i] - lev for i in range(m)]  # ring: seas[0]=S_{t-m}
+            for t in range(m, n):
+                s_head = seas[0]
+                fitted = lev + tr + s_head
+                l_new = alpha * (x[t] - s_head) + oma * (lev + tr)
+                b_new = beta * (l_new - lev) + omb * tr
+                s_new = gamma * (x[t] - l_new) + omg * s_head
+                seas = seas[1:] + [s_new]
+                lev, tr = l_new, b_new
+                out[t] = (lev, tr, s_new, fitted)
+        lv, tv, sv, fv = (pd.Series([o[i] for o in out], dtype="float64") for i in range(4))
+        pdf["level"] = lv.round(6)
+        pdf["trend"] = tv.round(6)
+        pdf["seasonal"] = sv.round(6)
+        pdf["fitted"] = fv.round(6)
+        return pdf
+
+    return df.groupBy(*keys).applyInPandas(scan, schema)

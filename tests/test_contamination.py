@@ -78,3 +78,73 @@ def test_probe_is_broadcast_semi_join(spark):
     # shuffle-hash fallback for multi-GB eval sets
     plan2 = _plan(contamination_hits(corpus, eval_df, n=4, broadcast_eval=False))
     assert "LeftSemi" in plan2, plan2
+
+
+# ------------------------------------------------------------------ bloom
+
+
+def test_bloom_no_false_negatives(spark):
+    import pandas as pd
+
+    from mq_to_db_spark.operators.contamination import bloom_build, bloom_member
+
+    keys = [f"key-{i}" for i in range(300)]
+    eval_df = spark.createDataFrame(pd.DataFrame({"k": keys[:100]}))
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(300), "k": keys})
+    )
+    bloom = bloom_build(eval_df, "k", m_bits=1 << 14, k=4)
+    out = bloom_member(corpus, "k", bloom, ["doc_id"], m_bits=1 << 14, k=4)
+    got = {r.doc_id: r.bloom_hit for r in out.collect()}
+    # every eval member MUST hit (a bloom never false-negatives)
+    assert all(got[i] for i in range(100))
+    # at m=16384 bits for 100 keys the fp rate is ~0: the rest miss
+    misses = sum(not got[i] for i in range(100, 300))
+    assert misses >= 195, misses
+
+
+def test_bloom_fp_rate_by_design(spark):
+    import pandas as pd
+
+    from mq_to_db_spark.operators.contamination import bloom_build, bloom_member
+
+    eval_df = spark.createDataFrame(
+        pd.DataFrame({"k": [f"e{i}" for i in range(200)]})
+    )
+    probe = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(2000), "k": [f"p{i}" for i in range(2000)]})
+    )
+    m, kk = 1 << 11, 4  # deliberately tight: measurable fp rate
+    bloom = bloom_build(eval_df, "k", m_bits=m, k=kk)
+    out = bloom_member(probe, "k", bloom, ["doc_id"], m_bits=m, k=kk)
+    fpr = out.where("bloom_hit").count() / 2000
+    # theoretical fpr = (1 - exp(-kn/m))^k ~ (0.32)^4 ~ 1.1%
+    assert 0.001 < fpr < 0.05, fpr
+
+
+def test_bloom_word_packing_positive_masks(spark):
+    import pandas as pd
+
+    from mq_to_db_spark.operators.contamination import bloom_build
+
+    eval_df = spark.createDataFrame(
+        pd.DataFrame({"k": [f"x{i}" for i in range(500)]})
+    )
+    rows = bloom_build(eval_df, "k", m_bits=630, k=3).collect()
+    assert all(r.bits > 0 for r in rows)          # bit 63 never used
+    assert all(0 <= r.word <= 10 for r in rows)   # 630 bits / 63 = 10 words
+
+
+def test_bloom_member_plan_broadcast(spark):
+    import pandas as pd
+
+    from mq_to_db_spark.operators.contamination import bloom_build, bloom_member
+
+    eval_df = spark.createDataFrame(pd.DataFrame({"k": ["a", "b"]}))
+    corpus = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "k": ["a", "x", "y"]})
+    )
+    bloom = bloom_build(eval_df, "k")
+    plan = _plan(bloom_member(corpus, "k", bloom, ["doc_id"]))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
