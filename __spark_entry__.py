@@ -1145,6 +1145,50 @@ def q_readability(spark, sf_dir):
     )
 
 
+def q_winsorize_1d(spark, sf_dir):
+    """Winsorization at exact nearest-rank p05/p95 per (event_type, 1d)
+    (operators/normalize.py): the robust-preprocessing clamp before
+    mean-based tiers.  NO per-group buffer — one sort-based (spillable)
+    window ranks the rows, the two boundary rows per group filter out,
+    bounds broadcast-join back; the clamp is a pure projection."""
+    from mq_to_db_spark.operators.normalize import winsorize
+
+    out = winsorize(
+        _events(spark, sf_dir), ["event_type"], value_col="value",
+        tier="1d", p_lo=0.05, p_hi=0.95, tiebreak=("event_id",),
+    )
+    return out.select(
+        "event_id", "event_type", "bucket_start", "value", "lo", "hi",
+        "value_wins",
+    )
+
+
+def q_dispersion_1d(spark, sf_dir):
+    """Index of dispersion (Fano factor) of the per-minute event count
+    per (event_type, 1d) (operators/burstiness.py dispersion_1d): the
+    burst-detection diagnostic — Poisson reads ~1, retry storms ≫ 1.
+    The minute grid is dense by construction (n = 1440 constant), so
+    silent minutes cost no grid join; exact BIGINT moments, two hash
+    aggs."""
+    from mq_to_db_spark.operators.burstiness import dispersion_1d
+
+    return dispersion_1d(_events(spark, sf_dir), ["event_type"])
+
+
+def q_entropy_mix_1h(spark, sf_dir):
+    """Shannon entropy + evenness of the hourly event-type mix
+    (operators/burstiness.py entropy_mix): the traffic-composition
+    drift signal.  count_if pivot in ONE hash agg; the k entropy terms
+    fold in the fixed type-sorted literal order (the benford_chi2
+    discipline), never an unordered SUM."""
+    from mq_to_db_spark.operators.burstiness import entropy_mix
+
+    return entropy_mix(
+        _events(spark, sf_dir), _EVENT_TYPES, category_col="event_type",
+        tier="1h",
+    )
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Bloom-filter decontamination (operators/contamination.py
     bloom_build/bloom_member): the scale path for eval sets too big to
@@ -3401,6 +3445,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "holt_winters_1h": q_holt_winters_1h,
         "bloom_decontaminate": q_bloom_decontaminate,
+        "winsorize_1d": q_winsorize_1d,
+        "dispersion_1d": q_dispersion_1d,
+        "entropy_mix_1h": q_entropy_mix_1h,
         "dedup_spans": q_dedup_spans,
         "semdedup": q_semdedup,
         "strip_boilerplate": q_strip_boilerplate,
@@ -3761,6 +3808,119 @@ def oracle_sql() -> dict[str, str]:
         # M4: the four per-bucket point picks replayed as rank-1 rows
         # under the SAME total orders ((ts, event_id) for first/last,
         # (value, ts, event_id) for min/max), DISTINCT = array_distinct
+        # winsorize: same rank window (value, event_id), same
+        # ceil-rank picks, same clamp projection
+        "winsorize_1d": """
+            WITH t AS (
+                SELECT event_id, event_type,
+                       date_trunc('day', ts) AS bucket_start, value
+                FROM events
+            ),
+            r AS (
+                SELECT *,
+                       row_number() OVER (
+                           PARTITION BY event_type, bucket_start
+                           ORDER BY value, event_id) AS rn,
+                       count(*) OVER (
+                           PARTITION BY event_type, bucket_start) AS n
+                FROM t WHERE value IS NOT NULL
+            ),
+            b AS (
+                SELECT event_type, bucket_start,
+                       min(CASE WHEN rn = greatest(least(
+                           CAST(ceil(0.05 * n) AS BIGINT), n), 1)
+                           THEN value END) AS lo,
+                       max(CASE WHEN rn = greatest(least(
+                           CAST(ceil(0.95 * n) AS BIGINT), n), 1)
+                           THEN value END) AS hi
+                FROM r GROUP BY 1, 2
+            )
+            SELECT t.event_id, t.event_type, t.bucket_start, t.value,
+                   b.lo, b.hi,
+                   CASE WHEN t.value IS NULL THEN NULL
+                        ELSE least(greatest(t.value, b.lo), b.hi)
+                   END AS value_wins
+            FROM t LEFT JOIN b USING (event_type, bucket_start)
+        """,
+        # dispersion: dense-grid moments with the constant 1440
+        # denominator, same unrounded mean/var feeding each round
+        "dispersion_1d": """
+            WITH pm AS (
+                SELECT event_type,
+                       date_trunc('day', ts) AS bucket_start,
+                       date_trunc('minute', ts) AS m,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2, 3
+            ),
+            a AS (
+                SELECT event_type, bucket_start,
+                       CAST(sum(c) AS BIGINT) AS n_events,
+                       CAST(count(*) AS BIGINT) AS minutes_active,
+                       CAST(sum(c * c) AS BIGINT) AS sq
+                FROM pm GROUP BY 1, 2
+            )
+            SELECT event_type, bucket_start, n_events, minutes_active,
+                   round(CAST(n_events AS DOUBLE) / 1440.0, 6)
+                       AS mean_per_min,
+                   round(CAST(sq AS DOUBLE) / 1440.0
+                         - (CAST(n_events AS DOUBLE) / 1440.0)
+                           * (CAST(n_events AS DOUBLE) / 1440.0), 6)
+                       AS var_per_min,
+                   CASE WHEN n_events > 0 THEN round(
+                       (CAST(sq AS DOUBLE) / 1440.0
+                        - (CAST(n_events AS DOUBLE) / 1440.0)
+                          * (CAST(n_events AS DOUBLE) / 1440.0))
+                       / (CAST(n_events AS DOUBLE) / 1440.0), 6)
+                   END AS fano
+            FROM a
+        """,
+        # entropy: count_if pivot + the fixed type-sorted term chain
+        "entropy_mix_1h": f"""
+            WITH a AS (
+                SELECT date_trunc('hour', ts) AS bucket_start,
+                       CAST(count(*) AS BIGINT) AS n_events,
+                       {", ".join(
+                           f"CAST(count(*) FILTER (event_type = '{t}') "
+                           f"AS BIGINT) AS c_{t}"
+                           for t in sorted(_EVENT_TYPES)
+                       )}
+                FROM events
+                WHERE event_type IN (
+                    {", ".join(f"'{t}'" for t in sorted(_EVENT_TYPES))})
+                GROUP BY 1
+            )
+            SELECT bucket_start, n_events,
+                   ({" + ".join(
+                       f"CASE WHEN c_{t} > 0 THEN 1 ELSE 0 END"
+                       for t in sorted(_EVENT_TYPES)
+                   )})::BIGINT AS k_observed,
+                   round(0.0{"".join(
+                       f'''
+                       + CASE WHEN c_{t} > 0 THEN -(
+                           (CAST(c_{t} AS DOUBLE) / CAST(n_events AS DOUBLE))
+                           * ln(CAST(c_{t} AS DOUBLE)
+                                / CAST(n_events AS DOUBLE)))
+                         ELSE 0.0 END'''
+                       for t in sorted(_EVENT_TYPES)
+                   )}, 6) AS entropy,
+                   CASE WHEN ({" + ".join(
+                       f"CASE WHEN c_{t} > 0 THEN 1 ELSE 0 END"
+                       for t in sorted(_EVENT_TYPES)
+                   )}) > 1 THEN round((0.0{"".join(
+                       f'''
+                       + CASE WHEN c_{t} > 0 THEN -(
+                           (CAST(c_{t} AS DOUBLE) / CAST(n_events AS DOUBLE))
+                           * ln(CAST(c_{t} AS DOUBLE)
+                                / CAST(n_events AS DOUBLE)))
+                         ELSE 0.0 END'''
+                       for t in sorted(_EVENT_TYPES)
+                   )}) / ln(CAST(({" + ".join(
+                       f"CASE WHEN c_{t} > 0 THEN 1 ELSE 0 END"
+                       for t in sorted(_EVENT_TYPES)
+                   )}) AS DOUBLE)), 6)
+                   ELSE 0.0 END AS evenness
+            FROM a
+        """,
         # Bloom decontamination: full bit-level replay — same md5-coin
         # probe positions, same 63-bit word packing, same all-bits-set
         # membership, so even the designed false positives match

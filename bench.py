@@ -150,6 +150,18 @@ EXTENDED_QUERIES = (
     "strip_boilerplate",
     "dedup_spans",
     "semdedup",
+    "m4_1h",
+    "lm_perplexity",
+    "kmv_distinct_1d",
+    "survival_conv",
+    "turn_echo",
+    "zipf_fit",
+    "theil_sen_1d",
+    "benford_digits",
+    "benford_chi2",
+    "readability",
+    "holt_winters_1h",
+    "bloom_decontaminate",
 )
 
 
