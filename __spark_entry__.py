@@ -1145,6 +1145,18 @@ def q_readability(spark, sf_dir):
     )
 
 
+def q_oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate per document vs the corpus top-20
+    vocabulary (operators/ranking.py oov_stats) — the CCNet-style
+    lexical-drift gate upstream of lm_perplexity.  Vocabulary = ONE
+    count agg + TakeOrderedAndProject collected at the config-sized
+    bound; the scoring pass is a ZERO-shuffle array_contains
+    projection."""
+    from mq_to_db_spark.operators.ranking import oov_stats
+
+    return oov_stats(_docs(spark, sf_dir), top_v=20)
+
+
 def q_winsorize_1d(spark, sf_dir):
     """Winsorization at exact nearest-rank p05/p95 per (event_type, 1d)
     (operators/normalize.py): the robust-preprocessing clamp before
@@ -3448,6 +3460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_1d": q_winsorize_1d,
         "dispersion_1d": q_dispersion_1d,
         "entropy_mix_1h": q_entropy_mix_1h,
+        "oov_rate": q_oov_rate,
         "dedup_spans": q_dedup_spans,
         "semdedup": q_semdedup,
         "strip_boilerplate": q_strip_boilerplate,
@@ -3808,6 +3821,38 @@ def oracle_sql() -> dict[str, str]:
         # M4: the four per-bucket point picks replayed as rank-1 rows
         # under the SAME total orders ((ts, event_id) for first/last,
         # (value, ts, event_id) for min/max), DISTINCT = array_distinct
+        # OOV: same tokenizer, same (freq DESC, tok) top-20, same
+        # binary membership and one division
+        "oov_rate": """
+            WITH c AS (
+                SELECT tok, count(*) AS freq FROM (
+                    SELECT unnest(list_filter(
+                        string_split_regex(lower(text), '[^a-z0-9]+'),
+                        x -> x <> '')) AS tok
+                    FROM documents
+                ) GROUP BY 1
+            ),
+            v AS (
+                SELECT list(tok ORDER BY freq DESC, tok) AS vl
+                FROM (SELECT tok, freq FROM c ORDER BY freq DESC, tok
+                      LIMIT 20)
+            ),
+            t AS (
+                SELECT doc_id, list_filter(
+                    string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '') AS toks
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(toks,
+                        x -> NOT list_contains(vl, x))) AS BIGINT) AS n_oov,
+                   CASE WHEN len(toks) > 0 THEN round(
+                       CAST(len(list_filter(toks,
+                            x -> NOT list_contains(vl, x))) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE), 6) END AS oov_rate
+            FROM t CROSS JOIN v
+        """,
         # winsorize: same rank window (value, event_id), same
         # ceil-rank picks, same clamp projection
         "winsorize_1d": """

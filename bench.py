@@ -162,6 +162,10 @@ EXTENDED_QUERIES = (
     "readability",
     "holt_winters_1h",
     "bloom_decontaminate",
+    "winsorize_1d",
+    "dispersion_1d",
+    "entropy_mix_1h",
+    "oov_rate",
 )
 
 

@@ -238,3 +238,56 @@ def zipf_fit(
         F.round((s["sy"] - slope * s["sx"]) / n, 6).alias("intercept"),
         F.round(cov * cov / (varx * vary), 6).alias("r2"),
     )
+
+
+def top_vocab(docs: DataFrame, text_col: str = "text", top_v: int = 1000) -> list[str]:
+    """The corpus' ``top_v`` most frequent tokens, ranked by
+    ``(freq DESC, token ASC)`` — a DRIVER-SIDE list (bounded by the
+    config-sized ``top_v``, the documented bounded-metadata collect
+    class: same budget as IVF centroids / gap-fill spines)."""
+    counts = (
+        docs.select(F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    rows = counts.orderBy(F.col("freq").desc(), F.col("tok")).limit(top_v).collect()
+    return [r.tok for r in rows]
+
+
+def oov_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_v: int = 1000,
+) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus top-V
+    vocabulary — the cheap lexical-drift / gibberish screen (documents
+    whose tokens mostly fall outside the corpus head are boilerplate,
+    code, another language, or noise; CCNet and its descendants gate on
+    exactly this before the LM-perplexity pass, operators/lm.py).
+
+    Output: ``(id, n_tokens, n_oov, oov_rate)`` — two exact BIGINTs and
+    one division; ``oov_rate`` NULL for token-less docs.
+
+    Scale design: the vocabulary is ONE map-side-combined count agg +
+    a TakeOrderedAndProject (per-partition heap, never a global sort),
+    collected driver-side at the config-sized ``top_v`` bound; the scan
+    pass is then a ZERO-shuffle projection — membership is
+    ``array_contains`` against the broadcast literal array, no
+    explode-and-join of the token stream."""
+    vocab = top_vocab(docs, text_col=text_col, top_v=top_v)
+    vocab_arr = F.array(*[F.lit(t) for t in vocab])
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks).cast("long")
+    n_oov = F.size(
+        F.filter(toks, lambda t: ~F.array_contains(vocab_arr, t))
+    ).cast("long")
+    return docs.select(
+        id_col,
+        n_tokens.alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        F.when(
+            n_tokens > 0,
+            F.round(n_oov.cast("double") / n_tokens.cast("double"), 6),
+        ).alias("oov_rate"),
+    )

@@ -66,3 +66,54 @@ def test_plan_take_ordered_not_global_sort(spark):
     plan = zipf_fit(df, top_n=30)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
     assert "PythonUDF" not in plan, plan
+
+
+# ------------------------------------------------------------------ OOV
+
+
+def test_oov_matches_naive(spark):
+    import re
+
+    from mq_to_db_spark.operators.ranking import oov_stats
+
+    texts = {
+        1: "alpha beta alpha gamma",
+        2: "alpha zzz qqq",
+        3: "",
+        4: "beta beta beta",
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    from collections import Counter
+
+    c = Counter(
+        t for s in texts.values() for t in re.split(r"[^a-z0-9]+", s.lower()) if t
+    )
+    top2 = [t for t, _ in sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:2]]
+    got = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+        for r in oov_stats(df, top_v=2).collect()
+    }
+    for i, s in texts.items():
+        toks = [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+        oov = sum(1 for t in toks if t not in top2)
+        want = (
+            len(toks), oov,
+            round(oov / len(toks), 6) if toks else None,
+        )
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_oov_zero_shuffle_scan(spark):
+    from mq_to_db_spark.operators.ranking import oov_stats
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a b c", "c d e"]})
+    )
+    plan = (
+        oov_stats(df, top_v=3)._jdf.queryExecution().executedPlan().toString()
+    )
+    # the scoring pass itself: pure projection, no exchange, no join
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
