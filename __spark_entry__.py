@@ -1157,6 +1157,18 @@ def q_oov_rate(spark, sf_dir):
     return oov_stats(_docs(spark, sf_dir), top_v=20)
 
 
+def q_heaps_curve(spark, sf_dir):
+    """Heaps'-law vocabulary-growth curve (operators/ranking.py
+    heaps_curve) — zipf_fit's corpus-health companion: cumulative
+    distinct vocabulary vs cumulative tokens at every doc.  Per-token
+    work collapses to ONE (token → min doc) map-side-combined agg;
+    the running sums ride the |docs|-row table, range-partitionable.
+    All-BIGINT surface."""
+    from mq_to_db_spark.operators.ranking import heaps_curve
+
+    return heaps_curve(_docs(spark, sf_dir))
+
+
 def q_winsorize_1d(spark, sf_dir):
     """Winsorization at exact nearest-rank p05/p95 per (event_type, 1d)
     (operators/normalize.py): the robust-preprocessing clamp before
@@ -3461,6 +3473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dispersion_1d": q_dispersion_1d,
         "entropy_mix_1h": q_entropy_mix_1h,
         "oov_rate": q_oov_rate,
+        "heaps_curve": q_heaps_curve,
         "dedup_spans": q_dedup_spans,
         "semdedup": q_semdedup,
         "strip_boilerplate": q_strip_boilerplate,
@@ -3821,6 +3834,41 @@ def oracle_sql() -> dict[str, str]:
         # M4: the four per-bucket point picks replayed as rank-1 rows
         # under the SAME total orders ((ts, event_id) for first/last,
         # (value, ts, event_id) for min/max), DISTINCT = array_distinct
+        # Heaps: same tokenizer, first-seen = min(doc_id) per token,
+        # running sums in doc order — all BIGINT
+        "heaps_curve": """
+            WITH t AS (
+                SELECT doc_id, list_filter(
+                    string_split_regex(lower(text), '[^a-z0-9]+'),
+                    x -> x <> '') AS toks
+                FROM documents
+            ),
+            fs AS (
+                SELECT tok, min(doc_id) AS doc_id
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+                GROUP BY 1
+            ),
+            nt AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS new_types
+                FROM fs GROUP BY 1
+            ),
+            d AS (
+                SELECT t.doc_id,
+                       CAST(len(toks) AS BIGINT) AS n_tokens,
+                       CAST(coalesce(nt.new_types, 0) AS BIGINT)
+                           AS new_types
+                FROM t LEFT JOIN nt USING (doc_id)
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(sum(n_tokens) OVER (
+                       ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS cum_tokens,
+                   new_types,
+                   CAST(sum(new_types) OVER (
+                       ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS cum_types
+            FROM d
+        """,
         # OOV: same tokenizer, same (freq DESC, tok) top-20, same
         # binary membership and one division
         "oov_rate": """

@@ -166,6 +166,7 @@ EXTENDED_QUERIES = (
     "dispersion_1d",
     "entropy_mix_1h",
     "oov_rate",
+    "heaps_curve",
 )
 
 

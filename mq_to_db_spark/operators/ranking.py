@@ -291,3 +291,55 @@ def oov_stats(
             F.round(n_oov.cast("double") / n_tokens.cast("double"), 6),
         ).alias("oov_rate"),
     )
+
+
+def heaps_curve(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve — the corpus-health companion
+    of :func:`zipf_fit`: cumulative distinct-vocabulary size vs
+    cumulative token count, sampled at every document in ``id_col``
+    order.  Natural corpora grow V(n) ≈ K·n^β with β ≈ 0.4-0.6; a
+    curve that flattens early signals template spam / duplication, one
+    that stays near-linear signals noise (every doc brings new junk
+    tokens).
+
+    Output per document: ``(id, n_tokens, cum_tokens, new_types,
+    cum_types)`` — all exact BIGINTs.
+
+    Scale design: per-token work collapses to ONE (token → min doc)
+    hash agg (map-side combined — the shuffle carries one row per
+    distinct token per map task, not per occurrence); both running
+    sums ride a single window over the DOC table (one row per doc),
+    partitioned... keyless, but over |docs| rows of three BIGINTs —
+    range-partition via rangewin if the doc table itself is huge."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_col(text_col)).alias("tok")
+    )
+    per_doc = docs.select(
+        F.col(id_col), F.size(tokens_col(text_col)).cast("long").alias("n_tokens")
+    )
+    first_seen = (
+        toks.groupBy("tok")
+        .agg(F.min(id_col).alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("new_types"))
+    )
+    from mq_to_db_spark.operators.rangewin import range_running_sum
+
+    joined = per_doc.join(first_seen, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("new_types", F.lit(0)).cast("long").alias("new_types"),
+    )
+    cum1 = range_running_sum(joined, id_col, "n_tokens", out_col="cum_tokens")
+    cum2 = range_running_sum(cum1, id_col, "new_types", out_col="cum_types")
+    return cum2.select(
+        id_col,
+        "n_tokens",
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        "new_types",
+        F.col("cum_types").cast("long").alias("cum_types"),
+    )

@@ -117,3 +117,47 @@ def test_oov_zero_shuffle_scan(spark):
     # the scoring pass itself: pure projection, no exchange, no join
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+# ------------------------------------------------------------------ Heaps
+
+
+def test_heaps_matches_naive(spark):
+    import re
+
+    from mq_to_db_spark.operators.ranking import heaps_curve
+
+    texts = {
+        1: "alpha beta alpha",
+        2: "beta gamma",
+        3: "",
+        4: "alpha delta delta epsilon",
+        5: "zeta",
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.cum_tokens, r.new_types, r.cum_types)
+        for r in heaps_curve(df).collect()
+    }
+    seen: set = set()
+    cum_t = 0
+    for i in sorted(texts):
+        toks = [t for t in re.split(r"[^a-z0-9]+", texts[i].lower()) if t]
+        new = {t for t in toks if t not in seen}
+        cum_t += len(toks)
+        seen |= new
+        assert got[i] == (len(toks), cum_t, len(new), len(seen)), (i, got[i])
+
+
+def test_heaps_monotone_and_bounded(spark):
+    from mq_to_db_spark.operators.ranking import heaps_curve
+
+    docs = [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(6))) for i in range(40)]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    rows = sorted(heaps_curve(df).collect(), key=lambda r: r.doc_id)
+    cts = [r.cum_types for r in rows]
+    assert cts == sorted(cts)
+    assert cts[-1] == 23  # vocabulary saturates at the 23 planted types
+    assert rows[-1].cum_tokens == 240
