@@ -1157,6 +1157,28 @@ def q_oov_rate(spark, sf_dir):
     return oov_stats(_docs(spark, sf_dir), top_v=20)
 
 
+def q_cep_browse_buy(spark, sf_dir):
+    """MATCH_RECOGNIZE-style CEP sequence patterns (operators/cep.py
+    match_pattern): browse-to-buy episodes ``vc*p`` — a view, any
+    clicks, then a purchase — matched greedy, leftmost,
+    non-overlapping (AFTER MATCH SKIP PAST LAST ROW) over each user's
+    symbolized event sequence.  ONE shuffle, ZERO Python: match
+    positions are reconstructed JVM-side from the ``split`` /
+    ``regexp_extract_all`` interleave folded by ``aggregate``, and the
+    RE2-safe pattern makes the DuckDB replay engine-identical."""
+    from mq_to_db_spark.operators.cep import match_pattern, symbolize
+
+    tr = _events_as_transcripts(spark, sf_dir).withColumn(
+        "sym",
+        symbolize(
+            {"view": "v", "click": "c", "purchase": "p",
+             "error": "e", "signup": "s"},
+            "role", default="x",
+        ),
+    )
+    return match_pattern(tr, "vc*p", ["conv_id"])
+
+
 def q_heaps_curve(spark, sf_dir):
     """Heaps'-law vocabulary-growth curve (operators/ranking.py
     heaps_curve) — zipf_fit's corpus-health companion: cumulative
@@ -3474,6 +3496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entropy_mix_1h": q_entropy_mix_1h,
         "oov_rate": q_oov_rate,
         "heaps_curve": q_heaps_curve,
+        "cep_browse_buy": q_cep_browse_buy,
         "dedup_spans": q_dedup_spans,
         "semdedup": q_semdedup,
         "strip_boilerplate": q_strip_boilerplate,
@@ -3836,6 +3859,66 @@ def oracle_sql() -> dict[str, str]:
         # (value, ts, event_id) for min/max), DISTINCT = array_distinct
         # Heaps: same tokenizer, first-seen = min(doc_id) per token,
         # running sums in doc order — all BIGINT
+        # CEP: the full split/extract_all position reconstruction
+        # replayed — same RE2-safe pattern, same greedy leftmost
+        # non-overlapping engine semantics, one running-sum window
+        "cep_browse_buy": """
+            WITH tr AS (
+                SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                       CAST(row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id) - 1 AS INT)
+                           AS turn_idx,
+                       event_type AS role, ts
+                FROM events
+            ),
+            s AS (
+                SELECT conv_id, turn_idx, ts,
+                       CASE role WHEN 'view' THEN 'v'
+                            WHEN 'click' THEN 'c'
+                            WHEN 'purchase' THEN 'p'
+                            WHEN 'error' THEN 'e'
+                            WHEN 'signup' THEN 's'
+                            ELSE 'x' END AS sym
+                FROM tr
+            ),
+            g AS (
+                SELECT conv_id,
+                       string_agg(sym, '' ORDER BY turn_idx) AS symstr,
+                       list(turn_idx ORDER BY turn_idx) AS idxs,
+                       list(ts ORDER BY turn_idx) AS tss
+                FROM s GROUP BY conv_id
+            ),
+            m AS (
+                SELECT conv_id, idxs, tss,
+                       regexp_extract_all(symstr, 'vc*p') AS ms,
+                       string_split_regex(symstr, 'vc*p') AS gs
+                FROM g
+            ),
+            u AS (
+                SELECT conv_id, idxs, tss, gs,
+                       generate_subscripts(ms, 1) AS i,
+                       unnest(ms) AS mt
+                FROM m
+            ),
+            p AS (
+                SELECT conv_id, idxs, tss,
+                       CAST(i AS INT) AS match_seq, mt,
+                       CAST(sum(len(gs[i]) + len(mt)) OVER (
+                           PARTITION BY conv_id ORDER BY i)
+                           - len(mt) + 1 AS INT) AS start1
+                FROM u
+            )
+            SELECT conv_id, match_seq,
+                   mt AS match_syms,
+                   CAST(len(mt) AS BIGINT) AS n_events,
+                   idxs[start1] AS start_turn_idx,
+                   idxs[CAST(start1 + len(mt) - 1 AS INT)]
+                       AS end_turn_idx,
+                   tss[start1] AS start_ts,
+                   tss[CAST(start1 + len(mt) - 1 AS INT)] AS end_ts
+            FROM p
+        """,
         "heaps_curve": """
             WITH t AS (
                 SELECT doc_id, list_filter(
