@@ -1157,6 +1157,31 @@ def q_oov_rate(spark, sf_dir):
     return oov_stats(_docs(spark, sf_dir), top_v=20)
 
 
+def q_sax_1d(spark, sf_dir):
+    """SAX symbolic words (operators/sax.py, Lin et al. DMKD 2003):
+    each (event_type, day) hourly series z-quantized into a 24-symbol
+    {a,b,c,d} word — the motif/anomaly index key.  PAA frames ARE the
+    1h tier buckets (exact BIGINT sum/count, one double division);
+    mean/variance fold IN POSITION ORDER so every breakpoint compare —
+    hence every symbol — replays bit-identically in SQL.  Tier agg +
+    ONE window collect, ZERO Python."""
+    from mq_to_db_spark.operators.sax import sax_words
+
+    h = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket_start")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 1e6).cast("long")).alias(
+                "sum_cents"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return sax_words(h, ["event_type"])
+
+
 def q_cep_browse_buy(spark, sf_dir):
     """MATCH_RECOGNIZE-style CEP sequence patterns (operators/cep.py
     match_pattern): browse-to-buy episodes ``vc*p`` — a view, any
@@ -3497,6 +3522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oov_rate": q_oov_rate,
         "heaps_curve": q_heaps_curve,
         "cep_browse_buy": q_cep_browse_buy,
+        "sax_1d": q_sax_1d,
         "dedup_spans": q_dedup_spans,
         "semdedup": q_semdedup,
         "strip_boilerplate": q_strip_boilerplate,
@@ -3859,6 +3885,46 @@ def oracle_sql() -> dict[str, str]:
         # (value, ts, event_id) for min/max), DISTINCT = array_distinct
         # Heaps: same tokenizer, first-seen = min(doc_id) per token,
         # running sums in doc order — all BIGINT
+        # SAX: position-order list_reduce folds — the first-element
+        # seed equals Spark's 0.0+v1 seed exactly in IEEE arithmetic,
+        # so mean/std and every breakpoint compare replay bit-for-bit
+        "sax_1d": """
+            WITH h AS (
+                SELECT event_type,
+                       date_trunc('hour', ts) AS hb,
+                       CAST(sum(CAST(floor(value * 1e6) AS BIGINT))
+                            AS BIGINT) AS sc,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            d AS (
+                SELECT event_type,
+                       date_trunc('day', hb) AS window_start,
+                       list(CAST(sc AS DOUBLE) / n ORDER BY hb) AS vals
+                FROM h GROUP BY 1, 2
+            ),
+            s AS (
+                SELECT event_type, window_start, vals,
+                       list_reduce(vals, (a, b) -> a + b) / len(vals)
+                           AS m
+                FROM d
+            ),
+            s2 AS (
+                SELECT event_type, window_start, vals, m,
+                       sqrt(list_reduce(
+                           list_transform(vals, x -> (x - m) * (x - m)),
+                           (a, b) -> a + b) / len(vals)) AS sd
+                FROM s
+            )
+            SELECT event_type, window_start,
+                   array_to_string(list_transform(vals,
+                       x -> CASE WHEN x < m - 0.6745 * sd THEN 'a'
+                                 WHEN x < m THEN 'b'
+                                 WHEN x < m + 0.6745 * sd THEN 'c'
+                                 ELSE 'd' END), '') AS sax_word,
+                   CAST(len(vals) AS BIGINT) AS n_buckets
+            FROM s2
+        """,
         # CEP: the full split/extract_all position reconstruction
         # replayed — same RE2-safe pattern, same greedy leftmost
         # non-overlapping engine semantics, one running-sum window
