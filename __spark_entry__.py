@@ -1157,6 +1157,25 @@ def q_oov_rate(spark, sf_dir):
     return oov_stats(_docs(spark, sf_dir), top_v=20)
 
 
+def q_decay_topk(spark, sf_dir):
+    """Exponentially time-decayed heavy hitters (operators/decay.py,
+    halflife 7 days): recency-weighted user volume ranking — every
+    decay factor an EXACT 1/(1<<k) power of two (whole-bucket ages,
+    never libm pow), per-user terms folded in bucket order so the
+    score replays bit-for-bit.  Raw rows collapse to the (user, day)
+    tier map-side; the rank window rides the |users|-row score table."""
+    from mq_to_db_spark.operators.decay import decayed_topk
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("user_id"),
+        "ts",
+        F.floor(F.col("value") * 1e6).cast("long").alias("v"),
+    )
+    return decayed_topk(
+        ev, ["user_id"], 20, val_col=F.col("v"), halflife_buckets=7
+    )
+
+
 def q_sax_1d(spark, sf_dir):
     """SAX symbolic words (operators/sax.py, Lin et al. DMKD 2003):
     each (event_type, day) hourly series z-quantized into a 24-symbol
@@ -3523,6 +3542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heaps_curve": q_heaps_curve,
         "cep_browse_buy": q_cep_browse_buy,
         "sax_1d": q_sax_1d,
+        "decay_topk": q_decay_topk,
         "dedup_spans": q_dedup_spans,
         "semdedup": q_semdedup,
         "strip_boilerplate": q_strip_boilerplate,
@@ -3885,6 +3905,38 @@ def oracle_sql() -> dict[str, str]:
         # (value, ts, event_id) for min/max), DISTINCT = array_distinct
         # Heaps: same tokenizer, first-seen = min(doc_id) per token,
         # running sums in doc order — all BIGINT
+        # decayed heavy hitters: exact 1/(1<<k) factors, bucket-order
+        # list_reduce fold, (score DESC, user) deterministic rank
+        "decay_topk": """
+            WITH d AS (
+                SELECT CAST(user_id AS VARCHAR) AS user_id,
+                       date_trunc('day', ts) AS day,
+                       CAST(sum(CAST(floor(value * 1e6) AS BIGINT))
+                            AS BIGINT) AS sc
+                FROM events GROUP BY 1, 2
+            ),
+            mx AS (SELECT max(day) AS mday FROM d),
+            g AS (
+                SELECT user_id,
+                       list(CAST(sc AS DOUBLE) / CAST(
+                           (CAST(1 AS BIGINT) << (
+                               datediff('day', day,
+                                        (SELECT mday FROM mx)) // 7))
+                           AS DOUBLE) ORDER BY day) AS terms
+                FROM d GROUP BY 1
+            ),
+            s AS (
+                SELECT user_id,
+                       list_reduce(terms, (a, b) -> a + b) AS score
+                FROM g
+            )
+            SELECT user_id, score, rank FROM (
+                SELECT user_id, score,
+                       CAST(row_number() OVER (
+                           ORDER BY score DESC, user_id) AS INT) AS rank
+                FROM s
+            ) WHERE rank <= 20
+        """,
         # SAX: position-order list_reduce folds — the first-element
         # seed equals Spark's 0.0+v1 seed exactly in IEEE arithmetic,
         # so mean/std and every breakpoint compare replay bit-for-bit

@@ -70,6 +70,38 @@ def test_word_length_matches_buckets(spark, hourly):
         assert len(r["sax_word"]) == r["n_buckets"]
 
 
+def test_sax_word_feeds_cep_motif_search(spark, hourly):
+    # the SAX alphabet is CEP's symbol alphabet: find "deep-low run
+    # then an immediate top-band spike" motifs (a{2,}d) inside each
+    # day's word by exploding the word back to per-bucket symbols
+    from mq_to_db_spark.operators.cep import match_pattern
+
+    words = sax_words(hourly, ["k"])
+    ev = words.select(
+        "k",
+        "window_start",
+        F.posexplode(F.split(F.col("sax_word"), "(?!^)")),
+    ).select(
+        F.concat_ws("/", "k", F.col("window_start").cast("string")).alias(
+            "conv_id"
+        ),
+        F.col("pos").alias("turn_idx"),
+        F.col("col").alias("sym"),
+        F.timestamp_seconds(F.col("pos") * 3600).alias("ts"),
+    )
+    motifs = match_pattern(ev, "a{2,}d", ["conv_id"])
+    rows = motifs.collect()
+    # replay on the words themselves
+    import re
+
+    expected = sum(
+        len(re.findall("a{2,}d", r["sax_word"])) for r in words.collect()
+    )
+    assert len(rows) == expected
+    for r in rows:
+        assert re.fullmatch("a+d", r["match_syms"])
+
+
 def test_plan_single_shuffle_no_python(spark, hourly):
     plan = (
         sax_words(hourly, ["k"])
