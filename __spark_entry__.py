@@ -524,6 +524,20 @@ def q_minhash_pairs(spark, sf_dir):
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_editdist_pairs(spark, sf_dir):
+    """Fuzzy-dedup by EXACT Levenshtein similarity (operators/dedup.py
+    editdist_pairs): minhash-LSH candidates (exact Jaccard ≥ 0.3) pay
+    the only O(len²) edit-distance dynamic programs; texts join back
+    id-keyed.  Both stages replay in SQL — posting-list Jaccard then
+    DuckDB's identical unit-cost levenshtein — so the contract is
+    exact by construction."""
+    from mq_to_db_spark.operators.dedup import editdist_pairs
+
+    return editdist_pairs(
+        _docs(spark, sf_dir), "doc_id", "text", min_sim=0.8
+    )
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash pairs at hamming ≤ 3 — pigeonhole banding on 4×15-bit
     chunks is *exact* at that distance, and the md5-word-hash signature
@@ -3659,6 +3673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "editdist_pairs": q_editdist_pairs,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "transcript_pipeline": q_transcript_pipeline,
@@ -6605,6 +6620,52 @@ def oracle_sql() -> dict[str, str]:
                    round(inter / (na + nb - inter), 6) AS jaccard
             FROM shared
             WHERE inter / (na + nb - inter) >= 0.3
+        """,
+        # edit-distance fuzzy dedup: replay BOTH stages — posting-list
+        # exact-Jaccard candidates, then DuckDB's identical unit-cost
+        # levenshtein on the same normalized strings
+        "editdist_pairs": f"""
+            WITH norm AS (
+                SELECT doc_id, {_NORM_SQL} AS nt,
+                       string_split({_NORM_SQL}, ' ') AS words
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id, nt,
+                       CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')]
+                            ELSE list_distinct([array_to_string(words[i:i+2], ' ')
+                                  for i in range(1, len(words) - 1)])
+                       END AS shingles
+                FROM norm
+            ),
+            posting AS (
+                SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
+                FROM sh
+            ),
+            cand AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+                FROM posting a JOIN posting b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4
+                HAVING count(*) / (a.n_sh + b.n_sh - count(*)) >= 0.3
+            ),
+            v AS (
+                SELECT c.id_a, c.id_b,
+                       levenshtein(x.nt, y.nt) AS lv,
+                       greatest(length(x.nt), length(y.nt)) AS mx
+                FROM cand c
+                JOIN sh x ON x.doc_id = c.id_a
+                JOIN sh y ON y.doc_id = c.id_b
+            )
+            SELECT id_a, id_b, CAST(lv AS INT) AS lev,
+                   round(sim, 6) AS sim
+            FROM (
+                SELECT id_a, id_b, lv, mx,
+                       CASE WHEN mx = 0 THEN 1.0
+                            ELSE 1.0 - CAST(lv AS DOUBLE) / mx END AS sim
+                FROM v
+            ) WHERE sim >= 0.8
         """,
         # simhash: md5-derived word hashes → DuckDB recomputes the exact
         # 60-bit signatures; the O(n²) hamming join is exact at test scale

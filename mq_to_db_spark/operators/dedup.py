@@ -552,6 +552,64 @@ def embedding_neardup_pairs(
 # -- winnowing fingerprint pairs ----------------------------------------------
 
 
+def editdist_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_sim: float = 0.8,
+    jaccard_floor: float = 0.3,
+    **lsh_kw,
+) -> DataFrame:
+    """Fuzzy-dedup pairs by EXACT Levenshtein similarity, LSH-bounded.
+
+    Character-level edit similarity ``1 - lev/max(len)`` is the
+    classic fuzzy-match verdict (record linkage / OCR dedup) and
+    catches reorder-free small edits that shingle Jaccard scores
+    coarsely.  Computing it all-pairs is O(n² · len²) — never at
+    corpus scale — so candidates come from :func:`minhash_lsh_pairs`
+    (exact Jaccard ≥ ``jaccard_floor`` after banding), and only those
+    pairs pay the exact ``levenshtein`` dynamic program.  At the
+    fixture's operating point the candidate stage has no false
+    negatives for edit-sim ≥ 0.8 pairs (near-identical texts share
+    shingles overwhelmingly), so the two-stage result is the exact
+    answer there — and the oracle replays BOTH stages, making the
+    contract exact by construction at any operating point.
+
+    Scale shape: candidate generation shuffles bare ids; normalized
+    texts join back id-keyed only for surviving candidates.  The
+    Levenshtein verify is JVM ``levenshtein`` (identical unit-cost
+    definition in DuckDB) — ZERO Python.
+
+    Returns ``id_a, id_b, lev, sim`` (sim rounded 6dp).
+    """
+    cands = minhash_lsh_pairs(
+        df, id_col, text_col, verify_threshold=jaccard_floor, **lsh_kw
+    ).select("id_a", "id_b")
+    norm = df.select(
+        F.col(id_col).alias("id"), normalize_text(text_col).alias("nt")
+    )
+    j = cands.join(
+        norm.select(F.col("id").alias("id_a"), F.col("nt").alias("ta")), "id_a"
+    ).join(
+        norm.select(F.col("id").alias("id_b"), F.col("nt").alias("tb")), "id_b"
+    )
+    lev = F.levenshtein("ta", "tb")
+    mx = F.greatest(F.length("ta"), F.length("tb"))
+    sim = F.when(mx == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - lev.cast("double") / mx
+    )
+    return (
+        j.withColumn("sim", sim)
+        .filter(F.col("sim") >= min_sim)
+        .select(
+            "id_a",
+            "id_b",
+            lev.cast("int").alias("lev"),
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
 def winnow_similar_pairs(
     df: DataFrame,
     id_col: str,

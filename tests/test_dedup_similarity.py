@@ -487,3 +487,21 @@ def test_connected_components_log_rounds_on_long_chain(spark):
     rows = labels.collect()
     assert len(rows) == 101
     assert {r.component for r in rows} == {0}
+
+
+def test_editdist_pairs_planted_edits(spark, docs_with_dupes):
+    from mq_to_db_spark.operators.dedup import editdist_pairs
+
+    out = editdist_pairs(docs_with_dupes, "doc_id", "text", min_sim=0.8)
+    rows = {(r["id_a"], r["id_b"]): (r["lev"], r["sim"]) for r in out.collect()}
+    # exact dups: lev == 0, sim == 1.0
+    # (the corpus carries its own planted dups, so only assert the
+    # pairs this fixture added; others may legitimately appear)
+    for i in range(5):
+        assert rows[(i, 100000 + i)] == (0, 1.0)
+    # tail-appended near dups: small positive lev, sim >= 0.8
+    for i in range(5):
+        lev, sim = rows[(5 + i, 100100 + i)]
+        assert 0 < lev <= len(" extra tail words here") and 0.8 <= sim < 1.0
+    # symmetry/ordering: id_a < id_b always
+    assert all(a < b for a, b in rows)
