@@ -1171,6 +1171,21 @@ def q_oov_rate(spark, sf_dir):
     return oov_stats(_docs(spark, sf_dir), top_v=20)
 
 
+def q_zorder_keys(spark, sf_dir):
+    """Z-order / Morton layout keys (operators/layout.py): the
+    multi-dimensional clustering key behind Delta OPTIMIZE ZORDER —
+    md5-coin user lane × exact-BIGINT range-scaled time lane, bits
+    interleaved by a plan-time-unrolled shift/or chain (pure codegen).
+    The time quotient uses integral ``div`` — a double floor()
+    misranks the x = max boundary.  ``cluster_by_zorder`` range-
+    partitions on this key so every file is a (conv, time) rectangle;
+    the contract checks the key itself bit-for-bit."""
+    from mq_to_db_spark.operators.layout import zorder_keys
+
+    out = zorder_keys(_events(spark, sf_dir), ["user_id"], bits=16)
+    return out.select("event_id", "zkey")
+
+
 def q_decay_topk(spark, sf_dir):
     """Exponentially time-decayed heavy hitters (operators/decay.py,
     halflife 7 days): recency-weighted user volume ranking — every
@@ -3557,6 +3572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_browse_buy": q_cep_browse_buy,
         "sax_1d": q_sax_1d,
         "decay_topk": q_decay_topk,
+        "zorder_keys": q_zorder_keys,
         "dedup_spans": q_dedup_spans,
         "semdedup": q_semdedup,
         "strip_boilerplate": q_strip_boilerplate,
@@ -3920,6 +3936,31 @@ def oracle_sql() -> dict[str, str]:
         # (value, ts, event_id) for min/max), DISTINCT = array_distinct
         # Heaps: same tokenizer, first-seen = min(doc_id) per token,
         # running sums in doc order — all BIGINT
+        # z-order: full Morton replay — md5 low bits, exact integer
+        # range scaling with // , and the same interleave as a list
+        # comprehension over bit positions
+        "zorder_keys": """
+            WITH ext AS (
+                SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+                FROM events
+            ),
+            lanes AS (
+                SELECT event_id,
+                       ('0x' || substring(
+                           md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                           & 65535 AS h,
+                       ((epoch_us(ts) - (SELECT lo FROM ext)) * 65535)
+                           // ((SELECT hi FROM ext)
+                               - (SELECT lo FROM ext)) AS t
+                FROM events
+            )
+            SELECT event_id,
+                   CAST(list_sum(
+                       [((h >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b))
+                        + ((t >> b) & 1) * (CAST(1 AS BIGINT) << (2 * b + 1))
+                        for b in range(16)]) AS BIGINT) AS zkey
+            FROM lanes
+        """,
         # decayed heavy hitters: exact 1/(1<<k) factors, bucket-order
         # list_reduce fold, (score DESC, user) deterministic rank
         "decay_topk": """
