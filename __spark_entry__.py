@@ -1171,6 +1171,23 @@ def q_oov_rate(spark, sf_dir):
     return oov_stats(_docs(spark, sf_dir), top_v=20)
 
 
+def q_ab_welch_1d(spark, sf_dir):
+    """Welch's unequal-variance t-test per day (operators/abtest.py):
+    click-vs-view value comparison from exact BIGINT milli-unit
+    moments in ONE conditional hash agg; the t statistic and the
+    Satterthwaite dof are a fixed double chain over those integers, so
+    every float replays bit-for-bit.  No p-value column by design —
+    the incomplete beta is not engine-portable; threshold |t|."""
+    from mq_to_db_spark.operators.abtest import welch_t
+
+    ev = _events(spark, sf_dir).select(
+        F.date_trunc("day", "ts").alias("day"),
+        "event_type",
+        F.floor(F.col("value") * 1e3).cast("long").alias("v"),
+    )
+    return welch_t(ev, ["day"], "event_type", "click", "view", "v")
+
+
 def q_zorder_keys(spark, sf_dir):
     """Z-order / Morton layout keys (operators/layout.py): the
     multi-dimensional clustering key behind Delta OPTIMIZE ZORDER —
@@ -3573,6 +3590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sax_1d": q_sax_1d,
         "decay_topk": q_decay_topk,
         "zorder_keys": q_zorder_keys,
+        "ab_welch_1d": q_ab_welch_1d,
         "dedup_spans": q_dedup_spans,
         "semdedup": q_semdedup,
         "strip_boilerplate": q_strip_boilerplate,
@@ -3936,6 +3954,56 @@ def oracle_sql() -> dict[str, str]:
         # (value, ts, event_id) for min/max), DISTINCT = array_distinct
         # Heaps: same tokenizer, first-seen = min(doc_id) per token,
         # running sums in doc order — all BIGINT
+        # Welch t: identical fixed double chain over the same exact
+        # BIGINT milli-unit moments (var via s2 - s*m, then t and the
+        # Satterthwaite dof in literal op order)
+        "ab_welch_1d": """
+            WITH m AS (
+                SELECT date_trunc('day', ts) AS day,
+                       CAST(count(*) FILTER (event_type = 'click')
+                            AS BIGINT) AS n_a,
+                       CAST(count(*) FILTER (event_type = 'view')
+                            AS BIGINT) AS n_b,
+                       CAST(coalesce(sum(CAST(floor(value * 1e3) AS BIGINT))
+                            FILTER (event_type = 'click'), 0) AS BIGINT) AS s_a,
+                       CAST(coalesce(sum(CAST(floor(value * 1e3) AS BIGINT))
+                            FILTER (event_type = 'view'), 0) AS BIGINT) AS s_b,
+                       CAST(coalesce(sum(CAST(floor(value * 1e3) AS BIGINT)
+                            * CAST(floor(value * 1e3) AS BIGINT))
+                            FILTER (event_type = 'click'), 0) AS BIGINT) AS s2_a,
+                       CAST(coalesce(sum(CAST(floor(value * 1e3) AS BIGINT)
+                            * CAST(floor(value * 1e3) AS BIGINT))
+                            FILTER (event_type = 'view'), 0) AS BIGINT) AS s2_b
+                FROM events
+                WHERE event_type IN ('click', 'view')
+                GROUP BY 1
+            ),
+            c AS (
+                SELECT day, n_a, n_b,
+                       CAST(s_a AS DOUBLE) / n_a AS mean_a,
+                       CAST(s_b AS DOUBLE) / n_b AS mean_b,
+                       (CAST(s2_a AS DOUBLE)
+                        - CAST(s_a AS DOUBLE) * (CAST(s_a AS DOUBLE) / n_a))
+                           / (n_a - 1) AS va,
+                       (CAST(s2_b AS DOUBLE)
+                        - CAST(s_b AS DOUBLE) * (CAST(s_b AS DOUBLE) / n_b))
+                           / (n_b - 1) AS vb
+                FROM m
+            )
+            SELECT day, n_a, n_b, mean_a, mean_b,
+                   CASE WHEN n_a >= 2 AND n_b >= 2
+                             AND va / n_a + vb / n_b > 0
+                        THEN (mean_a - mean_b)
+                             / sqrt(va / n_a + vb / n_b) END AS t_stat,
+                   CASE WHEN n_a >= 2 AND n_b >= 2
+                             AND va / n_a + vb / n_b > 0
+                        THEN ((va / n_a + vb / n_b)
+                              * (va / n_a + vb / n_b))
+                             / ((va / n_a) * (va / n_a) / (n_a - 1)
+                                + (vb / n_b) * (vb / n_b) / (n_b - 1))
+                        END AS dof
+            FROM c
+        """,
         # z-order: full Morton replay — md5 low bits, exact integer
         # range scaling with // , and the same interleave as a list
         # comprehension over bit positions
