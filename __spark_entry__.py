@@ -1171,6 +1171,23 @@ def q_oov_rate(spark, sf_dir):
     return oov_stats(_docs(spark, sf_dir), top_v=20)
 
 
+def q_psi_1d(spark, sf_dir):
+    """Population Stability Index drift gate (operators/drift.py):
+    daily value-distribution PSI vs the all-periods baseline — literal
+    integer bucket edges, BIGINT counts, add-one smoothing (no epsilon
+    constants), the Σ(p−q)·ln(p/q) fold in bucket order.  ONE raw-rows
+    hash agg; the baseline re-aggregates the same counts tier, the
+    dense grid is a broadcast literal explode."""
+    from mq_to_db_spark.operators.drift import psi
+
+    return psi(
+        _events(spark, sf_dir),
+        F.date_trunc("day", "ts"),
+        F.floor(F.col("value") * 1e3).cast("long"),
+        [12500, 25000, 37500, 50000, 62500, 75000, 87500],
+    ).withColumnRenamed("period", "day")
+
+
 def q_ab_welch_1d(spark, sf_dir):
     """Welch's unequal-variance t-test per day (operators/abtest.py):
     click-vs-view value comparison from exact BIGINT milli-unit
@@ -3591,6 +3608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decay_topk": q_decay_topk,
         "zorder_keys": q_zorder_keys,
         "ab_welch_1d": q_ab_welch_1d,
+        "psi_1d": q_psi_1d,
         "dedup_spans": q_dedup_spans,
         "semdedup": q_semdedup,
         "strip_boilerplate": q_strip_boilerplate,
@@ -3954,6 +3972,63 @@ def oracle_sql() -> dict[str, str]:
         # (value, ts, event_id) for min/max), DISTINCT = array_distinct
         # Heaps: same tokenizer, first-seen = min(doc_id) per token,
         # running sums in doc order — all BIGINT
+        # PSI: identical CASE-sum buckets, add-one-smoothed shares,
+        # bucket-order list_reduce fold (ln parity per lm_perplexity)
+        "psi_1d": """
+            WITH v AS (
+                SELECT date_trunc('day', ts) AS day,
+                       CAST(floor(value * 1e3) AS BIGINT) AS v
+                FROM events
+            ),
+            bk AS (
+                SELECT day,
+                       (CASE WHEN v >= 12500 THEN 1 ELSE 0 END
+                        + CASE WHEN v >= 25000 THEN 1 ELSE 0 END
+                        + CASE WHEN v >= 37500 THEN 1 ELSE 0 END
+                        + CASE WHEN v >= 50000 THEN 1 ELSE 0 END
+                        + CASE WHEN v >= 62500 THEN 1 ELSE 0 END
+                        + CASE WHEN v >= 75000 THEN 1 ELSE 0 END
+                        + CASE WHEN v >= 87500 THEN 1 ELSE 0 END) AS b
+                FROM v
+            ),
+            counts AS (
+                SELECT day, b, CAST(count(*) AS BIGINT) AS c
+                FROM bk GROUP BY 1, 2
+            ),
+            base AS (
+                SELECT b, CAST(sum(c) AS BIGINT) AS cq
+                FROM counts GROUP BY 1
+            ),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS nq FROM counts),
+            grid AS (
+                SELECT d.day, g.b
+                FROM (SELECT DISTINCT day FROM counts) d
+                CROSS JOIN (SELECT unnest(range(8)) AS b) g
+            ),
+            filled AS (
+                SELECT g.day, g.b,
+                       coalesce(c.c, 0) AS c,
+                       coalesce(ba.cq, 0) AS cq,
+                       (SELECT nq FROM tot) AS nq
+                FROM grid g
+                LEFT JOIN counts c ON c.day = g.day AND c.b = g.b
+                LEFT JOIN base ba ON ba.b = g.b
+            ),
+            per AS (
+                SELECT day, CAST(sum(c) AS BIGINT) AS n,
+                       list(struct_pack(b := b, c := c, cq := cq,
+                                        nq := nq) ORDER BY b) AS a
+                FROM filled GROUP BY 1
+            )
+            SELECT day, n,
+                   list_reduce(list_transform(a,
+                       e -> ((e.c + 1) / (n + 8)
+                             - (e.cq + 1) / (e.nq + 8))
+                            * ln(((e.c + 1) / (n + 8))
+                                 / ((e.cq + 1) / (e.nq + 8)))),
+                       (x, y) -> x + y) AS psi
+            FROM per
+        """,
         # Welch t: identical fixed double chain over the same exact
         # BIGINT milli-unit moments (var via s2 - s*m, then t and the
         # Satterthwaite dof in literal op order)

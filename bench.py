@@ -167,6 +167,12 @@ EXTENDED_QUERIES = (
     "entropy_mix_1h",
     "oov_rate",
     "heaps_curve",
+    "cep_browse_buy",
+    "sax_1d",
+    "decay_topk",
+    "zorder_keys",
+    "ab_welch_1d",
+    "editdist_pairs",
 )
 
 
