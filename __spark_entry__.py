@@ -1171,6 +1171,33 @@ def q_oov_rate(spark, sf_dir):
     return oov_stats(_docs(spark, sf_dir), top_v=20)
 
 
+def q_skew_audit(spark, sf_dir):
+    """Key-skew audit (operators/skewaudit.py): Gini, top-1%/10% row
+    share, median/max key size over the (user → count) tier — the
+    measurement half of the north rule's explicit skew handling.
+    Global ranks are the RANGE-PARTITIONED running count
+    (rangewin.range_running_sum, the epoch_shuffle discipline), never
+    a single-partition window; Gini's float stage is a fixed literal
+    chain over exact BIGINTs.  Tie order within equal counts provably
+    cannot change any output (ranks permute within a constant-count
+    class), so the oracle's row_number replay is exact."""
+    from mq_to_db_spark.operators.skewaudit import skew_audit
+
+    return skew_audit(_events(spark, sf_dir), ["user_id"])
+
+
+def q_salt_plan(spark, sf_dir):
+    """Salt plan (operators/skewaudit.py salt_plan): per-key shuffle
+    fan-out ceil(rows/target) in pure integer arithmetic, capped — the
+    actuation half of skew handling, sized from the audit's counts
+    tier rather than guessed."""
+    from mq_to_db_spark.operators.skewaudit import salt_plan
+
+    return salt_plan(
+        _events(spark, sf_dir), ["user_id"], target_rows=50, max_salts=8
+    )
+
+
 def q_psi_1d(spark, sf_dir):
     """Population Stability Index drift gate (operators/drift.py):
     daily value-distribution PSI vs the all-periods baseline — literal
@@ -3609,6 +3636,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_keys": q_zorder_keys,
         "ab_welch_1d": q_ab_welch_1d,
         "psi_1d": q_psi_1d,
+        "skew_audit": q_skew_audit,
+        "salt_plan": q_salt_plan,
         "dedup_spans": q_dedup_spans,
         "semdedup": q_semdedup,
         "strip_boilerplate": q_strip_boilerplate,
@@ -3972,6 +4001,62 @@ def oracle_sql() -> dict[str, str]:
         # (value, ts, event_id) for min/max), DISTINCT = array_distinct
         # Heaps: same tokenizer, first-seen = min(doc_id) per token,
         # running sums in doc order — all BIGINT
+        # skew audit: row_number rank replay (tie order provably
+        # output-invariant), exact BIGINT sums, the same literal Gini
+        # chain
+        "skew_audit": """
+            WITH c AS (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+                FROM events GROUP BY 1
+            ),
+            r AS (
+                SELECT user_id, n_rows,
+                       CAST(row_number() OVER (ORDER BY n_rows, user_id)
+                            AS BIGINT) AS rk
+                FROM c
+            ),
+            a AS (
+                SELECT CAST(max(rk) AS BIGINT) AS n_keys,
+                       CAST(sum(n_rows) AS BIGINT) AS total_rows,
+                       CAST(sum(rk * n_rows) AS BIGINT) AS s1,
+                       CAST(max(n_rows) AS BIGINT) AS max_key_rows
+                FROM r
+            ),
+            s AS (
+                SELECT
+                    (SELECT n_rows FROM r
+                     WHERE rk = (SELECT (n_keys + 1) // 2 FROM a))
+                        AS p50_key_rows,
+                    (SELECT CAST(sum(n_rows) AS BIGINT) FROM r
+                     WHERE rk > (SELECT n_keys
+                                 - greatest(1, n_keys // 100) FROM a))
+                        AS top1,
+                    (SELECT CAST(sum(n_rows) AS BIGINT) FROM r
+                     WHERE rk > (SELECT n_keys
+                                 - greatest(1, n_keys // 10) FROM a))
+                        AS top10
+            )
+            SELECT n_keys, total_rows, max_key_rows, p50_key_rows,
+                   CAST(top1 AS DOUBLE) / CAST(total_rows AS DOUBLE)
+                       AS top1_share,
+                   CAST(top10 AS DOUBLE) / CAST(total_rows AS DOUBLE)
+                       AS top10_share,
+                   (2.0 * CAST(s1 AS DOUBLE))
+                       / (CAST(n_keys AS DOUBLE)
+                          * CAST(total_rows AS DOUBLE))
+                   - (CAST(n_keys + 1 AS DOUBLE)
+                      / CAST(n_keys AS DOUBLE)) AS gini
+            FROM a, s
+        """,
+        # salt plan: pure integer ceil-div, capped
+        "salt_plan": """
+            SELECT user_id, n_rows,
+                   CAST(least((n_rows + 49) // 50, 8) AS INT) AS n_salts
+            FROM (
+                SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+                FROM events GROUP BY 1
+            )
+        """,
         # PSI: identical CASE-sum buckets, add-one-smoothed shares,
         # bucket-order list_reduce fold (ln parity per lm_perplexity)
         "psi_1d": """

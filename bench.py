@@ -173,6 +173,9 @@ EXTENDED_QUERIES = (
     "zorder_keys",
     "ab_welch_1d",
     "editdist_pairs",
+    "psi_1d",
+    "skew_audit",
+    "salt_plan",
 )
 
 
