@@ -188,6 +188,19 @@ _PUBLIC = {
     "range_eval": "mq_to_db_spark.plans.readpath",
     "pick_tier": "mq_to_db_spark.plans.readpath",
     "TierReader": "mq_to_db_spark.plans.readpath",
+    # CEP / symbolic / layout / experimentation plane (round 4, late)
+    "symbolize": "mq_to_db_spark.operators.cep",
+    "match_pattern": "mq_to_db_spark.operators.cep",
+    "sax_words": "mq_to_db_spark.operators.sax",
+    "decayed_scores": "mq_to_db_spark.operators.decay",
+    "decayed_topk": "mq_to_db_spark.operators.decay",
+    "editdist_pairs": "mq_to_db_spark.operators.dedup",
+    "zorder_keys": "mq_to_db_spark.operators.layout",
+    "cluster_by_zorder": "mq_to_db_spark.operators.layout",
+    "welch_t": "mq_to_db_spark.operators.abtest",
+    "psi": "mq_to_db_spark.operators.drift",
+    "skew_audit": "mq_to_db_spark.operators.skewaudit",
+    "salt_plan": "mq_to_db_spark.operators.skewaudit",
 }
 
 

@@ -66,6 +66,19 @@ _WHITELIST = {
     # table by a BroadcastHashJoin on the domain key (visible directly
     # above the whitelisted cross in the plan)
     "mixture_sample": ("BroadcastNestedLoopJoin",),
+    # decay.py:decayed_scores — tier × broadcast(1-row max-bucket
+    # asof): the decay anchor; output = |tier|
+    "decay_topk": ("BroadcastNestedLoopJoin",),
+    # drift.py:psi — period spine × broadcast(nb-row literal bucket
+    # grid) and counts × broadcast(1-row total): both config-sized,
+    # output = |periods| · nb
+    "psi_1d": ("BroadcastNestedLoopJoin",),
+    # skewaudit.py:skew_audit — ranked tier × broadcast(1-row
+    # n/total/s1 aggregate): output = |keys|
+    "skew_audit": ("BroadcastNestedLoopJoin",),
+    # layout.py:zorder_keys — rows × broadcast(1-row ts min/max
+    # extent): the range-scaling anchor; output = |rows|
+    "zorder_keys": ("BroadcastNestedLoopJoin",),
 }
 
 
