@@ -112,7 +112,12 @@ def semdedup(
         df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
         round_to=round_to,
     )
-    assigned = kmeans_assign(df, cents, vec_col=vec_col, out_col="cluster")
+    # persist: the assignment subtree (a k·dim-literal argmax over the
+    # corpus) otherwise re-evaluates for BOTH pair-join sides and the
+    # final kept-join — 3× the most expensive projection in the plan
+    assigned = kmeans_assign(
+        df, cents, vec_col=vec_col, out_col="cluster"
+    ).persist()
     slim = assigned.select(
         "cluster",
         F.col(id_col).alias("_id"),
