@@ -1979,7 +1979,12 @@ def q_tier_stitch(spark, sf_dir):
     from mq_to_db_spark.operators.rollup import rollup_tiers
     from mq_to_db_spark.operators.stitch import stitch_range
 
-    tiers = rollup_tiers(_events_as_transcripts(spark, sf_dir), keys=["role"])
+    # persist=True = the in-memory stand-in for materialized tier
+    # tables: stitch reads all three tiers of ONE cascade, so without
+    # it the 1m aggregation's raw scan re-runs under 1h and 1d too
+    tiers = rollup_tiers(
+        _events_as_transcripts(spark, sf_dir), keys=["role"], persist=True
+    )
     return stitch_range(tiers, STITCH_T0, STITCH_T1, keys=["role"]).select(
         "role",
         "n_turns",
@@ -2058,7 +2063,9 @@ def q_compact_late(spark, sf_dir):
         merge_late_chunks,
     )
 
-    tr = _events_as_transcripts(spark, sf_dir)
+    # persist tr: base and late are two filter branches of the same
+    # adapter (whose row_number window is a full shuffle per evaluation)
+    tr = _events_as_transcripts(spark, sf_dir).persist()
     base = tr.filter(F.col("turn_idx") % 5 != 0)
     late = tr.filter(F.col("turn_idx") % 5 == 0)
     # cache = the stored archive table (in production the semi/anti split
@@ -2096,9 +2103,26 @@ def q_hybrid_read(spark, sf_dir):
     from mq_to_db_spark.operators.rollup import rollup_tiers
     from mq_to_db_spark.plans.readpath import hybrid_read
 
-    tr = _events_as_transcripts(spark, sf_dir)
-    tiers = rollup_tiers(tr, keys=["role"])
-    chunks = encode_chunks(tr, value_col="value")
+    # persist tr: the adapter's row_number window re-runs per consumer
+    # otherwise (tier build + edge filter + 2 sliver encodes = 4 window
+    # shuffles); in production tr IS the stored Iceberg table, so one
+    # materialization is the honest shape
+    tr = _events_as_transcripts(spark, sf_dir).persist()
+    # persist=True: materialized-tier stand-in (see q_tier_stitch)
+    tiers = rollup_tiers(tr, keys=["role"], persist=True)
+    # Archive fixture: in production the chunk table pre-exists and the
+    # read prunes to the chunks whose [min,max] ts metadata overlaps the
+    # two edge minutes.  Building the archive inline, the equivalent of
+    # that metadata pruning is encoding only the two edge minutes' turns
+    # (the codec is lossless per row, so chunk regrouping cannot change
+    # the decoded slivers); encoding the full corpus here would re-bench
+    # the write path that codec_encode_decode already measures.
+    minute = F.date_trunc("minute", F.col("ts"))
+    edge = (minute == F.to_timestamp(F.lit(HYBRID_T0[:17] + "00"))) | (
+        minute == F.to_timestamp(F.lit(HYBRID_T1[:17] + "00"))
+    )
+    # cache the (few-row) chunk table: both sliver decodes consume it
+    chunks = encode_chunks(tr.where(edge), value_col="value").cache()
     return hybrid_read(tiers, chunks, HYBRID_T0, HYBRID_T1, keys=["role"]).select(
         "role",
         "n_turns",

@@ -93,6 +93,7 @@ _PUBLIC = {
     "bucketed_pair_series": "mq_to_db_spark.operators.correlate",
     "series_corr": "mq_to_db_spark.operators.correlate",
     "range_running_sum": "mq_to_db_spark.operators.rangewin",
+    "range_running_sums": "mq_to_db_spark.operators.rangewin",
     # interval↔bucket attribution + LTOB downsampling (round 3)
     "heartbeat_agg": "mq_to_db_spark.operators.intervals",
     "interpolated_time_weighted_avg": "mq_to_db_spark.operators.intervals",

@@ -93,8 +93,18 @@ def bigram_lm_scores(
 ) -> DataFrame:
     """Per-document self-perplexity under the corpus bigram LM:
     ``(id, n_tokens, bigram_c_sum, n_singletons, logprob, ppl)``."""
-    pairs = bigram_pairs(docs, id_col=id_col, text_col=text_col)
-    bc = pairs.groupBy("h", "w").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark import StorageLevel
+
+    # pairs feeds the count-table build AND the join probe side — two
+    # plan branches; without a persist the tokenize+explode scan runs
+    # once per branch.  MEMORY_AND_DISK: at corpus scale this is the
+    # materialized token-position table every CCNet-style scorer keeps.
+    pairs = bigram_pairs(docs, id_col=id_col, text_col=text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # bc is tiny (distinct bigrams) but feeds hc, vocab AND the join —
+    # three branches, each of which would re-run the count aggregation
+    bc = pairs.groupBy("h", "w").agg(F.count(F.lit(1)).alias("c")).persist()
     hc = bc.groupBy("h").agg(F.sum("c").alias("ch"))
     # V = distinct tokens; every token occurrence is some bigram's w,
     # so the (small) bigram table already carries the full vocabulary

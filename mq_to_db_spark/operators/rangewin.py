@@ -128,6 +128,27 @@ def range_running_sum(
     ``value_col`` rows contribute 0; NULL ``order_col`` rows receive no
     carry.  Used by the concurrency sweep-line, where a naive keyless
     window would drag every boundary event through one task."""
+    return range_running_sums(
+        df,
+        order_col,
+        {out_col: value_col},
+        tiebreak=tiebreak,
+        n_buckets=n_buckets,
+    )
+
+
+def range_running_sums(
+    df: DataFrame,
+    order_col: str,
+    sums: dict[str, str],
+    tiebreak: tuple[str, ...] = (),
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """N global cumulative sums over the SAME order in ONE
+    range-partitioned pass — ``sums`` maps ``out_col -> value_col``.
+    One extent job, one per-bucket window shuffle, and one broadcast
+    prefix-carry join amortized across every requested sum (a caller
+    looping :func:`range_running_sum` pays each of those per column)."""
     spark = df.sparkSession
     if n_buckets is None:
         n_buckets = max(spark.sparkContext.defaultParallelism, 1) * 4
@@ -140,7 +161,10 @@ def range_running_sum(
             .orderBy(*order_exprs)
             .rowsBetween(W.unboundedPreceding, 0)
         )
-        return df.withColumn(out_col, F.sum(value_col).over(w))
+        out = df
+        for out_col, value_col in sums.items():
+            out = out.withColumn(out_col, F.sum(value_col).over(w))
+        return out
     rb = F.width_bucket(od, F.lit(ext.mn), F.lit(ext.mx), F.lit(n_buckets)).cast("int")
     tagged = df.withColumn("_rb", rb)
     w_in = (
@@ -148,20 +172,30 @@ def range_running_sum(
         .orderBy(*order_exprs)
         .rowsBetween(W.unboundedPreceding, 0)
     )
-    partial = tagged.withColumn(out_col, F.sum(value_col).over(w_in))
-    totals = tagged.groupBy("_rb").agg(F.sum(value_col).alias("_tot"))
+    partial = tagged
+    for out_col, value_col in sums.items():
+        partial = partial.withColumn(out_col, F.sum(value_col).over(w_in))
+    totals = tagged.groupBy("_rb").agg(
+        *[
+            F.sum(value_col).alias(f"_tot_{out_col}")
+            for out_col, value_col in sums.items()
+        ]
+    )
     spine = spark.range(1, n_buckets + 2).select(F.col("id").cast("int").alias("_rb"))
     w_carry = W.orderBy("_rb").rowsBetween(W.unboundedPreceding, -1)
-    carry = (
-        spine.join(totals, "_rb", "left")
-        .withColumn("_carry", F.sum("_tot").over(w_carry))
-        .select("_rb", "_carry")
-    )
-    return (
-        partial.join(F.broadcast(carry), "_rb", "left")
-        .withColumn(
-            out_col,
-            F.coalesce(F.col(out_col), F.lit(0)) + F.coalesce(F.col("_carry"), F.lit(0)),
+    carry = spine.join(totals, "_rb", "left")
+    for out_col in sums:
+        carry = carry.withColumn(
+            f"_carry_{out_col}", F.sum(f"_tot_{out_col}").over(w_carry)
         )
-        .drop("_rb", "_carry")
+    carry = carry.select(
+        "_rb", *[f"_carry_{out_col}" for out_col in sums]
     )
+    out = partial.join(F.broadcast(carry), "_rb", "left")
+    for out_col in sums:
+        out = out.withColumn(
+            out_col,
+            F.coalesce(F.col(out_col), F.lit(0))
+            + F.coalesce(F.col(f"_carry_{out_col}"), F.lit(0)),
+        )
+    return out.drop("_rb", *[f"_carry_{out_col}" for out_col in sums])

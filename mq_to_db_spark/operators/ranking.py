@@ -327,15 +327,16 @@ def heaps_curve(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("new_types"))
     )
-    from mq_to_db_spark.operators.rangewin import range_running_sum
+    from mq_to_db_spark.operators.rangewin import range_running_sums
 
     joined = per_doc.join(first_seen, id_col, "left").select(
         id_col,
         "n_tokens",
         F.coalesce("new_types", F.lit(0)).cast("long").alias("new_types"),
     )
-    cum1 = range_running_sum(joined, id_col, "n_tokens", out_col="cum_tokens")
-    cum2 = range_running_sum(cum1, id_col, "new_types", out_col="cum_types")
+    cum2 = range_running_sums(
+        joined, id_col, {"cum_tokens": "n_tokens", "cum_types": "new_types"}
+    )
     return cum2.select(
         id_col,
         "n_tokens",

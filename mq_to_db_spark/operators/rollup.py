@@ -206,9 +206,16 @@ def rollup_tiers(
     keys: list[str] | None = None,
     tiers: tuple[str, ...] = ("1m", "1h", "1d"),
     salt_buckets: int = 0,
+    persist: bool = False,
 ) -> dict[str, DataFrame]:
     """Build the full tier cascade: tiers[0] from raw, each next tier from
-    the previous one."""
+    the previous one.
+
+    ``persist=True`` caches every non-final tier — the in-memory
+    stand-in for the production pipeline's *materialized* tier tables:
+    a consumer that reads several tiers of one cascade (stitch/audit/
+    hybrid-read) otherwise re-evaluates the finest tier's raw scan once
+    per coarser tier (1m's agg runs 3× for a 1m/1h/1d read)."""
     out: dict[str, DataFrame] = {}
     finer = None
     for t in tiers:
@@ -216,6 +223,8 @@ def rollup_tiers(
             out[t] = rollup_from_raw(df, t, keys, salt_buckets=salt_buckets)
         else:
             out[t] = cascade(out[finer], t, keys)
+        if persist and t != tiers[-1]:
+            out[t] = out[t].persist()
         finer = t
     return out
 

@@ -62,23 +62,35 @@ def kmeans_fit(
     required, though callers looping many iterations should persist
     ``df`` themselves.
     """
-    cents = ivf_centroids(df, n_centroids=k, id_col=id_col, vec_col=vec_col)
-    if not cents:
-        return []
-    dim = len(cents[0])
-    v = F.col(vec_col).cast("array<double>")
-    for _ in range(n_iter):
-        assigned = kmeans_assign(
-            df.select(v.alias("_v")), cents, vec_col="_v", out_col="_lid"
-        )
-        aggs = [
-            F.round(F.avg(F.col("_v")[i]), round_to).alias(f"c{i}")
-            for i in range(dim)
-        ]
-        rows = assigned.groupBy("_lid").agg(*aggs).collect()
-        means = {r["_lid"]: [r[f"c{i}"] for i in range(dim)] for r in rows}
-        cents = [means.get(i, cents[i]) for i in range(len(cents))]
-    return cents
+    from pyspark import StorageLevel
+
+    # one narrow projection, persisted across the iterations: every
+    # Lloyd pass (and the init's hash top-k) otherwise re-runs the full
+    # upstream (scan + any union/transform feeding the corpus) — the
+    # dominant cost of the fit at sf0.1.  MEMORY_AND_DISK: at 10^12
+    # rows the fit runs on a corpus sample anyway (k ~ sqrt(n) clusters
+    # need no more than ~k·10^3 sample vectors to converge).
+    vecs = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        cents = ivf_centroids(vecs, n_centroids=k, id_col=id_col, vec_col="_v")
+        if not cents:
+            return []
+        dim = len(cents[0])
+        for _ in range(n_iter):
+            assigned = kmeans_assign(vecs, cents, vec_col="_v", out_col="_lid")
+            aggs = [
+                F.round(F.avg(F.col("_v")[i]), round_to).alias(f"c{i}")
+                for i in range(dim)
+            ]
+            rows = assigned.groupBy("_lid").agg(*aggs).collect()
+            means = {r["_lid"]: [r[f"c{i}"] for i in range(dim)] for r in rows}
+            cents = [means.get(i, cents[i]) for i in range(len(cents))]
+        return cents
+    finally:
+        vecs.unpersist()
 
 
 def kmeans_assign(
@@ -86,10 +98,20 @@ def kmeans_assign(
     centroids: list[list[float]],
     vec_col: str = "embedding",
     out_col: str = "cluster",
+    use_udf: bool | None = True,
 ) -> DataFrame:
     """Max-cosine cluster assignment (ties -> highest cluster id, the
-    ivf_assign struct-greatest convention)."""
-    return ivf_assign(df, centroids, vec_col=vec_col, out_col=out_col)
+    ivf_assign struct-greatest convention).
+
+    Defaults to ivf_assign's Arrow-UDF argmax (bit-identical to the
+    expression path — test_ivf_assign_udf_parity): Lloyd iterations
+    bake FRESH centroid literals into every assignment plan, so the
+    expression path pays a full janino compile of a k×dim-literal tree
+    per iteration — measured as ~5 s of the 8 s semdedup query at
+    sf0.1, vs milliseconds of Arrow argmax compute."""
+    return ivf_assign(
+        df, centroids, vec_col=vec_col, out_col=out_col, use_udf=use_udf
+    )
 
 
 def semdedup(
@@ -118,23 +140,40 @@ def semdedup(
     assigned = kmeans_assign(
         df, cents, vec_col=vec_col, out_col="cluster"
     ).persist()
+    from mq_to_db_spark.operators.similarity import dot, l2_norm
+
+    # Pair-stage shape: norms are computed ONCE per row (not once per
+    # pair) — bit-identical to cosine_sim_cols(v_l, v_r) (same norm
+    # expression on the same values), but the pair predicate drops from
+    # 3 higher-order folds per pair to 1 (measured 2.8× on the pair
+    # stage; a fully-unrolled flat sum was A/B'd too and LOST — the
+    # giant expression tree falls off codegen and evaluates slower than
+    # the fold's specialized loop).
     slim = assigned.select(
         "cluster",
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
-    )
-    from mq_to_db_spark.operators.similarity import cosine_sim_cols
-
+    ).withColumn("_n", l2_norm(F.col("_v")))
     l = slim.select(
-        "cluster", F.col("_id").alias("_id_l"), F.col("_v").alias("_v_l")
+        "cluster",
+        F.col("_id").alias("_id_l"),
+        F.col("_v").alias("_v_l"),
+        F.col("_n").alias("_n_l"),
     )
     r = slim.select(
-        "cluster", F.col("_id").alias("_id_r"), F.col("_v").alias("_v_r")
+        "cluster",
+        F.col("_id").alias("_id_r"),
+        F.col("_v").alias("_v_r"),
+        F.col("_n").alias("_n_r"),
+    )
+    pair_cos = F.try_divide(
+        dot(F.col("_v_l"), F.col("_v_r")),
+        F.col("_n_l") * F.col("_n_r"),
     )
     dropped = (
         l.join(r, "cluster")
         .where(F.col("_id_l") < F.col("_id_r"))
-        .where(cosine_sim_cols(F.col("_v_l"), F.col("_v_r")) >= threshold)
+        .where(pair_cos >= threshold)
         .select(F.col("_id_r").alias("_dropped"))
         .distinct()
     )

@@ -27,7 +27,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product of two array columns.
+
+    With ``dim`` known (callers that hold the quantizer/centroids know
+    it statically), the fold is unrolled into a flat left-associated
+    sum — whole-stage-codegen instead of the interpreted higher-order
+    ``aggregate`` path, ~10× faster per pair on wide joins.  The
+    leading ``lit(0.0)`` term reproduces the fold's seed so both paths
+    are IEEE-bit-identical (same association order)."""
+    if dim is not None:
+        acc = F.lit(0.0)
+        for i in range(dim):
+            acc = acc + a[i] * b[i]
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -35,12 +48,20 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def l2_norm(a: Column) -> Column:
+def l2_norm(a: Column, dim: int | None = None) -> Column:
+    """L2 norm; same unrolled-vs-fold duality as :func:`dot`."""
+    if dim is not None:
+        acc = F.lit(0.0)
+        for i in range(dim):
+            acc = acc + a[i] * a[i]
+        return F.sqrt(acc)
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
-def cosine_sim_cols(a: Column, b: Column) -> Column:
-    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
+def cosine_sim_cols(a: Column, b: Column, dim: int | None = None) -> Column:
+    return F.try_divide(
+        dot(a, b, dim), l2_norm(a, dim) * l2_norm(b, dim)
+    )
 
 
 def cosine_topk(
@@ -305,6 +326,11 @@ def ivf_assign(
     v = F.col(vec_col).cast("array<double>")
     # greatest() over (cos, lid) structs = max-by-cosine with a
     # deterministic lid tie-break (struct comparison is field-ordered)
+    # NB: stays on the fold (higher-order) path — an unrolled k×dim
+    # greatest() repeats the array cast per term and overflows janino's
+    # method budget (codegen falls back to interpreted, net slower);
+    # the unrolled form is reserved for single-dot column-ref
+    # predicates like semcluster's pair filter
     scored = [
         F.struct(
             cosine_sim_cols(v, F.array(*[F.lit(float(x)) for x in c])).alias("cos"),

@@ -96,11 +96,24 @@ def kaplan_meier(
     at risk AT t and leave after it) and ``survival`` = S(t) rounded
     to 6 dp.
     """
-    total = lifetimes.count()
-    by_t = lifetimes.groupBy(F.col(duration_col).alias("duration_us")).agg(
-        F.count_if(F.col(observed_col) == 1).alias("n_deaths"),
-        F.count_if(F.col(observed_col) == 0).alias("n_censored"),
+    # persist: the risk table is O(distinct durations) tiny, but the
+    # prefix sums below launch extent + boundary-carry jobs besides the
+    # main pass — uncached, EACH re-derives the full lifetime pipeline
+    # (the raw scan + per-conv agg), measured ~5 upstream evaluations
+    # for this one curve
+    by_t = (
+        lifetimes.groupBy(F.col(duration_col).alias("duration_us"))
+        .agg(
+            F.count_if(F.col(observed_col) == 1).alias("n_deaths"),
+            F.count_if(F.col(observed_col) == 0).alias("n_censored"),
+        )
+        .persist()
     )
+    # total from the persisted risk table — not a second pass over
+    # lifetimes (lifetimes.count() was the 2nd full upstream action)
+    total = by_t.agg(
+        F.sum(F.col("n_deaths") + F.col("n_censored"))
+    ).first()[0] or 0
     # leavers strictly BEFORE t  ->  n_at_risk(t) = total - that
     cum = range_running_sum(
         by_t.withColumn("_leave", F.col("n_deaths") + F.col("n_censored")),
@@ -124,8 +137,10 @@ def kaplan_meier(
             - F.col("n_deaths").cast("double") / F.col("n_at_risk").cast("double")
         ),
     ).otherwise(F.lit(0.0))
+    # persist: the second prefix sum's extent/carry jobs would otherwise
+    # replay the FIRST prefix sum (window + carry join) per job
     curve = range_running_sum(
-        risk.withColumn("_lnterm", term),
+        risk.withColumn("_lnterm", term).persist(),
         "duration_us",
         "_lnterm",
         out_col="_lnS",
