@@ -2010,7 +2010,9 @@ def q_tier_audit(spark, sf_dir):
     from mq_to_db_spark.operators.rollup import rollup_from_raw
     from mq_to_db_spark.operators.stitch import audit_tiers
 
-    tr = _events_as_transcripts(spark, sf_dir)
+    # persist tr: finer and stored are two aggregations of the same
+    # adapter (its row_number window is a full shuffle per evaluation)
+    tr = _events_as_transcripts(spark, sf_dir).persist()
     finer = rollup_from_raw(tr, "1h", ["role"])
     hole = (
         (F.col("role") == "error")
