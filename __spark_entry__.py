@@ -2353,6 +2353,109 @@ def _tier_stitch_oracle() -> str:
     """
 
 
+def _asap_oracle() -> str:
+    """DuckDB replay of the full ASAP search (see q_asap_1h): one UNION
+    branch per ladder rung for the rolling sums (SQL window frames are
+    per-spec constants), then the identical fixed-order double formulas
+    over HUGEINT power sums, then the two-step (roughness, w) min."""
+    from mq_to_db_spark.operators.asap import ASAP_LADDER
+
+    rungs = "\n            UNION ALL ".join(
+        f"SELECT event_type, bucket_start, {w} AS w, CASE WHEN rn >= {w} "
+        f"THEN sum(v) OVER (PARTITION BY event_type ORDER BY bucket_start "
+        f"ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) END AS s FROM b"
+        for w in ASAP_LADDER
+    )
+    return f"""
+        WITH ext AS (
+            SELECT date_trunc('hour', min(ts)) AS lo,
+                   date_trunc('hour', max(ts)) AS hi
+            FROM events
+        ),
+        grid AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start
+            FROM ext
+        ),
+        types AS (SELECT DISTINCT event_type FROM events),
+        hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+                   count(*)::BIGINT AS n
+            FROM events GROUP BY 1, 2
+        ),
+        dense AS (
+            SELECT g.bucket_start, t.event_type, coalesce(h.n, 0)::BIGINT AS v
+            FROM grid g CROSS JOIN types t
+            LEFT JOIN hourly h USING (bucket_start, event_type)
+        ),
+        b AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY event_type ORDER BY bucket_start) AS rn
+            FROM dense
+        ),
+        s AS (
+            {rungs}
+        ),
+        d AS (
+            SELECT *, s - lag(s) OVER (
+                PARTITION BY event_type, w ORDER BY bucket_start) AS d
+            FROM s
+        ),
+        agg AS (
+            SELECT event_type, w,
+                   count(s) AS n_s,
+                   sum(s::HUGEINT) AS s1, sum(s::HUGEINT * s) AS s2,
+                   sum(s::HUGEINT * s * s) AS s3,
+                   sum(s::HUGEINT * s * s * s) AS s4,
+                   count(d) AS n_d,
+                   sum(d::HUGEINT) AS d1, sum(d::HUGEINT * d) AS d2
+            FROM d GROUP BY 1, 2
+        ),
+        e AS (
+            SELECT event_type, w, n_s, n_d, d1, d2,
+                   s1::DOUBLE / n_s AS mu,
+                   s2::DOUBLE / n_s AS e2,
+                   s3::DOUBLE / n_s AS e3,
+                   s4::DOUBLE / n_s AS e4
+            FROM agg
+        ),
+        m AS (
+            SELECT event_type, w, n_s, n_d,
+                   CASE WHEN n_s >= 2 AND (e2 - mu*mu) > 0 THEN
+                       (e4 - 4*mu*e3 + 6*mu*mu*e2 - 3*mu*mu*mu*mu)
+                       / ((e2 - mu*mu) * (e2 - mu*mu)) - 3
+                   END AS kurt_raw,
+                   CASE WHEN n_d >= 2 THEN
+                       sqrt(greatest(
+                           (d2::DOUBLE - d1::DOUBLE * d1::DOUBLE / (n_d::DOUBLE))
+                           / (n_d::DOUBLE - 1), 0.0)) / w
+                   END AS rough_raw
+            FROM e
+        ),
+        q AS (
+            SELECT *, (w = 1 OR kurt_raw >= max(CASE WHEN w = 1 THEN kurt_raw END)
+                       OVER (PARTITION BY event_type)) AS qual
+            FROM m
+        ),
+        r1 AS (
+            SELECT *, min(CASE WHEN qual THEN rough_raw END)
+                      OVER (PARTITION BY event_type) AS best_r
+            FROM q
+        ),
+        r2 AS (
+            SELECT *, min(CASE WHEN qual AND rough_raw = best_r THEN w END)
+                      OVER (PARTITION BY event_type) AS best_w
+            FROM r1
+        )
+        SELECT event_type, w, n_s, n_d,
+               round(kurt_raw, 6) AS kurt,
+               round(rough_raw, 6) AS roughness,
+               coalesce(qual AND rough_raw IS NOT NULL
+                        AND rough_raw = best_r AND w = best_w,
+                        FALSE) AS chosen
+        FROM r2
+    """
+
+
 def _hybrid_read_oracle() -> str:
     """DuckDB replay of the hybrid read: identical covering plan for the
     minute-aligned interior (cover_range is pure timestamp arithmetic)
@@ -2531,6 +2634,44 @@ def q_seasonal_hod_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         tier, ["event_type"], ts_col="bucket_start",
         value_col="n_events", season="hod",
     )
+
+
+def q_asap_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASAP automatic smoothing-window selection (operators/asap.py —
+    Rong & Bailis VLDB'17): per event_type hourly series (zero-filled
+    dense grid), evaluate the fixed candidate ladder of trailing-window
+    widths and pick the one minimizing roughness (std of smoothed
+    diffs) subject to preserving the original kurtosis.  Both metrics
+    derive from exact DECIMAL/BIGINT power sums of the integer rolling
+    SUMS (kurtosis is scale-invariant, roughness scale-equivariant), so
+    the oracle replays the full search — rolling sums, lag diffs,
+    moment formulas, qualification, two-step min — bit-for-bit."""
+    from mq_to_db_spark.operators.asap import asap_metrics
+
+    ev = _events(spark, sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("bucket_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    ext = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = ext.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket_start")
+    )
+    types = ev.select("event_type").distinct()
+    dense = (
+        grid.crossJoin(F.broadcast(types))
+        .join(hourly, ["bucket_start", "event_type"], "left")
+        .select(
+            "bucket_start",
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("long").alias("v"),
+        )
+    )
+    return asap_metrics(dense, ["event_type"], value_col="v")
 
 
 def q_resets_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3729,6 +3870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_3step": q_funnel_3step,
         "cohort_retention_wk": q_cohort_retention_wk,
         "seasonal_hod_1h": q_seasonal_hod_1h,
+        "asap_1h": q_asap_1h,
         "resets_1h": q_resets_1h,
         # -- one green driver record (r03) --
         "knn_join_lsh": q_knn_join_lsh,
@@ -5781,6 +5923,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "tier_stitch": _tier_stitch_oracle(),
         "hybrid_read": _hybrid_read_oracle(),
+        "asap_1h": _asap_oracle(),
         "range_eval_6h": _range_eval_oracle(),
         "tier_audit": """
             WITH truth AS (

@@ -176,6 +176,7 @@ EXTENDED_QUERIES = (
     "psi_1d",
     "skew_audit",
     "salt_plan",
+    "asap_1h",
 )
 
 

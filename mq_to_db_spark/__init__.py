@@ -94,6 +94,8 @@ _PUBLIC = {
     "series_corr": "mq_to_db_spark.operators.correlate",
     "range_running_sum": "mq_to_db_spark.operators.rangewin",
     "range_running_sums": "mq_to_db_spark.operators.rangewin",
+    "asap_metrics": "mq_to_db_spark.operators.asap",
+    "asap_smooth": "mq_to_db_spark.operators.asap",
     # interval↔bucket attribution + LTOB downsampling (round 3)
     "heartbeat_agg": "mq_to_db_spark.operators.intervals",
     "interpolated_time_weighted_avg": "mq_to_db_spark.operators.intervals",
