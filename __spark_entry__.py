@@ -3106,6 +3106,58 @@ def q_quota_violations_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: GCRA audit contract parameters: per event_type (the per-endpoint
+#: limiter), sustained 1 event / 10 min with burst depth 3 (tau =
+#: 20 min) — binding on ~4% of sf0.01 events, so the audit surface is
+#: non-trivial at contract scale.
+GCRA_PERIOD_US = 600_000_000
+GCRA_BURST = 3
+
+
+def q_gcra_throttle_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GCRA / token-bucket rate-limiter audit (operators/quota.py
+    gcra_throttle) — the sibling of quota_violations_1d's sliding
+    window: per-event_type 1-per-10-min sustained + burst 3, the sequential
+    ``TAT_i = max(t_i, TAT_{i-1}) + T`` recurrence collapsed to its
+    exact prefix-max closed form (u_j = t_j − j·T) so the whole audit
+    is ONE keyed window over BIGINT µs.  Hourly aggregate surface:
+    offered events, throttled count, worst and total shaping delay.
+    The oracle replays row_number, the prefix max, and the integer
+    delay arithmetic with the identical window."""
+    from mq_to_db_spark.operators.quota import gcra_throttle
+
+    g = gcra_throttle(
+        _events(spark, sf_dir),
+        ["event_type"],
+        ts_col="ts",
+        period_us=GCRA_PERIOD_US,
+        burst=GCRA_BURST,
+        tiebreak=("event_id",),
+    )
+    return g.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(F.col("throttled")).alias("n_throttled"),
+        F.max("delay_us").alias("max_delay_us"),
+        F.sum("delay_us").alias("sum_delay_us"),
+    )
+
+
+def q_stickiness_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness (operators/cohort.py stickiness): per dense
+    calendar day, today's distinct actives over the trailing-28-day
+    distinct actives.  Raw events collapse FIRST to the distinct
+    (user, day) tier; MAU explodes that tier (never raw events) 28x
+    and counts exact distinct per day — integer counts, one rounded
+    division, oracle-identical."""
+    from mq_to_db_spark.operators.cohort import stickiness
+
+    return stickiness(
+        _events(spark, sf_dir), entity_col="user_id", window_days=28
+    )
+
+
 def q_max_drawdown_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max drawdown per (event_type, day) (operators/quota.py
     max_drawdown): largest drop from the running prefix max to a later
@@ -3854,6 +3906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorr_1d": q_autocorr_1d,
         "lexical_stats": q_lexical_stats,
         "quota_violations_1d": q_quota_violations_1d,
+        "gcra_throttle_1h": q_gcra_throttle_1h,
+        "stickiness_1d": q_stickiness_1d,
         "max_drawdown_1d": q_max_drawdown_1d,
         "staleness_1h": q_staleness_1h,
         "wow_delta_1h": q_wow_delta_1h,
@@ -6255,6 +6309,77 @@ def oracle_sql() -> dict[str, str]:
                        AS n_violations,
                    max(win_count) AS max_win_count
             FROM c GROUP BY 1, 2
+        """,
+        "gcra_throttle_1h": f"""
+            WITH b AS (
+                SELECT event_type, ts, event_id,
+                       row_number() OVER (
+                           PARTITION BY event_type ORDER BY ts, event_id
+                       ) AS rn,
+                       epoch_us(ts) AS tus
+                FROM events
+            ),
+            u AS (
+                SELECT *, tus - (rn - 1) * {GCRA_PERIOD_US} AS u FROM b
+            ),
+            p AS (
+                SELECT *, max(u) OVER (
+                           PARTITION BY event_type ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) AS pm
+                FROM u
+            ),
+            d AS (
+                SELECT *, greatest(
+                           coalesce(pm - {(GCRA_BURST - 1) * GCRA_PERIOD_US}
+                                    - u, 0), 0)::BIGINT AS delay_us
+                FROM p
+            )
+            SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+                   count(*)::BIGINT AS n_events,
+                   CAST(count(*) FILTER (WHERE delay_us > 0) AS BIGINT)
+                       AS n_throttled,
+                   max(delay_us) AS max_delay_us,
+                   sum(delay_us)::BIGINT AS sum_delay_us
+            FROM d GROUP BY 1, 2
+        """,
+        "stickiness_1d": """
+            WITH active AS (
+                SELECT DISTINCT user_id AS e, date_trunc('day', ts) AS d
+                FROM events
+            ),
+            dau AS (
+                SELECT d AS day_start, count(*)::BIGINT AS dau
+                FROM active GROUP BY 1
+            ),
+            contrib AS (
+                SELECT e, unnest(generate_series(
+                    d, d + INTERVAL 27 DAY, INTERVAL 1 DAY)) AS day_start
+                FROM active
+            ),
+            mau AS (
+                SELECT day_start, count(DISTINCT e)::BIGINT AS mau
+                FROM contrib GROUP BY 1
+            ),
+            ext AS (
+                SELECT date_trunc('day', min(ts)) AS lo,
+                       date_trunc('day', max(ts)) AS hi
+                FROM events
+            ),
+            grid AS (
+                SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                    AS day_start
+                FROM ext
+            )
+            SELECT g.day_start,
+                   coalesce(dau, 0)::BIGINT AS dau,
+                   coalesce(mau, 0)::BIGINT AS mau,
+                   CASE WHEN coalesce(mau, 0) > 0 THEN
+                       round(coalesce(dau, 0)::DOUBLE / mau::DOUBLE, 6)
+                   END AS stickiness
+            FROM grid g
+            LEFT JOIN dau USING (day_start)
+            LEFT JOIN mau USING (day_start)
         """,
         "max_drawdown_1d": """
             WITH s AS (

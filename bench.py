@@ -177,6 +177,8 @@ EXTENDED_QUERIES = (
     "skew_audit",
     "salt_plan",
     "asap_1h",
+    "gcra_throttle_1h",
+    "stickiness_1d",
 )
 
 

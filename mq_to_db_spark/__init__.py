@@ -96,6 +96,8 @@ _PUBLIC = {
     "range_running_sums": "mq_to_db_spark.operators.rangewin",
     "asap_metrics": "mq_to_db_spark.operators.asap",
     "asap_smooth": "mq_to_db_spark.operators.asap",
+    "gcra_throttle": "mq_to_db_spark.operators.quota",
+    "stickiness": "mq_to_db_spark.operators.cohort",
     # interval↔bucket attribution + LTOB downsampling (round 3)
     "heartbeat_agg": "mq_to_db_spark.operators.intervals",
     "interpolated_time_weighted_avg": "mq_to_db_spark.operators.intervals",

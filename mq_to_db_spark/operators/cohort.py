@@ -102,3 +102,76 @@ def cohort_retention(
             ).alias("retention_rate"),
         )
     )
+
+
+def stickiness(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 28,
+) -> DataFrame:
+    """DAU/MAU stickiness — cohort_retention's daily-pulse sibling:
+    per calendar day, the share of the trailing-``window_days`` active
+    population that was active TODAY (the canonical product-health
+    ratio; 28 days is the industry's "MAU" so weekday seasonality
+    cancels).
+
+    Output per day in the corpus' [min, max] day extent (dense):
+    ``(day_start, dau, mau, stickiness)`` — stickiness NULL only when
+    ``mau`` is 0 (a day can only be dense-grid silent).
+
+    Scale shape: raw events collapse FIRST to the distinct
+    (entity, day) activity tier (one hash agg with partial dedup —
+    the only scan of the input); DAU is a per-day count over that
+    tier; MAU explodes each activity pair to the ``window_days``
+    later days it keeps the entity "monthly active" for (fan-out
+    window_days × |activity tier|, NOT × |events|) and counts exact
+    distinct per day (two-phase distinct).  The dense day grid is a
+    1-row-extent sequence explode, gapfill's idiom.
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    active = df.select(
+        F.col(entity_col).alias("_e"), day.alias("_d")
+    ).distinct()
+    dau = active.groupBy(F.col("_d").alias("day_start")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    contrib = active.select(
+        "_e",
+        F.explode(
+            F.sequence(
+                F.col("_d"),
+                F.col("_d") + F.expr(f"INTERVAL {int(window_days) - 1} DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day_start"),
+    )
+    mau = contrib.groupBy("day_start").agg(
+        F.count_distinct("_e").alias("mau")
+    )
+    ext = df.agg(
+        F.date_trunc("day", F.min(ts_col)).alias("lo"),
+        F.date_trunc("day", F.max(ts_col)).alias("hi"),
+    )
+    grid = ext.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day_start")
+    )
+    return (
+        grid.join(dau, "day_start", "left")
+        .join(mau, "day_start", "left")
+        .select(
+            "day_start",
+            F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+            F.coalesce("mau", F.lit(0)).cast("long").alias("mau"),
+            F.when(
+                F.coalesce("mau", F.lit(0)) > 0,
+                F.round(
+                    F.coalesce("dau", F.lit(0)).cast("double")
+                    / F.col("mau").cast("double"),
+                    6,
+                ),
+            ).alias("stickiness"),
+        )
+    )

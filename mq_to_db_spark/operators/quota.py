@@ -98,3 +98,60 @@ def max_drawdown(
             F.count(F.lit(1)).alias("n_samples"),
         )
     )
+
+
+def gcra_throttle(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    period_us: int = 1_000_000,
+    burst: int = 1,
+    tiebreak: tuple[str, ...] = (),
+) -> DataFrame:
+    """GCRA / token-bucket rate-limiter audit — the OTHER canonical
+    limiter next to :func:`sliding_quota`'s sliding window: sustained
+    rate 1/``period_us`` with ``burst`` tokens of depth, the
+    virtual-scheduling form used by API gateways (ATM GCRA; tau =
+    (burst-1)·T).  Answers "which of these events would a limiter have
+    throttled, and by how much" over historical streams.
+
+    The textbook recurrence ``TAT_i = max(t_i, TAT_{i-1}) + T`` looks
+    sequential, but (in the audit/shaping mode where every arrival
+    consumes — offered-load analysis) it has an exact closed form: with
+    arrivals of one key indexed j = 0,1,… and ``u_j = t_j − j·T``,
+
+        TAT_i = (i+1)·T + max_{j≤i} u_j
+
+    so the whole audit is ONE prefix-max window over exact BIGINT µs —
+    no recursion, no Python, scale = any other keyed window.  Event i
+    is throttled iff ``u_i < prefmax_{i−1}(u) − tau`` and its shaping
+    delay is ``max(0, prefmax_{i−1}(u) − tau − u_i)`` µs.  The first
+    event of a key is never throttled.
+
+    Output: input rows + ``throttled`` (boolean) + ``delay_us``
+    (BIGINT; 0 when conforming).  A DuckDB replay with the same window
+    is hash-exact — every quantity is integer µs.
+    """
+    T = int(period_us)
+    tau = (int(burst) - 1) * T
+    order = [F.col(ts_col)] + [F.col(c) for c in tiebreak]
+    w_ord = W.Window.partitionBy(*keys).orderBy(*order)
+    w_prev = w_ord.rowsBetween(W.Window.unboundedPreceding, -1)
+    # u staged as a column first (a window function cannot nest inside
+    # another's argument); both window nodes share the spec -> one sort
+    staged = df.withColumn(
+        "_u",
+        _epoch_us(F.col(ts_col))
+        - (F.row_number().over(w_ord) - 1).cast("long") * F.lit(T),
+    )
+    prev_max = F.max("_u").over(w_prev)
+    delay = F.greatest(
+        prev_max - F.lit(tau) - F.col("_u"), F.lit(0).cast("long")
+    )
+    return (
+        staged.withColumn(
+            "delay_us", F.coalesce(delay, F.lit(0)).cast("long")
+        )
+        .withColumn("throttled", F.col("delay_us") > 0)
+        .drop("_u")
+    )

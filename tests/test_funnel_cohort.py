@@ -152,3 +152,59 @@ def test_cohort_offset0_is_full(events):
     assert (z.retention_rate == 1.0).all()
     assert got.period_offset.max() <= 3
     assert (got.n_active <= got.cohort_size).all()
+
+
+# -- stickiness ---------------------------------------------------------------
+
+
+def test_stickiness_hand_fixture(spark):
+    import datetime as dt
+
+    from mq_to_db_spark.operators.cohort import stickiness
+
+    d0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # u1 active day 0 and day 2; u2 active day 0 only
+        ("u1", d0), ("u1", d0 + dt.timedelta(hours=2)),        # dup same day
+        ("u2", d0),
+        ("u1", d0 + dt.timedelta(days=2)),
+        # u3 appears day 5
+        ("u3", d0 + dt.timedelta(days=5)),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = {
+        r["day_start"].day: (r["dau"], r["mau"], r["stickiness"])
+        for r in stickiness(df, window_days=3).collect()
+    }
+    # dense grid: days 1..6 all present
+    assert sorted(out) == [1, 2, 3, 4, 5, 6]
+    # day1: dau {u1,u2}; mau(3d window ending day1) = {u1,u2}
+    assert out[1] == (2, 2, 1.0)
+    # day2: silent; mau still {u1,u2} (window days 0-2)
+    assert out[2] == (0, 2, 0.0)
+    # day3: u1 returns; window covers days 1-3 -> {u1,u2}
+    assert out[3] == (1, 2, 0.5)
+    # day4: silent; window days 2-4 -> {u1} (u2's day-1 aged out)
+    assert out[4] == (0, 1, 0.0)
+    # day5: silent; window days 3-5 -> {u1}
+    assert out[5] == (0, 1, 0.0)
+    # day6: u3; window days 4-6 -> {u3}
+    assert out[6] == (1, 1, 1.0)
+
+
+def test_stickiness_mau_zero_is_null(spark):
+    import datetime as dt
+
+    from mq_to_db_spark.operators.cohort import stickiness
+
+    d0 = dt.datetime(2024, 1, 1)
+    # activity on day 1 and day 10 with a 2-day window: days 4-9 have
+    # mau 0 -> stickiness NULL, dau 0
+    rows = [("u1", d0), ("u1", d0 + dt.timedelta(days=9))]
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    out = {
+        r["day_start"].day: (r["mau"], r["stickiness"])
+        for r in stickiness(df, window_days=2).collect()
+    }
+    assert out[5] == (0, None)
+    assert out[10] == (1, 1.0)

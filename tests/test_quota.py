@@ -62,3 +62,66 @@ def test_max_drawdown_resets_per_bucket(spark):
            for r in max_drawdown(df, ["k"], value_col="v", tier="1h",
                                  tiebreak=("rid",)).collect()}
     assert got == {0: 99, 1: 1}
+
+
+# -- GCRA / token bucket ------------------------------------------------------
+
+
+def _gcra_ref(ts_us: list[int], period_us: int, burst: int) -> list[int]:
+    """Textbook virtual-scheduling recurrence (every arrival consumes —
+    the audit/offered-load mode gcra_throttle implements)."""
+    tau = (burst - 1) * period_us
+    tat = None
+    delays = []
+    for t in ts_us:
+        if tat is None:
+            delays.append(0)
+        else:
+            delays.append(max(0, tat - tau - t))
+        tat = (t if tat is None else max(t, tat)) + period_us
+    return delays
+
+
+def _gcra_run(spark, rows, period_us, burst):
+    from mq_to_db_spark.operators.quota import gcra_throttle
+
+    df = _rows(spark, [(k, s, 0) for k, s in rows])
+    out = gcra_throttle(
+        df, ["k"], period_us=period_us, burst=burst, tiebreak=("rid",)
+    )
+    return [
+        (r.k, r.delay_us, r.throttled)
+        for r in out.orderBy("k", "ts", "rid").collect()
+    ]
+
+
+def test_gcra_matches_textbook_recurrence(spark):
+    # 1 req/s sustained, burst 3; arrivals: burst of 5 at t=0..0.1s,
+    # then spaced recovery
+    secs = [0, 0.025, 0.05, 0.075, 0.1, 5, 5.5, 6, 20]
+    rows = [("a", s) for s in secs]
+    got = _gcra_run(spark, rows, period_us=1_000_000, burst=3)
+    us = [int(s * 1e6) + 1704067200000000 for s in secs]  # epoch of 2024-01-01
+    want = _gcra_ref(us, 1_000_000, 3)
+    assert [d for _, d, _ in got] == want
+    # burst depth 3 -> first three conform, 4th and 5th throttle
+    assert [t for _, _, t in got][:5] == [False, False, False, True, True]
+
+
+def test_gcra_first_event_and_key_isolation(spark):
+    rows = [("a", 0), ("a", 0.1), ("b", 0), ("b", 0.1)]
+    got = _gcra_run(spark, rows, period_us=1_000_000, burst=1)
+    by_key = {}
+    for k, d, t in got:
+        by_key.setdefault(k, []).append((d, t))
+    # each key's first event conforms; second (100ms after, 1/s rate,
+    # no burst) owes 900ms
+    for k in ("a", "b"):
+        assert by_key[k][0] == (0, False)
+        assert by_key[k][1] == (900_000, True)
+
+
+def test_gcra_conforming_stream_never_throttles(spark):
+    rows = [("a", i * 2.0) for i in range(20)]  # 1 per 2s at 1/s limit
+    got = _gcra_run(spark, rows, period_us=1_000_000, burst=1)
+    assert all(d == 0 and not t for _, d, t in got)
