@@ -3813,7 +3813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (r03 recorded exactly the first 50 of 57 in dict order), so
     VERDICT r03's seven required-in-r04 queries come first, then the
     least-driver-proven — this round's additions
-    (124 registered in total; the committed full-contract snapshot at
+    (153 registered in total; the committed full-contract snapshot at
     BENCH/correctness_r04_local.json covers every one), then round-3's
     (one green driver record), round-2's (two), and the round-1
     originals (three green records each) last, where any truncation
@@ -3831,6 +3831,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concurrency_10m": q_concurrency_10m,
         "series_corr_1d": q_series_corr_1d,
         "multimodal_features": q_multimodal_features,
+        # -- newest this session: front-loaded so the driver's ~50-row
+        #    cap still records them --
+        "asap_1h": q_asap_1h,
+        "gcra_throttle_1h": q_gcra_throttle_1h,
+        "stickiness_1d": q_stickiness_1d,
         # -- never in a driver CORRECTNESS file (r03 cap) + round-4 new --
         "m4_1h": q_m4_1h,
         "lm_perplexity": q_lm_perplexity,
@@ -3906,8 +3911,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocorr_1d": q_autocorr_1d,
         "lexical_stats": q_lexical_stats,
         "quota_violations_1d": q_quota_violations_1d,
-        "gcra_throttle_1h": q_gcra_throttle_1h,
-        "stickiness_1d": q_stickiness_1d,
         "max_drawdown_1d": q_max_drawdown_1d,
         "staleness_1h": q_staleness_1h,
         "wow_delta_1h": q_wow_delta_1h,
@@ -3924,7 +3927,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_3step": q_funnel_3step,
         "cohort_retention_wk": q_cohort_retention_wk,
         "seasonal_hod_1h": q_seasonal_hod_1h,
-        "asap_1h": q_asap_1h,
         "resets_1h": q_resets_1h,
         # -- one green driver record (r03) --
         "knn_join_lsh": q_knn_join_lsh,
