@@ -79,6 +79,11 @@ _WHITELIST = {
     # layout.py:zorder_keys — rows × broadcast(1-row ts min/max
     # extent): the range-scaling anchor; output = |rows|
     "zorder_keys": ("BroadcastNestedLoopJoin",),
+    # __spark_entry__:q_asap_1h — dense-grid build: hour spine (from a
+    # 1-row extent sequence explode) × broadcast(|event_type| distinct
+    # rows): output = |grid| · |types|, the same zero-fill grid
+    # materialization as gapfill_1h
+    "asap_1h": ("BroadcastNestedLoopJoin",),
 }
 
 
