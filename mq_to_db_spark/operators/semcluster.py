@@ -81,8 +81,11 @@ def kmeans_fit(
         dim = len(cents[0])
         for _ in range(n_iter):
             assigned = kmeans_assign(vecs, cents, vec_col="_v", out_col="_lid")
+            # F.get (not [i]): ANSI-safe on NULL/short vectors — a row
+            # missing position i contributes NULL, which avg skips,
+            # exactly the oracle's unnest-with-position replay
             aggs = [
-                F.round(F.avg(F.col("_v")[i]), round_to).alias(f"c{i}")
+                F.round(F.avg(F.get(F.col("_v"), i)), round_to).alias(f"c{i}")
                 for i in range(dim)
             ]
             rows = assigned.groupBy("_lid").agg(*aggs).collect()
@@ -114,46 +117,12 @@ def kmeans_assign(
     )
 
 
-def semdedup(
-    df: DataFrame,
-    k: int = 8,
-    n_iter: int = 2,
-    threshold: float = 0.85,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    round_to: int = 6,
-) -> DataFrame:
-    """SemDeDup: (id, cluster, kept) for every input row.
+def _dropped_ids_expr(slim: DataFrame, threshold: float) -> DataFrame:
+    """Pair stage, expression path: self-join on cluster, one fold dot
+    per pair against precomputed norms.  Streaming memory, interpreted
+    higher-order evaluation per pair."""
+    from mq_to_db_spark.operators.similarity import dot
 
-    ``kept = false`` iff some lower-id row in the SAME cluster has
-    cosine >= ``threshold`` — deterministic first-seen-survives, no
-    transitive closure needed (every member of a near-dup group except
-    the minimum id sees the minimum id as its lower neighbor).
-    """
-    cents = kmeans_fit(
-        df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
-        round_to=round_to,
-    )
-    # persist: the assignment subtree (a k·dim-literal argmax over the
-    # corpus) otherwise re-evaluates for BOTH pair-join sides and the
-    # final kept-join — 3× the most expensive projection in the plan
-    assigned = kmeans_assign(
-        df, cents, vec_col=vec_col, out_col="cluster"
-    ).persist()
-    from mq_to_db_spark.operators.similarity import dot, l2_norm
-
-    # Pair-stage shape: norms are computed ONCE per row (not once per
-    # pair) — bit-identical to cosine_sim_cols(v_l, v_r) (same norm
-    # expression on the same values), but the pair predicate drops from
-    # 3 higher-order folds per pair to 1 (measured 2.8× on the pair
-    # stage; a fully-unrolled flat sum was A/B'd too and LOST — the
-    # giant expression tree falls off codegen and evaluates slower than
-    # the fold's specialized loop).
-    slim = assigned.select(
-        "cluster",
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    ).withColumn("_n", l2_norm(F.col("_v")))
     l = slim.select(
         "cluster",
         F.col("_id").alias("_id_l"),
@@ -170,13 +139,140 @@ def semdedup(
         dot(F.col("_v_l"), F.col("_v_r")),
         F.col("_n_l") * F.col("_n_r"),
     )
-    dropped = (
+    return (
         l.join(r, "cluster")
         .where(F.col("_id_l") < F.col("_id_r"))
         .where(pair_cos >= threshold)
         .select(F.col("_id_r").alias("_dropped"))
         .distinct()
     )
+
+
+def _dropped_ids_arrow(slim: DataFrame, threshold: float) -> DataFrame:
+    """Pair stage, Arrow path: one grouped batch per cluster; dots and
+    norms are strict left-associated accumulator folds vectorized
+    ACROSS pairs (seeded 0.0, column order 0..dim-1 — the exact
+    association of ``F.aggregate``/:func:`_dropped_ids_expr`, the same
+    bit-compatibility contract as similarity._ivf_assign_udf, parity-
+    tested).  The j-axis is blocked so peak memory is O(n·block), not
+    O(cluster²); rows with NULL or off-dimension vectors never drop
+    and are never dropped (expr parity: their fold dot is NULL)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    thr = float(threshold)
+    out_schema = T.StructType([T.StructField("_dropped", T.LongType())])
+
+    def _pairs_same_dim(ids: np.ndarray, V: np.ndarray) -> np.ndarray:
+        """Dropped ids among rows of ONE dimensionality (ids ascending).
+        Strict-fold dots/norms; j-axis blocked for O(n·block) memory."""
+        n, dim = V.shape
+        acc = np.zeros(n, dtype=np.float64)
+        for d in range(dim):
+            acc += V[:, d] * V[:, d]
+        norm = np.sqrt(acc)
+        dropped = np.zeros(n, dtype=bool)
+        i_idx = np.arange(n)
+        B = 2048
+        for j0 in range(1, n, B):
+            j1 = min(j0 + B, n)
+            Vb = V[j0:j1]
+            dots = np.zeros((n, j1 - j0), dtype=np.float64)
+            for d in range(dim):
+                dots += V[:, d : d + 1] * Vb[:, d][None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (norm[:, None] * norm[j0:j1][None, :])
+            mask = i_idx[:, None] < np.arange(j0, j1)[None, :]
+            # NaN (0/0, zero-norm rows) compares False, like NULL cosine
+            hit = np.greater_equal(
+                cos, thr, where=~np.isnan(cos), out=np.zeros_like(mask)
+            ) & mask
+            dropped[j0:j1] |= hit.any(axis=0)
+        return ids[dropped]
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id", kind="mergesort")
+        vec_list = list(pdf["_v"])
+        all_ids = pdf["_id"].to_numpy(dtype=np.int64)
+        # expr parity: zip_with pads mismatched lengths with NULL, so a
+        # pair's fold dot is non-NULL only for EQUAL-length vectors —
+        # partition by length and pair within each subgroup
+        lens = np.fromiter(
+            (0 if v is None else len(v) for v in vec_list),
+            dtype=np.int64,
+            count=len(vec_list),
+        )
+        out: list[np.ndarray] = []
+        for L in np.unique(lens):
+            if L == 0:
+                continue  # empty/NULL vecs: fold dot NULL, never pair
+            sel = lens == L
+            if int(sel.sum()) < 2:
+                continue
+            V = np.array(
+                [np.asarray(v, dtype=np.float64) for v, m in zip(vec_list, sel) if m]
+            )
+            out.append(_pairs_same_dim(all_ids[sel], V))
+        if not out:
+            return pd.DataFrame({"_dropped": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"_dropped": np.concatenate(out)})
+
+    return (
+        slim.select("cluster", "_id", "_v")
+        .groupBy("cluster")
+        .applyInPandas(pairs, out_schema)
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.85,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    pair_backend: str = "arrow",
+) -> DataFrame:
+    """SemDeDup: (id, cluster, kept) for every input row.
+
+    ``kept = false`` iff some lower-id row in the SAME cluster has
+    cosine >= ``threshold`` — deterministic first-seen-survives, no
+    transitive closure needed (every member of a near-dup group except
+    the minimum id sees the minimum id as its lower neighbor).
+
+    ``pair_backend``: ``"arrow"`` (default — one grouped batch per
+    cluster, strict-fold numpy, ~6× the join path's pair throughput at
+    sf0.1) or ``"expr"`` (the self-join; streaming memory if a cluster
+    ever outgrows a worker's Arrow batch budget).  Both are
+    bit-identical (test_semcluster parity test).
+    """
+    cents = kmeans_fit(
+        df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
+        round_to=round_to,
+    )
+    # persist: the assignment subtree (a k·dim-literal argmax over the
+    # corpus) otherwise re-evaluates for BOTH pair-join sides and the
+    # final kept-join — 3× the most expensive projection in the plan
+    assigned = kmeans_assign(
+        df, cents, vec_col=vec_col, out_col="cluster"
+    ).persist()
+    from mq_to_db_spark.operators.similarity import l2_norm
+
+    # norms once per row (not once per pair) — bit-identical to
+    # cosine_sim_cols(v_l, v_r): same fold expression, same values
+    slim = assigned.select(
+        "cluster",
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("_n", l2_norm(F.col("_v")))
+    if pair_backend == "arrow":
+        dropped = _dropped_ids_arrow(slim, threshold)
+    elif pair_backend == "expr":
+        dropped = _dropped_ids_expr(slim, threshold)
+    else:
+        raise ValueError(f"pair_backend must be arrow|expr, got {pair_backend!r}")
     return (
         assigned.join(
             dropped, assigned[id_col] == dropped["_dropped"], "left"

@@ -357,12 +357,10 @@ def _ivf_assign_udf(centroids: list[list[float]]):
         cnorm += C[:, d] * C[:, d]
     cnorm = np.sqrt(cnorm)
 
-    @F.pandas_udf(T.IntegerType())
-    def _assign(vecs: pd.Series) -> pd.Series:
-        n = len(vecs)
-        if not n:
-            return pd.Series([], dtype="int32")
-        V = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+    def _assign_clean(vec_rows: list) -> np.ndarray:
+        """argmax over dim-matching vectors (ties -> highest lid)."""
+        n = len(vec_rows)
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vec_rows])
         Vt = np.ascontiguousarray(V.T)  # (dim, n)
         dots = np.zeros((n, m), dtype=np.float64)
         vnorm = np.zeros(n, dtype=np.float64)
@@ -380,7 +378,29 @@ def _ivf_assign_udf(centroids: list[list[float]]):
             take = cos[:, lid] >= best_cos
             best[take] = lid
             best_cos[take] = cos[take, lid]
-        return pd.Series(best)
+        return best
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        n = len(vecs)
+        if not n:
+            return pd.Series([], dtype="int32")
+        # NULL / off-dimension / empty vectors: every cosine is NULL on
+        # the expression path, and greatest()'s struct comparison puts
+        # null cos fields first -> the HIGHEST lid wins.  Mirror that
+        # here (they'd otherwise make np.array ragged and crash).
+        valid = np.fromiter(
+            (v is not None and len(v) == dim for v in vecs),
+            dtype=bool,
+            count=n,
+        )
+        if valid.all():
+            return pd.Series(_assign_clean(list(vecs)))
+        out = np.full(n, m - 1, dtype=np.int32)
+        clean = [v for v, ok in zip(vecs, valid) if ok]
+        if clean:
+            out[valid] = _assign_clean(clean)
+        return pd.Series(out)
 
     return _assign
 

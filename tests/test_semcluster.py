@@ -174,3 +174,45 @@ def test_fit_handles_empty_cluster(spark):
     cents = kmeans_fit(df, k=2, n_iter=2)
     assert len(cents) == 2
     assert all(len(c) == 2 and all(math.isfinite(x) for x in c) for c in cents)
+
+
+def test_pair_backend_parity(emb):
+    """arrow and expr pair stages are bit-identical: same (id, cluster,
+    kept) triples on a corpus with planted near-dups, null vectors and
+    an off-dimension vector."""
+    from pyspark.sql import functions as F
+
+    from mq_to_db_spark.operators.semcluster import semdedup
+
+    df, _, dim = emb
+    spark = df.sparkSession
+    aug = df.where(F.col("vec_id") % 3 == 0).select(
+        (F.col("vec_id") + 50000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+    )
+    dirty = spark.createDataFrame(
+        [(90001, None), (90002, [0.0] * dim), (90003, [1.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = (
+        df.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        .unionByName(aug.select("vec_id", F.col("embedding").cast("array<double>")))
+        .unionByName(dirty)
+    )
+    kw = dict(k=4, n_iter=1, threshold=0.999)
+    a = {
+        (r["vec_id"], r["cluster"], r["kept"])
+        for r in semdedup(corpus, pair_backend="arrow", **kw).collect()
+    }
+    e = {
+        (r["vec_id"], r["cluster"], r["kept"])
+        for r in semdedup(corpus, pair_backend="expr", **kw).collect()
+    }
+    assert a == e
+    # the planted scaled duplicates actually dropped (non-trivial)
+    dropped = {i for i, _, kept in a if not kept}
+    assert any(i >= 50000 for i in dropped)
+    # null / off-dim / zero vectors are never dropped
+    assert {90001, 90002, 90003} & dropped == set()
