@@ -2636,18 +2636,10 @@ def q_seasonal_hod_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_asap_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ASAP automatic smoothing-window selection (operators/asap.py —
-    Rong & Bailis VLDB'17): per event_type hourly series (zero-filled
-    dense grid), evaluate the fixed candidate ladder of trailing-window
-    widths and pick the one minimizing roughness (std of smoothed
-    diffs) subject to preserving the original kurtosis.  Both metrics
-    derive from exact DECIMAL/BIGINT power sums of the integer rolling
-    SUMS (kurtosis is scale-invariant, roughness scale-equivariant), so
-    the oracle replays the full search — rolling sums, lag diffs,
-    moment formulas, qualification, two-step min — bit-for-bit."""
-    from mq_to_db_spark.operators.asap import asap_metrics
-
+def _dense_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-filled per-event_type hourly count grid over the events
+    extent — the dense-series precondition shared by the row-lag
+    operators (asap_1h, backtest_naive_1d)."""
     ev = _events(spark, sf_dir)
     hourly = ev.groupBy(
         F.date_trunc("hour", "ts").alias("bucket_start"), "event_type"
@@ -2662,7 +2654,7 @@ def q_asap_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket_start")
     )
     types = ev.select("event_type").distinct()
-    dense = (
+    return (
         grid.crossJoin(F.broadcast(types))
         .join(hourly, ["bucket_start", "event_type"], "left")
         .select(
@@ -2671,7 +2663,43 @@ def q_asap_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).cast("long").alias("v"),
         )
     )
-    return asap_metrics(dense, ["event_type"], value_col="v")
+
+
+def q_asap_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASAP automatic smoothing-window selection (operators/asap.py —
+    Rong & Bailis VLDB'17): per event_type hourly series (zero-filled
+    dense grid), evaluate the fixed candidate ladder of trailing-window
+    widths and pick the one minimizing roughness (std of smoothed
+    diffs) subject to preserving the original kurtosis.  Both metrics
+    derive from exact DECIMAL/BIGINT power sums of the integer rolling
+    SUMS (kurtosis is scale-invariant, roughness scale-equivariant), so
+    the oracle replays the full search — rolling sums, lag diffs,
+    moment formulas, qualification, two-step min — bit-for-bit."""
+    from mq_to_db_spark.operators.asap import asap_metrics
+
+    return asap_metrics(
+        _dense_hourly(spark, sf_dir), ["event_type"], value_col="v"
+    )
+
+
+def q_backtest_naive_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin forecast backtest (operators/backtest.py
+    backtest_naive): naive (persistence) and seasonal-naive (t-24h)
+    forecasters scored at every origin of the zero-filled hourly grid,
+    aggregated per (event_type, day) — exact BIGINT error sums, wMAPE
+    instead of sMAPE (both ratio terms exact, a per-term double sum
+    would be order-dependent), MASE = seasonal/naive error ratio over
+    the shared evaluation set.  The oracle replays both lags and every
+    division with the identical windows."""
+    from mq_to_db_spark.operators.backtest import backtest_naive
+
+    return backtest_naive(
+        _dense_hourly(spark, sf_dir),
+        ["event_type"],
+        value_col="v",
+        season=24,
+        period="day",
+    )
 
 
 def q_resets_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3813,7 +3841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (r03 recorded exactly the first 50 of 57 in dict order), so
     VERDICT r03's seven required-in-r04 queries come first, then the
     least-driver-proven — this round's additions
-    (153 registered in total; the committed full-contract snapshot at
+    (154 registered in total; the committed full-contract snapshot at
     BENCH/correctness_r04_local.json covers every one), then round-3's
     (one green driver record), round-2's (two), and the round-1
     originals (three green records each) last, where any truncation
@@ -3836,6 +3864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asap_1h": q_asap_1h,
         "gcra_throttle_1h": q_gcra_throttle_1h,
         "stickiness_1d": q_stickiness_1d,
+        "backtest_naive_1d": q_backtest_naive_1d,
         # -- never in a driver CORRECTNESS file (r03 cap) + round-4 new --
         "m4_1h": q_m4_1h,
         "lm_perplexity": q_lm_perplexity,
@@ -5980,6 +6009,61 @@ def oracle_sql() -> dict[str, str]:
         "tier_stitch": _tier_stitch_oracle(),
         "hybrid_read": _hybrid_read_oracle(),
         "asap_1h": _asap_oracle(),
+        "backtest_naive_1d": """
+            WITH ext AS (
+                SELECT date_trunc('hour', min(ts)) AS lo,
+                       date_trunc('hour', max(ts)) AS hi
+                FROM events
+            ),
+            grid AS (
+                SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start
+                FROM ext
+            ),
+            types AS (SELECT DISTINCT event_type FROM events),
+            hourly AS (
+                SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+                       count(*)::BIGINT AS n
+                FROM events GROUP BY 1, 2
+            ),
+            dense AS (
+                SELECT g.bucket_start, t.event_type, coalesce(h.n, 0)::BIGINT AS v
+                FROM grid g CROSS JOIN types t
+                LEFT JOIN hourly h USING (bucket_start, event_type)
+            ),
+            lagged AS (
+                SELECT event_type, bucket_start, v AS y,
+                       lag(v, 1) OVER w AS f_naive,
+                       lag(v, 24) OVER w AS f_seas
+                FROM dense
+                WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
+            ),
+            e AS (
+                SELECT * FROM lagged
+                WHERE f_naive IS NOT NULL AND f_seas IS NOT NULL
+            ),
+            agg AS (
+                SELECT event_type,
+                       date_trunc('day', bucket_start) AS period_start,
+                       count(*)::BIGINT AS n_eval,
+                       sum(abs(y - f_naive))::BIGINT AS abs_err_naive,
+                       sum(abs(y - f_seas))::BIGINT AS abs_err_seasonal,
+                       sum(y - f_seas)::BIGINT AS err_seas,
+                       sum(abs(y))::BIGINT AS abs_y
+                FROM e GROUP BY 1, 2
+            )
+            SELECT event_type, period_start, n_eval,
+                   abs_err_naive, abs_err_seasonal,
+                   round(abs_err_naive::DOUBLE / n_eval::DOUBLE, 6) AS mae_naive,
+                   round(abs_err_seasonal::DOUBLE / n_eval::DOUBLE, 6) AS mae_seasonal,
+                   round(err_seas::DOUBLE / n_eval::DOUBLE, 6) AS bias_seasonal,
+                   round(CASE WHEN abs_y != 0 THEN
+                       abs_err_seasonal::DOUBLE / abs_y::DOUBLE END, 6)
+                       AS wmape_seasonal,
+                   round(CASE WHEN abs_err_naive != 0 THEN
+                       abs_err_seasonal::DOUBLE / abs_err_naive::DOUBLE END, 6)
+                       AS mase
+            FROM agg
+        """,
         "range_eval_6h": _range_eval_oracle(),
         "tier_audit": """
             WITH truth AS (

@@ -179,6 +179,7 @@ EXTENDED_QUERIES = (
     "asap_1h",
     "gcra_throttle_1h",
     "stickiness_1d",
+    "backtest_naive_1d",
 )
 
 

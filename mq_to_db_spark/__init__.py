@@ -98,6 +98,7 @@ _PUBLIC = {
     "asap_smooth": "mq_to_db_spark.operators.asap",
     "gcra_throttle": "mq_to_db_spark.operators.quota",
     "stickiness": "mq_to_db_spark.operators.cohort",
+    "backtest_naive": "mq_to_db_spark.operators.backtest",
     # interval↔bucket attribution + LTOB downsampling (round 3)
     "heartbeat_agg": "mq_to_db_spark.operators.intervals",
     "interpolated_time_weighted_avg": "mq_to_db_spark.operators.intervals",

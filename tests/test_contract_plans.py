@@ -84,6 +84,8 @@ _WHITELIST = {
     # rows): output = |grid| · |types|, the same zero-fill grid
     # materialization as gapfill_1h
     "asap_1h": ("BroadcastNestedLoopJoin",),
+    # same _dense_hourly grid build as asap_1h
+    "backtest_naive_1d": ("BroadcastNestedLoopJoin",),
 }
 
 
