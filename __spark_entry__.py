@@ -76,10 +76,31 @@ def q_rollup_1h_value_stats(spark, sf_dir):
         .groupBy(F.date_trunc("hour", "ts").alias("bucket_start"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 6).alias("value_sum"),
+            # micro-unit BIGINT sum, NOT sum(double): a float sum is
+            # partition-order dependent, and at sf0.1 one bucket landed
+            # exactly on a 6-dp rounding boundary (…8125 vs …8135) —
+            # the exact-integer idiom every later contract query uses
+            F.sum(F.floor(F.col("value") * 1e6).cast("long")).alias("_micro"),
             F.min("value").alias("value_min"),
             F.max("value").alias("value_max"),
-            F.round(F.avg("value"), 6).alias("value_avg"),
+        )
+        .select(
+            "bucket_start",
+            "event_type",
+            "n_events",
+            F.round(F.col("_micro") / F.lit(1e6), 6).alias("value_sum"),
+            "value_min",
+            "value_max",
+            # avg rounded in EXACT integer arithmetic (half away from
+            # zero at micro resolution) then divided once — engines'
+            # round(double, 6) implementations disagree on exact-half
+            # averages (BigDecimal expansion vs multiply-round-divide),
+            # caught at sf0.01 the moment the formula produced x.xxx9995
+            F.expr(
+                "CAST((CASE WHEN _micro < 0 THEN -1 ELSE 1 END)"
+                " * ((2 * abs(_micro) + n_events) DIV (2 * n_events))"
+                " AS DOUBLE) / 1e6"
+            ).alias("value_avg"),
         )
     )
 
@@ -91,11 +112,17 @@ def q_rollup_1d_cascade(spark, sf_dir):
     hourly = (
         _events(spark, sf_dir)
         .groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 1e6).cast("long")).alias("s"),
+        )
     )
     return (
         hourly.groupBy(F.date_trunc("day", "h").alias("bucket_start"), "event_type")
-        .agg(F.sum("n").alias("n_events"), F.round(F.sum("s"), 6).alias("value_sum"))
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("s") / F.lit(1e6), 6).alias("value_sum"),
+        )
     )
 
 
@@ -386,7 +413,9 @@ def q_codec_roundtrip_agg(spark, sf_dir):
     back = decode_chunks(chunks)
     return back.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_points"),
-        F.round(F.sum("value"), 6).alias("value_sum"),
+        F.round(
+            F.sum(F.floor(F.col("value") * 1e6).cast("long")) / F.lit(1e6), 6
+        ).alias("value_sum"),
         F.min("ts").alias("ts_min"),
         F.max("ts").alias("ts_max"),
     )
@@ -2077,7 +2106,9 @@ def q_compact_late(spark, sf_dir):
     merged = merge_late_chunks(chunks, late, value_col="value")
     return decode_chunks(merged).groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_points"),
-        F.round(F.sum("value"), 6).alias("value_sum"),
+        F.round(
+            F.sum(F.floor(F.col("value") * 1e6).cast("long")) / F.lit(1e6), 6
+        ).alias("value_sum"),
         F.sum(F.coalesce(F.length("text"), F.lit(0))).alias("text_len_sum"),
         F.min("ts").alias("ts_min"),
         F.max("ts").alias("ts_max"),
@@ -3782,7 +3813,11 @@ def q_calendar_day_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "Asia/Kathmandu",
         keys=["event_type"],
-        aggs=[F.round(F.sum("value"), 6).alias("value_sum")],
+        aggs=[
+            F.round(
+                F.sum(F.floor(F.col("value") * 1e6).cast("long")) / F.lit(1e6), 6
+            ).alias("value_sum")
+        ],
     )
     return out.select(
         "event_type", "bucket_start", "local_start", "n_rows", "value_sum"
@@ -5526,7 +5561,8 @@ def oracle_sql() -> dict[str, str]:
                        timezone('Asia/Kathmandu', timezone('UTC', ts)))
                        AS local_start,
                    CAST(count(*) AS BIGINT) AS n_rows,
-                   round(sum(value), 6) AS value_sum
+                   round(sum(floor(value * 1e6)::BIGINT)::DOUBLE / 1e6, 6)
+                       AS value_sum
             FROM events GROUP BY 1, 2, 3
         """,
         # Holt linear: the exact Prometheus recurrence as a recursive
@@ -6107,7 +6143,8 @@ def oracle_sql() -> dict[str, str]:
         "compact_late": """
             SELECT CAST(user_id AS VARCHAR) AS conv_id,
                    CAST(count(*) AS BIGINT) AS n_points,
-                   round(sum(value), 6) AS value_sum,
+                   round(sum(floor(value * 1e6)::BIGINT)::DOUBLE / 1e6, 6)
+                       AS value_sum,
                    CAST(sum(coalesce(length(props), 0)) AS BIGINT) AS text_len_sum,
                    min(ts) AS ts_min,
                    max(ts) AS ts_max
@@ -6819,15 +6856,21 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1h_value_stats": """
             SELECT date_trunc('hour', ts) AS bucket_start, event_type,
                    count(*) AS n_events,
-                   round(sum(value), 6) AS value_sum,
+                   round(sum(floor(value * 1e6)::BIGINT)::DOUBLE / 1e6, 6)
+                       AS value_sum,
                    min(value) AS value_min,
                    max(value) AS value_max,
-                   round(avg(value), 6) AS value_avg
+                   ((CASE WHEN sum(floor(value * 1e6)::BIGINT) < 0
+                          THEN -1 ELSE 1 END)
+                    * ((2 * abs(sum(floor(value * 1e6)::BIGINT)) + count(*))
+                       // (2 * count(*))))::DOUBLE / 1e6 AS value_avg
             FROM events GROUP BY 1, 2
         """,
         "rollup_1d_cascade": """
             SELECT date_trunc('day', ts) AS bucket_start, event_type,
-                   count(*) AS n_events, round(sum(value), 6) AS value_sum
+                   count(*) AS n_events,
+                   round(sum(floor(value * 1e6)::BIGINT)::DOUBLE / 1e6, 6)
+                       AS value_sum
             FROM events GROUP BY 1, 2
         """,
         "role_mix_1h": f"""
@@ -7047,7 +7090,8 @@ def oracle_sql() -> dict[str, str]:
         "codec_roundtrip_agg": """
             SELECT CAST(user_id AS VARCHAR) AS conv_id,
                    count(*) AS n_points,
-                   round(sum(value), 6) AS value_sum,
+                   round(sum(floor(value * 1e6)::BIGINT)::DOUBLE / 1e6, 6)
+                       AS value_sum,
                    min(ts) AS ts_min,
                    max(ts) AS ts_max
             FROM events GROUP BY 1
