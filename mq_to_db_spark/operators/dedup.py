@@ -516,8 +516,9 @@ def embedding_neardup_pairs(
     p = 1-arccos(c)/π; at the 0.95 default: ≥0.98."""
     from mq_to_db_spark.operators.similarity import (
         band_signatures_vectorized,
-        cosine_sim_cols,
+        dot,
         hyperplane_planes,
+        l2_norm,
     )
 
     dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
@@ -531,19 +532,42 @@ def embedding_neardup_pairs(
     )
     # null / wrong-dimension vectors are filtered before the signature UDF
     # (a ragged Arrow batch would fail the whole job for one bad row)
+    # norm computed ONCE per row here (not once per candidate pair) —
+    # same fold expression on the same casted values as
+    # cosine_sim_cols, so the verification cosine is bit-identical
+    # while the pair stage pays 1 fold instead of 3 (semcluster's
+    # pair-stage lesson, PROFILE §9)
     base = (
         df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .withColumn("_n", l2_norm(F.col("vec").cast("array<double>")))
         .persist()
     )
     banded = base.select(
         "id", F.posexplode(sigs(F.col("vec"))).alias("band", "key")
     )
     cands = _bucket_pairs(banded, ["band", "key"])
-    cos = cosine_sim_cols(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))
+    cos = F.try_divide(
+        dot(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")),
+        F.col("na") * F.col("nb"),
+    )
     return (
-        cands.join(base.select(F.col("id").alias("id_a"), F.col("vec").alias("va")), "id_a")
-        .join(base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")), "id_b")
+        cands.join(
+            base.select(
+                F.col("id").alias("id_a"),
+                F.col("vec").alias("va"),
+                F.col("_n").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            base.select(
+                F.col("id").alias("id_b"),
+                F.col("vec").alias("vb"),
+                F.col("_n").alias("nb"),
+            ),
+            "id_b",
+        )
         .select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

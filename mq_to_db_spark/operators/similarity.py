@@ -526,9 +526,15 @@ def knn_join_lsh(
     )
 
     def keyed(df, id_col, out_id):
-        return df.filter(
-            F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
-        ).select(F.col(id_col).alias(out_id), F.col(vec_col).alias(f"v_{out_id}"))
+        # norm once per row (not per candidate pair) — bit-identical to
+        # cosine_sim_cols, 1 fold per pair instead of 3 (PROFILE §9)
+        return (
+            df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+            .select(F.col(id_col).alias(out_id), F.col(vec_col).alias(f"v_{out_id}"))
+            .withColumn(
+                f"n_{out_id}", l2_norm(F.col(f"v_{out_id}").cast("array<double>"))
+            )
+        )
 
     from pyspark.sql import Window as W
 
@@ -553,9 +559,12 @@ def knn_join_lsh(
         .select(
             "lid",
             "rid",
-            cosine_sim_cols(
-                F.col("v_lid").cast("array<double>"),
-                F.col("v_rid").cast("array<double>"),
+            F.try_divide(
+                dot(
+                    F.col("v_lid").cast("array<double>"),
+                    F.col("v_rid").cast("array<double>"),
+                ),
+                F.col("n_lid") * F.col("n_rid"),
             ).alias("cosine"),
         )
     )
