@@ -125,3 +125,38 @@ def test_gcra_conforming_stream_never_throttles(spark):
     rows = [("a", i * 2.0) for i in range(20)]  # 1 per 2s at 1/s limit
     got = _gcra_run(spark, rows, period_us=1_000_000, burst=1)
     assert all(d == 0 and not t for _, d, t in got)
+
+
+def test_gcra_property_random_streams(spark):
+    """Hypothesis: the closed-form prefix-max audit equals the textbook
+    recurrence on random arrival streams, periods and burst depths —
+    exactly, in integer microseconds."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        gaps=st.lists(
+            st.integers(min_value=0, max_value=5_000_000),
+            min_size=1,
+            max_size=25,
+        ),
+        period_ms=st.integers(min_value=1, max_value=3000),
+        burst=st.integers(min_value=1, max_value=5),
+    )
+    def check(gaps, period_ms, burst):
+        period_us = period_ms * 1000
+        secs, t = [], 0
+        for g in gaps:
+            t += g
+            secs.append(t / 1e6)
+        got = _gcra_run(
+            spark, [("a", s) for s in secs], period_us=period_us, burst=burst
+        )
+        base = 1704067200000000  # epoch µs of 2024-01-01 (fixture origin)
+        want = _gcra_ref(
+            [base + int(round(s * 1e6)) for s in secs], period_us, burst
+        )
+        assert [d for _, d, _ in got] == want
+
+    check()
