@@ -57,6 +57,11 @@ _PUBLIC = {
     "streaming_ack_join": "mq_to_db_spark.streaming.stream",
     # storage seam (round 3)
     "LocalAtomicStore": "mq_to_db_spark.sources.store",
+    "read_transcripts_jsonl": "mq_to_db_spark.sources.jsonl",
+    "parse_transcript_lines": "mq_to_db_spark.sources.jsonl",
+    "write_bucketed": "mq_to_db_spark.sources.bucketed",
+    "read_bucketed": "mq_to_db_spark.sources.bucketed",
+    "assert_no_shuffle_join": "mq_to_db_spark.sources.bucketed",
     # training-data plane: sampling / packing / heavy hitters (round 3)
     "sample_bernoulli": "mq_to_db_spark.operators.sampling",
     "assign_split": "mq_to_db_spark.operators.sampling",
