@@ -53,13 +53,17 @@ MALFORMED_JSON = "malformed_json"
 
 
 def parse_transcript_lines(
-    lines: DataFrame, line_col: str = "value"
+    lines: DataFrame, line_col: str = "value", check_duplicates: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """``lines`` (one string column) → (valid turns, dead-letter rows).
 
     The dead-letter frame carries the transcript columns (NULL where
     unparseable), ``reason``, and ``raw`` — the original line, so the
     reject table replays after an upstream fix (the requeue analogue).
+
+    ``check_duplicates=False`` skips the natural-key dedup window — the
+    STREAMING mode (windows are illegal on unbounded streams; the
+    streaming plane owns redelivery dedup via its stateful machinery).
     """
     # PERMISSIVE from_json returns an all-NULL struct (not a NULL
     # struct) for a non-JSON line — the corrupt-record column is the
@@ -96,7 +100,7 @@ def parse_transcript_lines(
     # the validation taxonomy tolerates (and passes through) extra
     # columns, so `raw` rides along and rejects keep their original
     # line with no join; valid drops it
-    valid, rejected = split_valid_rejected(ok)
+    valid, rejected = split_valid_rejected(ok, check_duplicates=check_duplicates)
     valid = valid.drop("raw")
     dead = rejected.select(
         "conv_id", "turn_idx", "role", "text", "tool", "ts", "reason", "raw"

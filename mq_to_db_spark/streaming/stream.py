@@ -420,3 +420,25 @@ def streaming_ack_join(
         F.unix_millis(F.col("a.ack_ts")) - F.unix_millis(F.col("t.ts"))
     ).alias("ack_latency_ms")
     return t.join(a, cond, how).select("t.*", F.col("a.ack_ts"), latency)
+
+
+def read_transcript_stream_jsonl(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of sources/jsonl.py: an unbounded JSONL transcript
+    feed → (valid stream, dead-letter stream), the strict-parse reject
+    boundary applied per micro-batch.  Duplicate-key dedup is NOT done
+    here (a window is illegal on a stream) — redelivery handling belongs
+    to the stateful plane, exactly as in the batch-incremental design.
+    Both returned streams read from the same source with independent
+    offsets; route them to their sinks in one ``foreachBatch`` if the
+    valid/dead split must share a trigger."""
+    from mq_to_db_spark.sources.jsonl import parse_transcript_lines
+
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.text(path)
+    return parse_transcript_lines(lines, check_duplicates=False)

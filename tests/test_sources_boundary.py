@@ -144,3 +144,30 @@ def test_bucketed_mismatched_counts_shuffle(spark):
     )
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" in plan
+
+
+def test_jsonl_streaming_boundary(spark, tmp_path):
+    """The strict-parse split works on an unbounded stream: valid rows
+    roll up, dead letters surface with reasons, availableNow drains."""
+    import json as _json
+
+    from mq_to_db_spark.streaming.stream import read_transcript_stream_jsonl
+
+    d = tmp_path / "stream_feed"
+    d.mkdir()
+    (d / "a.jsonl").write_text(
+        "\n".join(_json.dumps(g) for g in GOOD) + "\nbroken {"
+    )
+    valid, dead = read_transcript_stream_jsonl(spark, str(d))
+    q1 = (
+        valid.writeStream.format("memory").queryName("jl_valid")
+        .trigger(availableNow=True).start()
+    )
+    q2 = (
+        dead.writeStream.format("memory").queryName("jl_dead")
+        .trigger(availableNow=True).start()
+    )
+    q1.awaitTermination(60); q2.awaitTermination(60)
+    assert spark.table("jl_valid").count() == 3
+    [r] = spark.table("jl_dead").collect()
+    assert r["reason"] == "malformed_json" and r["raw"] == "broken {"
