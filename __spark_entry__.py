@@ -3753,15 +3753,24 @@ def q_recording_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_exphist_stats_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PromQL ``histogram_avg`` / ``histogram_stddev`` on the native
-    exponential sketch (operators/nativehist.py exp_hist_stats):
-    midpoint-model mean and stddev per (event_type, day).  ZERO shuffle
-    past the sketch — per-row sorted map folds; at schema 0 every
-    ``n·mid`` term is an exact half-integer, so the fold sums are exact
-    and the final doubles replay bit-identically."""
+    """PromQL ``histogram_avg`` / ``histogram_stddev`` moment surface
+    of the native exponential sketch (operators/nativehist.py
+    exp_hist_stats_exact) per (event_type, day) — emitted as the
+    INTEGER-EXACT moments ``n_obs``, ``s1_x4 = 4·Σ n·mid`` and
+    ``s2_x16 = 16·Σ n·mid²`` (BIGINT; at schema 0 ``4·mid_i = 3·2^i``
+    and ``16·mid_i² = 9·4^i`` are exact integers), from which
+    mean = s1_x4/(4·n_obs) and var = s2_x16/(16·n_obs) − mean².
+
+    Why not rounded floats: ``F.round(mean/stddev, 6)`` is Spark
+    BigDecimal HALF_UP on the double's exact decimal expansion while
+    DuckDB rounds multiply-by-1e6/round/divide — the two disagree when
+    a moment lands within an ulp of a .5×10⁻⁶ boundary (the r04
+    driver-hash red cell; same hazard class as SURVEY.md §float-sums).
+    Integer moments have no rounding step at all.  ZERO shuffle past
+    the sketch — per-row sorted map folds, whole-stage codegen."""
     from mq_to_db_spark.operators.nativehist import (
         cascade_exp_histogram,
-        exp_hist_stats,
+        exp_hist_stats_exact,
         exp_histogram,
     )
 
@@ -3769,13 +3778,9 @@ def q_exphist_stats_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events_cents(spark, sf_dir), "1h", "v", keys=["event_type"]
     )
     d1 = cascade_exp_histogram(h1, "1d", keys=["event_type"])
-    out = exp_hist_stats(d1, keys=["event_type"])
+    out = exp_hist_stats_exact(d1, keys=["event_type"])
     return out.select(
-        "event_type",
-        "bucket_start",
-        "n_obs",
-        F.round("mean", 6).alias("mean"),
-        F.round("stddev", 6).alias("stddev"),
+        "event_type", "bucket_start", "n_obs", "s1_x4", "s2_x16"
     )
 
 
@@ -3873,72 +3878,20 @@ def q_xcorr_lags_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registration order is EVIDENCE order, not build order: the
     driver's correctness gate records at most the first ~50 entries
-    (r03 recorded exactly the first 50 of 57 in dict order), so
-    VERDICT r03's seven required-in-r04 queries come first, then the
-    least-driver-proven — this round's additions
-    (154 registered in total; the committed full-contract snapshot at
-    BENCH/correctness_r04_local.json covers every one), then round-3's
-    (one green driver record), round-2's (two), and the round-1
-    originals (three green records each) last, where any truncation
-    costs the least."""
+    (r03/r04 each recorded exactly 50 in dict order), so per VERDICT
+    r04 #1-2 the round-5 order is (a) ``exphist_stats_1d`` — r04's one
+    red hash cell, re-registered first so its integer-exact fix lands
+    in the hard signal — then (b) the 54 queries that have never
+    appeared in ANY driver CORRECTNESS file (the r01-r04 union covers
+    100 of 154), then (c) the already-driver-proven rows where
+    truncation costs nothing.  The committed full-contract snapshot at
+    BENCH/correctness_r05_local.json covers every registered query."""
     return {
-        # -- VERDICT r03 done-criterion #2: these 7 (registered since r03
-        #    but absent from the driver's 50-row CORRECTNESS_r03 prefix)
-        #    MUST appear in the driver's r04 file, so they go first, with
-        #    the previously contract-less multimodal surface right behind --
-        "time_weighted_1h": q_time_weighted_1h,
-        "state_durations_1d": q_state_durations_1d,
-        "uptime_1h": q_uptime_1h,
-        "twa_interp_1h": q_twa_interp_1h,
-        "lttb_1h": q_lttb_1h,
-        "concurrency_10m": q_concurrency_10m,
-        "series_corr_1d": q_series_corr_1d,
-        "multimodal_features": q_multimodal_features,
-        # -- newest this session: front-loaded so the driver's ~50-row
-        #    cap still records them --
-        "asap_1h": q_asap_1h,
-        "gcra_throttle_1h": q_gcra_throttle_1h,
-        "stickiness_1d": q_stickiness_1d,
-        "backtest_naive_1d": q_backtest_naive_1d,
-        # -- never in a driver CORRECTNESS file (r03 cap) + round-4 new --
-        "m4_1h": q_m4_1h,
-        "lm_perplexity": q_lm_perplexity,
-        "kmv_distinct_1d": q_kmv_distinct_1d,
-        "survival_conv": q_survival_conv,
-        "turn_echo": q_turn_echo,
-        "zipf_fit": q_zipf_fit,
-        "theil_sen_1d": q_theil_sen_1d,
-        "benford_digits": q_benford_digits,
-        "benford_chi2": q_benford_chi2,
-        "readability": q_readability,
-        "holt_winters_1h": q_holt_winters_1h,
-        "bloom_decontaminate": q_bloom_decontaminate,
-        "winsorize_1d": q_winsorize_1d,
-        "dispersion_1d": q_dispersion_1d,
-        "entropy_mix_1h": q_entropy_mix_1h,
-        "oov_rate": q_oov_rate,
-        "heaps_curve": q_heaps_curve,
-        "cep_browse_buy": q_cep_browse_buy,
-        "sax_1d": q_sax_1d,
-        "decay_topk": q_decay_topk,
-        "zorder_keys": q_zorder_keys,
-        "ab_welch_1d": q_ab_welch_1d,
-        "psi_1d": q_psi_1d,
-        "skew_audit": q_skew_audit,
-        "salt_plan": q_salt_plan,
-        "dedup_spans": q_dedup_spans,
-        "semdedup": q_semdedup,
-        "strip_boilerplate": q_strip_boilerplate,
-        "expectations": q_expectations,
-        "series_limit": q_series_limit,
-        "dsir_overlap": q_dsir_overlap,
-        "recording_rules": q_recording_rules,
+        # -- r04 VERDICT #1: the one red hash cell, now integer-exact --
         "exphist_stats_1d": q_exphist_stats_1d,
-        "apdex_1h": q_apdex_1h,
-        "calendar_day_tz": q_calendar_day_tz,
-        "holt_linear_1h": q_holt_linear_1h,
-        "xcorr_lags_1h": q_xcorr_lags_1h,
-        "alert_silences": q_alert_silences,
+        # -- r04 VERDICT #2: the 54 registered queries that have never
+        #    appeared in ANY driver CORRECTNESS file (r01-r04 union holds
+        #    100 of 154) -- the ~50-row cap records these first --
         "exphist_1d": q_exphist_1d,
         "exphist_quantile_1d": q_exphist_quantile_1d,
         "exphist_fraction_1d": q_exphist_fraction_1d,
@@ -3992,7 +3945,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention_wk": q_cohort_retention_wk,
         "seasonal_hod_1h": q_seasonal_hod_1h,
         "resets_1h": q_resets_1h,
-        # -- one green driver record (r03) --
+        "editdist_pairs": q_editdist_pairs,
+        # -- already driver-proven (green rows in r01-r04): truncation
+        #    here costs nothing --
+        "time_weighted_1h": q_time_weighted_1h,
+        "state_durations_1d": q_state_durations_1d,
+        "uptime_1h": q_uptime_1h,
+        "twa_interp_1h": q_twa_interp_1h,
+        "lttb_1h": q_lttb_1h,
+        "concurrency_10m": q_concurrency_10m,
+        "series_corr_1d": q_series_corr_1d,
+        "multimodal_features": q_multimodal_features,
+        "asap_1h": q_asap_1h,
+        "gcra_throttle_1h": q_gcra_throttle_1h,
+        "stickiness_1d": q_stickiness_1d,
+        "backtest_naive_1d": q_backtest_naive_1d,
+        "m4_1h": q_m4_1h,
+        "lm_perplexity": q_lm_perplexity,
+        "kmv_distinct_1d": q_kmv_distinct_1d,
+        "survival_conv": q_survival_conv,
+        "turn_echo": q_turn_echo,
+        "zipf_fit": q_zipf_fit,
+        "theil_sen_1d": q_theil_sen_1d,
+        "benford_digits": q_benford_digits,
+        "benford_chi2": q_benford_chi2,
+        "readability": q_readability,
+        "holt_winters_1h": q_holt_winters_1h,
+        "bloom_decontaminate": q_bloom_decontaminate,
+        "winsorize_1d": q_winsorize_1d,
+        "dispersion_1d": q_dispersion_1d,
+        "entropy_mix_1h": q_entropy_mix_1h,
+        "oov_rate": q_oov_rate,
+        "heaps_curve": q_heaps_curve,
+        "cep_browse_buy": q_cep_browse_buy,
+        "sax_1d": q_sax_1d,
+        "decay_topk": q_decay_topk,
+        "zorder_keys": q_zorder_keys,
+        "ab_welch_1d": q_ab_welch_1d,
+        "psi_1d": q_psi_1d,
+        "skew_audit": q_skew_audit,
+        "salt_plan": q_salt_plan,
+        "dedup_spans": q_dedup_spans,
+        "semdedup": q_semdedup,
+        "strip_boilerplate": q_strip_boilerplate,
+        "expectations": q_expectations,
+        "series_limit": q_series_limit,
+        "dsir_overlap": q_dsir_overlap,
+        "recording_rules": q_recording_rules,
+        "apdex_1h": q_apdex_1h,
+        "calendar_day_tz": q_calendar_day_tz,
+        "holt_linear_1h": q_holt_linear_1h,
+        "xcorr_lags_1h": q_xcorr_lags_1h,
+        "alert_silences": q_alert_silences,
         "knn_join_lsh": q_knn_join_lsh,
         "sample_split": q_sample_split,
         "sample_stratified": q_sample_stratified,
@@ -4011,12 +4015,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "asof_fwd": q_asof_fwd,
         "asof_nearest": q_asof_nearest,
-        # -- two green driver records (r02+r03) --
         "distinct_users_1h": q_distinct_users_1h,
         "dedup_minhash_survivors": q_dedup_minhash_survivors,
         "embedding_neardup": q_embedding_neardup,
         "winnow_pairs": q_winnow_pairs,
-        # -- three green driver records (r01+r02+r03) --
         "rollup_1m_counts": q_rollup_1m_counts,
         "rollup_1h_value_stats": q_rollup_1h_value_stats,
         "rollup_1d_cascade": q_rollup_1d_cascade,
@@ -4042,7 +4044,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join": q_knn_join,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
-        "editdist_pairs": q_editdist_pairs,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "transcript_pipeline": q_transcript_pipeline,
@@ -5489,7 +5490,9 @@ def oracle_sql() -> dict[str, str]:
             FROM daily_worst w JOIN daily_volume v USING (day)
         """,
         # exphist stats: same bucket-count CTE as the fraction oracle,
-        # exact half-integer midpoint sums, identical final formula order
+        # then INTEGER moment sums (4·mid_i = 3·2^i, 16·mid_i² = 9·4^i
+        # exact at schema 0) — no float rounding anywhere, so no
+        # HALF_UP-vs-multiply-round-divide divergence is possible
         "exphist_stats_1d": """
             WITH c AS (
                 SELECT event_type, date_trunc('day', ts) AS bucket_start,
@@ -5507,30 +5510,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type, bucket_start, bucket_idx,
                        CAST(count(*) AS BIGINT) AS n
                 FROM b GROUP BY 1, 2, 3
-            ),
-            m AS (
-                SELECT event_type, bucket_start,
-                       sum(n) AS n_obs,
-                       sum(CAST(n AS DOUBLE)
-                           * ((pow(2.0, (CAST(bucket_idx AS DOUBLE) - 1) / 1.0)
-                               + pow(2.0, CAST(bucket_idx AS DOUBLE) / 1.0))
-                              / 2.0)) AS s1,
-                       sum(CAST(n AS DOUBLE)
-                           * (((pow(2.0, (CAST(bucket_idx AS DOUBLE) - 1) / 1.0)
-                                + pow(2.0, CAST(bucket_idx AS DOUBLE) / 1.0))
-                               / 2.0)
-                              * ((pow(2.0, (CAST(bucket_idx AS DOUBLE) - 1) / 1.0)
-                                  + pow(2.0, CAST(bucket_idx AS DOUBLE) / 1.0))
-                                 / 2.0))) AS s2
-                FROM g GROUP BY 1, 2
             )
-            SELECT event_type, bucket_start, n_obs,
-                   round(s1 / CAST(n_obs AS DOUBLE), 6) AS mean,
-                   round(sqrt(greatest(
-                       s2 / CAST(n_obs AS DOUBLE)
-                       - (s1 / CAST(n_obs AS DOUBLE))
-                         * (s1 / CAST(n_obs AS DOUBLE)), 0.0)), 6) AS stddev
-            FROM m
+            SELECT event_type, bucket_start,
+                   CAST(sum(n) AS BIGINT) AS n_obs,
+                   CAST(sum(n * 3 * (CAST(1 AS BIGINT) << bucket_idx))
+                        AS BIGINT) AS s1_x4,
+                   CAST(sum(n * 9 * (CAST(1 AS BIGINT) << (2 * bucket_idx)))
+                        AS BIGINT) AS s2_x16
+            FROM g GROUP BY 1, 2
         """,
         # apdex: three FILTER tallies, one double expression, round 6
         "apdex_1h": """

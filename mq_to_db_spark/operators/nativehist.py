@@ -53,6 +53,7 @@ __all__ = [
     "exp_hist_quantile",
     "exp_hist_fraction",
     "exp_hist_stats",
+    "exp_hist_stats_exact",
 ]
 
 
@@ -301,6 +302,69 @@ def exp_hist_stats(
         n_obs.alias("n_obs"),
         F.when(n_obs > 0, mean).alias("mean"),
         F.when(n_obs > 0, stddev).alias("stddev"),
+    )
+
+
+def exp_hist_stats_exact(
+    sketches: DataFrame,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Integer-EXACT moment surface of a schema-0 exponential sketch:
+    ``n_obs``, ``s1_x4 = 4·Σ n·mid_i`` and ``s2_x16 = 16·Σ n·mid_i²``
+    as BIGINT.  At schema 0 ``mid_i = 1.5·2^(i−1)``, so ``4·mid_i =
+    3·2^i`` and ``16·mid_i² = 9·4^i`` are exact integers for every
+    bucket index ``i ≥ 0`` — the fold sums are pure integer arithmetic,
+    order-independent, and hash bit-identically across engines (the
+    cross-engine contract surface; :func:`exp_hist_stats` keeps the
+    float mean/stddev API, whose final ``round(x, 6)`` can disagree
+    between Spark's BigDecimal HALF_UP and other engines' multiply-
+    round-divide when a value lands within an ulp of a .5×10⁻⁶
+    boundary).
+
+    Callers recover the float moments as ``mean = s1_x4/(4·n_obs)``
+    and ``var = s2_x16/(16·n_obs) − mean²``.
+
+    Validity bounds (outputs NULL when violated, never silently
+    wrong): every bucket index must be in ``[0, 29]`` (values ≥ 1 and
+    per-term ``9·4^idx < 2^63``); the per-group sum must also fit a
+    BIGINT, i.e. ``n_obs · 9·4^max_idx < 2^63`` — at larger scale
+    aggregate per finer key/tier first or sum the exploded buckets as
+    DECIMAL(38,0).
+
+    Plan shape: identical to :func:`exp_hist_stats` — ZERO shuffle,
+    per-row sorted-map folds, whole-stage codegen."""
+    keys = list(keys or [])
+    ent = F.array_sort(F.map_entries("hist"))
+    n_obs = F.aggregate(
+        ent, F.lit(0).cast("long"), lambda acc, e: acc + e["value"]
+    )
+    s1 = F.aggregate(
+        ent,
+        F.lit(0).cast("long"),
+        lambda acc, e: acc
+        + e["value"].cast("long")
+        * F.call_function("shiftleft", F.lit(3).cast("long"), e["key"]),
+    )
+    s2 = F.aggregate(
+        ent,
+        F.lit(0).cast("long"),
+        lambda acc, e: acc
+        + e["value"].cast("long")
+        * F.call_function(
+            "shiftleft", F.lit(9).cast("long"), e["key"] * F.lit(2)
+        ),
+    )
+    ok = F.aggregate(
+        ent,
+        F.lit(True),
+        lambda acc, e: acc & (e["key"] >= 0) & (e["key"] <= 29),
+    )
+    return sketches.select(
+        *keys,
+        "bucket_start",
+        n_obs.alias("n_obs"),
+        F.when(ok, s1).alias("s1_x4"),
+        F.when(ok, s2).alias("s2_x16"),
     )
 
 

@@ -256,3 +256,54 @@ def test_exp_hist_stats_zero_shuffle_plan(spark):
     plan = exp_hist_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure per-row projection
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_exp_hist_stats_exact_hand_computed(spark):
+    """Same sketch {1: 2, 3: 1} as the float test: s1_x4 = 4*(2*1.5+6)
+    = 36 = 2*3*2^1 + 1*3*2^3; s2_x16 = 16*(2*2.25+36) = 648
+    = 2*9*4^1 + 1*9*4^3.  Recovered float moments match exp_hist_stats
+    bit-for-bit; out-of-bound indices NULL the sums, never mis-sum."""
+    import datetime as dt
+
+    from mq_to_db_spark.operators.nativehist import (
+        exp_hist_stats,
+        exp_hist_stats_exact,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 1), {1: 2, 3: 1}),
+            (dt.datetime(2024, 1, 2), {}),
+            (dt.datetime(2024, 1, 3), {-1: 5}),   # idx < 0: out of bounds
+            (dt.datetime(2024, 1, 4), {30: 1}),   # idx > 29: out of bounds
+        ],
+        "bucket_start timestamp, hist map<int,bigint>",
+    )
+    rows = {r["bucket_start"].day: r for r in exp_hist_stats_exact(df).collect()}
+    assert (rows[1]["n_obs"], rows[1]["s1_x4"], rows[1]["s2_x16"]) == (3, 36, 648)
+    assert (rows[2]["n_obs"], rows[2]["s1_x4"], rows[2]["s2_x16"]) == (0, 0, 0)
+    for day in (3, 4):
+        assert rows[day]["s1_x4"] is None and rows[day]["s2_x16"] is None
+    # recovered moments == the float API on the in-bounds sketch
+    f = exp_hist_stats(df.limit(1)).first()
+    n, s1, s2 = rows[1]["n_obs"], rows[1]["s1_x4"], rows[1]["s2_x16"]
+    mean = s1 / (4.0 * n)
+    var = s2 / (16.0 * n) - mean * mean
+    assert f["mean"] == mean
+    assert f["stddev"] == var ** 0.5
+
+
+def test_exp_hist_stats_exact_zero_shuffle_plan(spark):
+    import datetime as dt
+
+    from mq_to_db_spark.operators.nativehist import exp_hist_stats_exact
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), {1: 2})],
+        "bucket_start timestamp, hist map<int,bigint>",
+    )
+    plan = (
+        exp_hist_stats_exact(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
