@@ -201,21 +201,25 @@ def encode_chunks(
 
     ``partitions`` sizes the exchange feeding the Python codec stage —
     the dial, like packing.py's ``n_shards``.  It is EXPLICIT (default
-    2× default parallelism) because AQE sizes coalescing by shuffle
-    BYTES, and this stage's cost is CPU per byte of *decompressed*
-    text, not shuffle volume: on a 32-core box a ~5 MB text shuffle
-    coalesces to ~3 partitions and the codec runs 3-wide (measured 2×
-    on the sf0.1 roundtrip).  2× keeps tasks coarse (per-task Arrow +
-    Python-dispatch overhead is the cost floor once the codec itself is
-    batch-vectorized) while leaving one rebalance wave for uneven chunk
-    sizes.  At cluster scale pass input_bytes/64MB.
+    1× default parallelism — ONE wave of coarse tasks) because AQE
+    sizes coalescing by shuffle BYTES, and this stage's cost is CPU per
+    byte of *decompressed* text, not shuffle volume: on a 32-core box a
+    ~5 MB text shuffle coalesces to ~3 partitions and the codec runs
+    3-wide (measured 2× on the sf0.1 roundtrip).  Per-task Arrow +
+    Python-worker dispatch is the cost floor once the codec itself is
+    batch-vectorized, so MORE waves actively hurt: the round-5 A/B on
+    the sf0.1 compact_late pipeline measured 2×-parallelism = 4.7 s vs
+    1× = 2.9 s vs ½× = 2.3 s — the earlier 2× default paid a full extra
+    wave of dispatch on every codec stage for a rebalance benefit that
+    never materialized (chunk-grain bounding already caps group skew).
+    At cluster scale pass input_bytes/64MB.
     """
     from mq_to_db_spark.operators.rollup import with_text_stats
 
     if value_col not in df.columns:
         df = with_text_stats(df)
     if partitions is None:
-        partitions = df.sparkSession.sparkContext.defaultParallelism * 2
+        partitions = df.sparkSession.sparkContext.defaultParallelism
     prepped = df.withColumn(
         "_chunk_start", F.date_trunc(_TRUNC_UNIT[chunk_interval], F.col("ts"))
     ).withColumn("_value", F.col(value_col).cast("double"))

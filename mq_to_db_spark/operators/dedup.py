@@ -515,10 +515,9 @@ def embedding_neardup_pairs(
     exact cosine.  P(candidate | cos=c) = 1-(1-p^n_planes)^n_bands with
     p = 1-arccos(c)/π; at the 0.95 default: ≥0.98."""
     from mq_to_db_spark.operators.similarity import (
-        band_signatures_vectorized,
+        band_signatures_with_norm,
         dot,
         hyperplane_planes,
-        l2_norm,
     )
 
     dim_row = df.select(F.size(F.col(vec_col)).alias("d")).first()
@@ -527,24 +526,30 @@ def embedding_neardup_pairs(
             [], "id_a long, id_b long, cosine double"
         )
     dim = dim_row.d
-    sigs = band_signatures_vectorized(
+    sigs = band_signatures_with_norm(
         [hyperplane_planes(n_planes, dim, seed=1000 + b) for b in range(n_bands)]
     )
     # null / wrong-dimension vectors are filtered before the signature UDF
-    # (a ragged Arrow batch would fail the whole job for one bad row)
-    # norm computed ONCE per row here (not once per candidate pair) —
-    # same fold expression on the same casted values as
-    # cosine_sim_cols, so the verification cosine is bit-identical
-    # while the pair stage pays 1 fold instead of 3 (semcluster's
-    # pair-stage lesson, PROFILE §9)
+    # (a ragged Arrow batch would fail the whole job for one bad row).
+    # Signatures AND the per-row norm come out of ONE Arrow pass
+    # (band_signatures_with_norm — strict-fold accumulation, bit-
+    # identical to l2_norm/cosine_sim_cols), so the persisted base pays
+    # a single batch read of the vectors and the pair stage 1 fold
+    # instead of 3 (semcluster's pair-stage lesson, PROFILE §7/§9)
     base = (
         df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        .withColumn("_n", l2_norm(F.col("vec").cast("array<double>")))
+        .withColumn("_sn", sigs(F.col("vec")))
+        .select(
+            "id",
+            "vec",
+            F.col("_sn")["sigs"].alias("_s"),
+            F.col("_sn")["norm"].alias("_n"),
+        )
         .persist()
     )
     banded = base.select(
-        "id", F.posexplode(sigs(F.col("vec"))).alias("band", "key")
+        "id", F.posexplode(F.col("_s")).alias("band", "key")
     )
     cands = _bucket_pairs(banded, ["band", "key"])
     cos = F.try_divide(

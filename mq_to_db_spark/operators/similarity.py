@@ -35,7 +35,14 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     sum — whole-stage-codegen instead of the interpreted higher-order
     ``aggregate`` path, ~10× faster per pair on wide joins.  The
     leading ``lit(0.0)`` term reproduces the fold's seed so both paths
-    are IEEE-bit-identical (same association order)."""
+    are IEEE-bit-identical (same association order) — **for arrays of
+    exactly ``dim`` elements only**: on a shorter array ``a[i]`` yields
+    NULL (or errors under ANSI mode) where the fold returns a partial
+    sum over the actual elements, and on NULL arrays the unrolled path
+    NULLs while the fold NULLs too but via a different route.  Callers
+    passing ``dim`` must pre-filter ``vec IS NOT NULL AND size(vec) ==
+    dim`` (the same guard :func:`knn_join_lsh` applies before its
+    signature UDF)."""
     if dim is not None:
         acc = F.lit(0.0)
         for i in range(dim):
@@ -49,7 +56,9 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
 
 
 def l2_norm(a: Column, dim: int | None = None) -> Column:
-    """L2 norm; same unrolled-vs-fold duality as :func:`dot`."""
+    """L2 norm; same unrolled-vs-fold duality — and the same
+    exactly-``dim``-elements precondition on the unrolled path — as
+    :func:`dot`."""
     if dim is not None:
         acc = F.lit(0.0)
         for i in range(dim):
@@ -521,18 +530,30 @@ def knn_join_lsh(
     if dim is None:
         row = left.select(F.size(F.col(vec_col)).alias("d")).first()
         dim = row.d if row else 0
-    sigs = band_signatures_vectorized(
+    sigs = band_signatures_with_norm(
         [hyperplane_planes(n_planes, dim, seed=1000 + b) for b in range(n_bands)]
     )
 
     def keyed(df, id_col, out_id):
-        # norm once per row (not per candidate pair) — bit-identical to
-        # cosine_sim_cols, 1 fold per pair instead of 3 (PROFILE §9)
+        # ONE Arrow pass computes both the band signatures and the L2
+        # norm (band_signatures_with_norm): the persisted side frames
+        # carry (id, vec, sigs, norm), so banding is a pure JVM
+        # posexplode of a stored column and the re-rank pays 1 fold per
+        # pair instead of 3 — no separate interpreted l2_norm fold over
+        # the whole side (PROFILE §7: higher-order lambdas run
+        # interpreted per element).  Norm accumulation order inside the
+        # UDF is the strict left-associated per-element loop, IEEE-bit-
+        # identical to the l2_norm fold / cosine_sim_cols.
+        sn = F.col("_sn")
         return (
             df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
             .select(F.col(id_col).alias(out_id), F.col(vec_col).alias(f"v_{out_id}"))
-            .withColumn(
-                f"n_{out_id}", l2_norm(F.col(f"v_{out_id}").cast("array<double>"))
+            .withColumn("_sn", sigs(F.col(f"v_{out_id}")))
+            .select(
+                out_id,
+                f"v_{out_id}",
+                sn["sigs"].alias(f"s_{out_id}"),
+                sn["norm"].alias(f"n_{out_id}"),
             )
         )
 
@@ -544,7 +565,7 @@ def knn_join_lsh(
 
     def banded(df, out_id):
         return df.select(
-            out_id, F.posexplode(sigs(F.col(f"v_{out_id}"))).alias("band", "sig")
+            out_id, F.posexplode(F.col(f"s_{out_id}")).alias("band", "sig")
         )
 
     cand = (
@@ -618,3 +639,57 @@ def band_signatures_vectorized(bands_planes: list[np.ndarray]):
         return pd.Series(list(out))
 
     return _sigs
+
+
+def band_signatures_with_norm(bands_planes: list[np.ndarray]):
+    """:func:`band_signatures_vectorized` fused with the L2 norm in the
+    SAME Arrow pass: ``vec → struct<sigs: array<long>, norm: double>``.
+
+    One batch read of the vector data replaces two (the signature UDF
+    plus a separate interpreted ``l2_norm`` fold over every row — the
+    higher-order ``aggregate`` lambda runs interpreted per element,
+    PROFILE §7), which is what the banded k-NN / near-dup side frames
+    pay before their persist.
+
+    BIT-EXACT with :func:`l2_norm`'s fold: the squared-sum is the same
+    strict sequential left-associated accumulator over ``dim``
+    (``((0 + t₀) + t₁) + …``), never ``np.linalg.norm``/``np.sum``
+    whose pairwise association differs; ``np.sqrt`` is the same IEEE
+    operation as ``F.sqrt``.  Same ragged-input precondition as the
+    sigs-only variant: callers pre-filter null / wrong-dimension
+    vectors."""
+    from pyspark.sql import types as T
+
+    P = np.stack(bands_planes)  # (B, n_planes, dim)
+    B, n_planes, dim = P.shape
+    out_t = T.StructType(
+        [
+            T.StructField("sigs", T.ArrayType(T.LongType())),
+            T.StructField("norm", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(out_t)
+    def _sigs_norm(vecs: pd.Series) -> pd.DataFrame:
+        n = len(vecs)
+        if not n:
+            return pd.DataFrame({"sigs": pd.Series([], dtype=object),
+                                 "norm": pd.Series([], dtype=np.float64)})
+        V = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        Vt = np.ascontiguousarray(V.T)  # (dim, n)
+        out = np.zeros((n, B), dtype=np.int64)
+        for b in range(B):
+            sig = np.zeros(n, dtype=np.int64)
+            for p in range(n_planes):
+                w = P[b, p]
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(dim):
+                    acc += Vt[d] * w[d]
+                sig = sig * 2 + (acc >= 0).astype(np.int64)
+            out[:, b] = sig
+        ss = np.zeros(n, dtype=np.float64)
+        for d in range(dim):  # strict fold order == l2_norm's aggregate
+            ss += Vt[d] * Vt[d]
+        return pd.DataFrame({"sigs": list(out), "norm": np.sqrt(ss)})
+
+    return _sigs_norm
