@@ -39,10 +39,17 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from mq_to_db_spark.operators.similarity import ivf_assign, ivf_centroids
 
 __all__ = ["kmeans_fit", "kmeans_assign", "semdedup"]
+
+# pair_backend="auto" switch point: largest cluster_size · dim that the
+# grouped-Arrow pair stage may hold in one batch (~128 MB of float64).
+# Above it the bit-identical streaming expr join takes over — the same
+# bound-style guard as similarity.ivf_assign's codegen/Arrow switch.
+ARROW_PAIR_ELEM_BOUND = 16_777_216
 
 
 def kmeans_fit(
@@ -156,7 +163,10 @@ def _dropped_ids_arrow(slim: DataFrame, threshold: float) -> DataFrame:
     bit-compatibility contract as similarity._ivf_assign_udf, parity-
     tested).  The j-axis is blocked so peak memory is O(n·block), not
     O(cluster²); rows with NULL or off-dimension vectors never drop
-    and are never dropped (expr parity: their fold dot is NULL)."""
+    and are never dropped (expr parity: their fold dot is NULL).
+    Pairing is on STRICT id order (``id_i < id_j``, never positional),
+    so duplicate ids cannot pair — expr parity again.  Ids must be
+    integral (packed into an int64 array; :func:`semdedup` validates)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -173,7 +183,6 @@ def _dropped_ids_arrow(slim: DataFrame, threshold: float) -> DataFrame:
             acc += V[:, d] * V[:, d]
         norm = np.sqrt(acc)
         dropped = np.zeros(n, dtype=bool)
-        i_idx = np.arange(n)
         B = 2048
         for j0 in range(1, n, B):
             j1 = min(j0 + B, n)
@@ -183,7 +192,9 @@ def _dropped_ids_arrow(slim: DataFrame, threshold: float) -> DataFrame:
                 dots += V[:, d : d + 1] * Vb[:, d][None, :]
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = dots / (norm[:, None] * norm[j0:j1][None, :])
-            mask = i_idx[:, None] < np.arange(j0, j1)[None, :]
+            # pair on STRICT id order, not position: two rows sharing an
+            # id must never pair (expr parity: `_id_l < _id_r` is strict)
+            mask = ids[:, None] < ids[j0:j1][None, :]
             # NaN (0/0, zero-norm rows) compares False, like NULL cosine
             hit = np.greater_equal(
                 cos, thr, where=~np.isnan(cos), out=np.zeros_like(mask)
@@ -233,20 +244,31 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
-    pair_backend: str = "arrow",
+    pair_backend: str = "auto",
 ) -> DataFrame:
     """SemDeDup: (id, cluster, kept) for every input row.
 
-    ``kept = false`` iff some lower-id row in the SAME cluster has
-    cosine >= ``threshold`` — deterministic first-seen-survives, no
-    transitive closure needed (every member of a near-dup group except
-    the minimum id sees the minimum id as its lower neighbor).
+    ``kept = false`` iff some lower-id row in the SAME cluster has a
+    strictly lower id AND cosine >= ``threshold`` — deterministic
+    first-seen-survives, no transitive closure needed (every member of
+    a near-dup group except the minimum id sees the minimum id as its
+    lower neighbor).  Rows sharing an id never pair (strict ``<`` on
+    both backends).
 
-    ``pair_backend``: ``"arrow"`` (default — one grouped batch per
-    cluster, strict-fold numpy, ~6× the join path's pair throughput at
-    sf0.1) or ``"expr"`` (the self-join; streaming memory if a cluster
-    ever outgrows a worker's Arrow batch budget).  Both are
-    bit-identical (test_semcluster parity test).
+    ``pair_backend``:
+
+    * ``"auto"`` (default) — Arrow while the largest ``cluster_size ·
+      dim`` fits :data:`ARROW_PAIR_ELEM_BOUND` AND the id column is
+      integral; the streaming expr join otherwise (one tiny k-row agg
+      over the persisted assignment decides).
+    * ``"arrow"`` — one grouped batch per cluster, strict-fold numpy,
+      ~6× the join path's pair throughput at sf0.1.  Requires an
+      integral (byte/short/int/long) id column — ids ride an int64
+      numpy array — and raises TypeError otherwise.
+    * ``"expr"`` — the self-join; streaming memory for clusters that
+      outgrow a worker's Arrow batch budget; any id type.
+
+    Both backends are bit-identical (test_semcluster parity test).
     """
     cents = kmeans_fit(
         df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col,
@@ -267,12 +289,45 @@ def semdedup(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     ).withColumn("_n", l2_norm(F.col("_v")))
+    integral_id = isinstance(
+        assigned.schema[id_col].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    )
+    if pair_backend == "auto":
+        # the semcluster analogue of ivf_assign's codegen-bound switch:
+        # the Arrow path groups a WHOLE cluster into one batch, so with
+        # k≈√n a cluster can reach ~10⁶ vectors at 10^12 rows — hundreds
+        # of MB per batch.  Size the decision on the actual largest
+        # cluster (one tiny agg over the persisted assignment, k rows):
+        # max_cluster_size · dim ≤ ARROW_PAIR_ELEM_BOUND (≈128 MB of
+        # float64) stays Arrow; anything larger — or a non-integral id
+        # column, which the Arrow path cannot represent — takes the
+        # bit-identical streaming expr join.
+        pair_backend = "arrow"
+        if not integral_id:
+            pair_backend = "expr"
+        else:
+            stats = assigned.groupBy("cluster").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(F.size(vec_col)).alias("d"),
+            ).agg(F.max(F.col("n") * F.col("d")).alias("m")).first()
+            if stats is not None and (stats.m or 0) > ARROW_PAIR_ELEM_BOUND:
+                pair_backend = "expr"
     if pair_backend == "arrow":
+        if not integral_id:
+            raise TypeError(
+                f"pair_backend='arrow' packs ids into an int64 numpy "
+                f"array, but column {id_col!r} has type "
+                f"{assigned.schema[id_col].dataType.simpleString()!r} — "
+                "use pair_backend='expr' (bit-identical) or 'auto'"
+            )
         dropped = _dropped_ids_arrow(slim, threshold)
     elif pair_backend == "expr":
         dropped = _dropped_ids_expr(slim, threshold)
     else:
-        raise ValueError(f"pair_backend must be arrow|expr, got {pair_backend!r}")
+        raise ValueError(
+            f"pair_backend must be auto|arrow|expr, got {pair_backend!r}"
+        )
     return (
         assigned.join(
             dropped, assigned[id_col] == dropped["_dropped"], "left"

@@ -216,3 +216,58 @@ def test_pair_backend_parity(emb):
     assert any(i >= 50000 for i in dropped)
     # null / off-dim / zero vectors are never dropped
     assert {90001, 90002, 90003} & dropped == set()
+
+
+def test_auto_backend_switches_on_cluster_size_bound(emb, monkeypatch):
+    """pair_backend='auto': below the elem bound the plan is the
+    grouped-Arrow stage; with the bound forced tiny (an 'oversized'
+    cluster) the SAME call plans the expr join instead — and both
+    produce identical output (VERDICT r04 #5)."""
+    import mq_to_db_spark.operators.semcluster as sc
+
+    df, _, dim = emb
+    kw = dict(k=3, n_iter=1, threshold=0.999)
+
+    def plan_of(out):
+        return out._jdf.queryExecution().executedPlan().toString()
+
+    big = semdedup(df, pair_backend="auto", **kw)
+    assert "FlatMapGroupsInPandas" in plan_of(big)
+
+    monkeypatch.setattr(sc, "ARROW_PAIR_ELEM_BOUND", 4)
+    small = semdedup(df, pair_backend="auto", **kw)
+    assert "FlatMapGroupsInPandas" not in plan_of(small)
+
+    rows = lambda o: {(r["vec_id"], r["cluster"], r["kept"]) for r in o.collect()}  # noqa: E731
+    assert rows(big) == rows(small)
+
+
+def test_arrow_backend_rejects_non_integral_ids(spark):
+    """ADVICE r04: explicit arrow + string ids is a clear TypeError;
+    'auto' silently takes the expr path and still answers."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 1e-6]), ("c", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    with pytest.raises(TypeError, match="arrow"):
+        semdedup(df, k=1, n_iter=0, pair_backend="arrow").collect()
+    out = {r["vec_id"]: r["kept"] for r in semdedup(
+        df, k=1, n_iter=0, threshold=0.999, pair_backend="auto"
+    ).collect()}
+    assert out["a"] and not out["b"] and out["c"]
+
+
+def test_duplicate_ids_never_pair(spark):
+    """ADVICE r04: two rows sharing an id must not drop each other on
+    either backend (strict id order, not positional)."""
+    df = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (7, [1.0, 1e-9]), (9, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    for backend in ("arrow", "expr"):
+        out = semdedup(
+            df, k=1, n_iter=0, threshold=0.99, pair_backend=backend
+        ).collect()
+        assert all(r["kept"] for r in out), (backend, out)
