@@ -92,7 +92,16 @@ def bigram_lm_scores(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Per-document self-perplexity under the corpus bigram LM:
-    ``(id, n_tokens, bigram_c_sum, n_singletons, logprob, ppl)``."""
+    ``(id, n_tokens, bigram_c_sum, n_singletons, logprob, ppl)``.
+
+    Cache lifetime (ADVICE r04): the ``pairs``/``bc`` persists below
+    feed the RETURNED lazy frame (unlike kmeans_fit, nothing is
+    collected here), so they cannot be unpersisted inside this
+    function — the caller owns them.  A long-lived session scoring
+    many corpora should ``spark.catalog.clearCache()`` (or unpersist
+    via the returned plan's references) between invocations; otherwise
+    Spark's LRU eviction reclaims executor storage, but disk-spilled
+    blocks linger until then."""
     from pyspark import StorageLevel
 
     # pairs feeds the count-table build AND the join probe side — two

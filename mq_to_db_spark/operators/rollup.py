@@ -215,7 +215,10 @@ def rollup_tiers(
     stand-in for the production pipeline's *materialized* tier tables:
     a consumer that reads several tiers of one cascade (stitch/audit/
     hybrid-read) otherwise re-evaluates the finest tier's raw scan once
-    per coarser tier (1m's agg runs 3× for a 1m/1h/1d read)."""
+    per coarser tier (1m's agg runs 3× for a 1m/1h/1d read).  The
+    CALLER owns these caches (ADVICE r04): unpersist each returned
+    tier (or ``spark.catalog.clearCache()``) when done — a long-lived
+    session building many cascades otherwise leans on LRU eviction."""
     out: dict[str, DataFrame] = {}
     finer = None
     for t in tiers:

@@ -95,6 +95,12 @@ def kaplan_meier(
     exactly this duration (who, by the standard convention, are still
     at risk AT t and leave after it) and ``survival`` = S(t) rounded
     to 6 dp.
+
+    Cache lifetime (ADVICE r04): both persists below feed the RETURNED
+    lazy curve (only the scalar ``total`` is collected here), so the
+    caller owns them — repeated invocations in a long-lived session
+    should ``spark.catalog.clearCache()`` between curves; until then
+    Spark's LRU eviction bounds executor storage.
     """
     # persist: the risk table is O(distinct durations) tiny, but the
     # prefix sums below launch extent + boundary-carry jobs besides the

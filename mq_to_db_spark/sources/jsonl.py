@@ -11,13 +11,15 @@ dead-letter rows with a reason), composing the engine's existing
 validation taxonomy (operators/validate.py, A10) with one new
 file-boundary reason:
 
-  * ``malformed_json`` — the line is not a JSON object at all
-    (`from_json` returns NULL for the whole struct);
-  * type-mismatched or missing fields surface as NULL fields, which
-    the downstream taxonomy names precisely (``null_ts``,
+  * ``malformed_json`` — the line is not a JSON object, OR a field's
+    JSON value has the wrong type: PERMISSIVE `from_json` populates the
+    corrupt-record column for BOTH, so type mismatches route here (the
+    reference's hard-parse-error outcome, one coarse reason);
+  * only fields that are genuinely *missing* or JSON ``null`` (plus
+    unparseable ISO timestamps) surface as NULL fields, which the
+    downstream taxonomy names precisely (``null_ts``,
     ``negative_or_null_turn_idx``, ``null_or_empty_conv_id``,
-    ``unknown_role``) — same rejection outcome as the reference's hard
-    parse error, with a better diagnosis.
+    ``unknown_role``) — same rejection outcome, finer diagnosis.
 
 Scale shape: `spark.read.text` (splittable line reader) → one
 `from_json` projection (JVM Jackson, no Python) → the taxonomy filter.
@@ -48,7 +50,9 @@ JSONL_TRANSCRIPT_SCHEMA = T.StructType(
     ]
 )
 
-#: reject reason for lines that are not JSON objects at all
+#: reject reason for lines the strict parse refuses outright: not a
+#: JSON object, or a type-mismatched field (PERMISSIVE from_json sets
+#: the corrupt-record column for both)
 MALFORMED_JSON = "malformed_json"
 
 
