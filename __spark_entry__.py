@@ -6685,8 +6685,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, bucket_start,
                    CAST(count(*) AS BIGINT) AS n_samples,
                    max(gap_us) AS max_gap_us,
-                   round(CAST(sum(gap_us) AS DOUBLE)
-                         / CAST(count(gap_us) AS DOUBLE), 6) AS avg_gap_us
+                   -- micro-unit exact half-up rounding (quotient/remainder
+                   -- split): round(sum/cnt, 6) on a double can land ON a
+                   -- .5e-6 boundary where the engines' round() disagree
+                   CASE WHEN count(gap_us) > 0 THEN
+                       CAST(CAST(sum(gap_us) AS BIGINT) // count(gap_us)
+                                * 1000000
+                            + (2 * (CAST(sum(gap_us) AS BIGINT)
+                                    % count(gap_us)) * 1000000
+                               + count(gap_us)) // (2 * count(gap_us))
+                            AS DOUBLE) / 1e6
+                   END AS avg_gap_us
             FROM lagged GROUP BY 1, 2
         """,
         "double_ewma_1h": """

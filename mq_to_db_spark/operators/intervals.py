@@ -209,8 +209,17 @@ def gap_stats(
     (BIGINT — exact on any engine), attributed to the later sample's
     bucket (the bucket that *observed* the silence end).  The series'
     first-ever sample has no gap.  Returns per-bucket
-    ``n_samples, max_gap_us, avg_gap_us`` (avg = exact BIGINT sum over
-    count, ONE double division, round 6).
+    ``n_samples, max_gap_us, avg_gap_us``.
+
+    ``avg_gap_us`` rounds to 6 dp in EXACT integer arithmetic (the
+    micro-unit idiom, SURVEY.md §float-sums): ``round(sum/cnt, 6)`` on
+    a double can land exactly ON a .5×10⁻⁶ boundary for integer-ratio
+    inputs, where Spark's BigDecimal HALF_UP and DuckDB's multiply-
+    round-divide disagree (caught by tools/float_surface_audit.py at
+    sf0.01).  Split ``sum = q·cnt + r`` so the half-up micro rounding
+    ``(2·r·10⁶ + cnt) div (2·cnt)`` never overflows (r < cnt; gaps are
+    non-negative), then one deterministic int→double conversion and
+    division by 1e6.
 
     Plan: one exchange — the lag window hash-partitions on the series
     keys; the (keys, bucket) aggregation reuses that partitioning."""
@@ -219,16 +228,31 @@ def gap_stats(
     w = W.partitionBy(*keys).orderBy(ts_col, *tiebreak)
     ts_us = _epoch_micros(F.col(ts_col))
     gap = ts_us - F.lag(ts_us).over(w)
+    gsum, gcnt = F.sum("_gap_us"), F.count("_gap_us")
     return (
         df.withColumn("_gap_us", gap)
         .groupBy(*keys, bucket_col(tier, ts_col).alias("bucket_start"))
         .agg(
             F.count(F.lit(1)).alias("n_samples"),
             F.max("_gap_us").alias("max_gap_us"),
-            F.round(
-                F.sum("_gap_us").cast("double") / F.count("_gap_us").cast("double"), 6
-            ).alias("avg_gap_us"),
+            gsum.alias("_gsum"),
+            gcnt.alias("_gcnt"),
         )
+        .withColumn(
+            "avg_gap_us",
+            F.when(
+                F.col("_gcnt") > 0,
+                (
+                    F.expr("_gsum DIV _gcnt") * F.lit(1_000_000)
+                    + F.expr(
+                        "(2 * (_gsum % _gcnt) * 1000000 + _gcnt)"
+                        " DIV (2 * _gcnt)"
+                    )
+                ).cast("double")
+                / F.lit(1e6),
+            ),
+        )
+        .drop("_gsum", "_gcnt")
     )
 
 
