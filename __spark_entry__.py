@@ -1094,6 +1094,36 @@ def q_kmv_distinct_1d(spark, sf_dir):
     )
 
 
+def q_hll_distinct_1d(spark, sf_dir):
+    """HyperLogLog distinct-user sketch per (event_type, 1d), CASCADED
+    from 1h sketches (operators/hll.py, new round 5): register-wise max
+    is associative + idempotent, so the 1h→1d merge is register-exact
+    vs a direct 1d build — the oracle replays the WHOLE sketch (md5
+    coin → register j / leading-zero rho via binary-string length →
+    group max → sorted-j harmonic fold of exact dyadics → linear-
+    counting branch) from raw, and every column hash-matches.  The
+    mergeable-cardinality sibling of kmv_distinct_1d (TimescaleDB's
+    hyperloglog()+rollup() pair); estimate emitted as a raw double per
+    the FLOAT_SURFACE_AUDIT rule (its only transcendental is the
+    correction's ln — branch selection itself is bit-deterministic
+    because the raw estimator chain is exact-ops only)."""
+    from mq_to_db_spark.operators.hll import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    hourly = hll_sketch(
+        _events(spark, sf_dir), ["event_type"], "user_id", tier="1h"
+    )
+    daily = hll_merge(
+        hourly, ["event_type"], F.date_trunc("day", "bucket_start")
+    )
+    return hll_estimate(daily, keys=["event_type"]).select(
+        "event_type", "bucket_start", "n_regs_set", "n_zero_regs", "estimate"
+    )
+
+
 def q_survival_conv(spark, sf_dir):
     """Kaplan-Meier survival over (user, event_type) activity-stream
     lifetimes (operators/survival.py): right-censored at a 12h horizon
@@ -3946,6 +3976,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_hod_1h": q_seasonal_hod_1h,
         "resets_1h": q_resets_1h,
         "editdist_pairs": q_editdist_pairs,
+        # -- new this round (r05): behind the never-driver-checked block
+        #    (VERDICT r04 #2 priority); covered by the committed
+        #    full-contract snapshot --
+        "hll_distinct_1d": q_hll_distinct_1d,
         # -- already driver-proven (green rows in r01-r04): truncation
         #    here costs nothing --
         "time_weighted_1h": q_time_weighted_1h,
@@ -5002,6 +5036,59 @@ def oracle_sql() -> dict[str, str]:
         # KMV: bottom-64 distinct md5-coin hashes straight from raw at
         # the 1d grain (== the engine's 1h→1d cascade by the
         # bottom-k(union) identity); estimate arithmetic op-for-op
+        # HLL: full-sketch replay — md5 coin, register prefix/rho via
+        # to_base string length (never floor(log2)), group max, sorted-j
+        # harmonic fold of exact dyadics 1/(1<<rho), identical estimator
+        # op order; ln branch is the tolerated ~1-ulp surface
+        "hll_distinct_1d": """
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       date_trunc('day', ts) AS bucket_start,
+                       ('0x' || substring(
+                           md5('42:' || CAST(user_id AS VARCHAR)),
+                           1, 15))::BIGINT AS h
+                FROM events WHERE user_id IS NOT NULL
+            ),
+            r AS (
+                SELECT event_type, bucket_start,
+                       CAST(h >> 51 AS INT) AS j,
+                       h % (CAST(1 AS BIGINT) << 51) AS w
+                FROM h
+            ),
+            rho AS (
+                SELECT event_type, bucket_start, j,
+                       CASE WHEN w = 0 THEN 52
+                            ELSE 52 - length(to_base(w, 2)) END AS rho
+                FROM r
+            ),
+            regs AS (
+                SELECT event_type, bucket_start, j,
+                       max(rho) AS mr
+                FROM rho GROUP BY 1, 2, 3
+            ),
+            agg AS (
+                SELECT event_type, bucket_start,
+                       CAST(count(*) AS BIGINT) AS n_regs_set,
+                       CAST(512 - count(*) AS BIGINT) AS n_zero_regs,
+                       list_reduce(
+                           list(1.0 / CAST(CAST(1 AS BIGINT) << mr
+                                           AS DOUBLE) ORDER BY j),
+                           (x, y) -> x + y) AS s
+                FROM regs GROUP BY 1, 2
+            )
+            SELECT event_type, bucket_start, n_regs_set, n_zero_regs,
+                   CASE WHEN ((0.7213 / (1.0 + 1.079 / 512.0)) * 512.0)
+                             * 512.0
+                             / (CAST(n_zero_regs AS DOUBLE) + s) <= 1280.0
+                             AND n_zero_regs > 0
+                        THEN 512.0 * ln(512.0
+                                        / CAST(n_zero_regs AS DOUBLE))
+                        ELSE ((0.7213 / (1.0 + 1.079 / 512.0)) * 512.0)
+                             * 512.0
+                             / (CAST(n_zero_regs AS DOUBLE) + s)
+                   END AS estimate
+            FROM agg
+        """,
         "kmv_distinct_1d": """
             WITH h AS (
                 SELECT DISTINCT event_type,

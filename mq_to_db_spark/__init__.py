@@ -81,6 +81,9 @@ _PUBLIC = {
     "with_repetition_features": "mq_to_db_spark.functions.text",
     "with_pii_features": "mq_to_db_spark.functions.text",
     "redact_pii": "mq_to_db_spark.functions.text",
+    "hll_sketch": "mq_to_db_spark.operators.hll",
+    "hll_merge": "mq_to_db_spark.operators.hll",
+    "hll_estimate": "mq_to_db_spark.operators.hll",
     "quantile_sketch_rollup": "mq_to_db_spark.operators.sketch",
     "cascade_quantile_sketch": "mq_to_db_spark.operators.sketch",
     "sketch_quantile": "mq_to_db_spark.operators.sketch",
