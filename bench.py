@@ -180,6 +180,7 @@ EXTENDED_QUERIES = (
     "gcra_throttle_1h",
     "stickiness_1d",
     "backtest_naive_1d",
+    "hll_distinct_1d",
 )
 
 
