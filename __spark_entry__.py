@@ -874,7 +874,16 @@ def q_rate_extrap_1h(spark, sf_dir):
     micro-units so the reset-aware result is bit-exact; every double op
     is in fixed order so the oracle replay hash-matches.  ONE exchange:
     the within-bucket lag window partitions on (event_type, bucket) and
-    the agg reuses it."""
+    the agg reuses it.
+
+    Emitted UNROUNDED (round-5 float-surface audit): the micro-unit
+    increase is ~10⁹, where ulp ≈ 3×10⁻⁷ — ``round(x, 6)`` at that
+    magnitude puts a large fraction of values within an ulp of a
+    .5×10⁻⁶ boundary, and Spark's BigDecimal HALF_UP vs the oracle's
+    multiply-round-divide flipped 125/3600 rows at sf0.1 (the exphist
+    r04 class, caught by tools/float_surface_audit.py).  The raw chain
+    is fixed-order and bit-identical cross-engine, so the raw doubles
+    hash-match exactly."""
     from mq_to_db_spark.operators.counters import rate_extrapolated
 
     ev = _events(spark, sf_dir).select(
@@ -891,8 +900,8 @@ def q_rate_extrap_1h(spark, sf_dir):
         "event_type",
         "bucket_start",
         "n_samples",
-        F.round("increase_ext", 6).alias("increase_ext"),
-        F.round("rate_ext", 6).alias("rate_ext"),
+        "increase_ext",
+        "rate_ext",
     )
 
 
@@ -7706,8 +7715,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM e
             )
             SELECT event_type, bucket_start, n_samples,
-                   round(inc, 6) AS increase_ext,
-                   round(inc / 3600.0, 6) AS rate_ext
+                   inc AS increase_ext,
+                   inc / 3600.0 AS rate_ext
             FROM x
         """,
         # sliding *_over_time grid: the same bounded explode replayed —
